@@ -1,0 +1,270 @@
+// Golden-fixture harness: drives the compiled reference (jsoup, compiled separately
+// under /tmp/jsoupbuild) to produce expected outputs for our PySpark-native engine's
+// equivalence tests. Protocol: stdin lines `op\tb64(html)\tb64(arg1)\tb64(arg2)`,
+// stdout one line `b64(result)` per input (UTF-8 throughout).
+//
+// Ops:
+//   tree     html baseUri          -> canonical s-expression of the parsed document
+//   xmltree  html baseUri          -> same, XML parser
+//   fragtree html contextTag       -> same, fragment parse in context
+//   text     html baseUri          -> body().text()
+//   wholetext html                 -> body().wholeText()
+//   title    html                  -> doc.title()
+//   select   html query            -> per match: tag \u0001 id \u0001 ownText, joined by \u0002
+//   selcount html query            -> number of matches
+//   clean    html safelistName     -> cleaned body html (jsoup pretty-print default)
+//   cleantree html safelistName    -> canonical tree of cleaned body fragment
+//   spans    html baseUri          -> span-emitter golden: kind \u0001 text \u0001 ref per line (\u0002-joined)
+//
+// The span emitter is OUR engine's spec (title, then interleaved text/media/data in
+// document order, text flushed at media/data barriers) computed here over the
+// reference DOM so Python output can be compared span-for-span.
+import org.jsoup.Jsoup;
+import org.jsoup.nodes.*;
+import org.jsoup.parser.Parser;
+import org.jsoup.safety.Safelist;
+import org.jsoup.select.Elements;
+import org.jsoup.select.NodeTraversor;
+import org.jsoup.select.NodeVisitor;
+
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.util.*;
+
+public class Harness {
+    static String b64d(String s) { return new String(Base64.getDecoder().decode(s), StandardCharsets.UTF_8); }
+    static String b64e(String s) { return Base64.getEncoder().encodeToString(s.getBytes(StandardCharsets.UTF_8)); }
+
+    public static void main(String[] args) throws Exception {
+        BufferedReader in = new BufferedReader(new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        PrintWriter out = new PrintWriter(new OutputStreamWriter(System.out, StandardCharsets.UTF_8));
+        String line;
+        while ((line = in.readLine()) != null) {
+            if (line.isEmpty()) continue;
+            String[] parts = line.split("\t", -1);
+            String op = parts[0];
+            String a1 = parts.length > 1 ? b64d(parts[1]) : "";
+            String a2 = parts.length > 2 ? b64d(parts[2]) : "";
+            String res;
+            try {
+                res = dispatch(op, a1, a2);
+            } catch (Throwable t) {
+                res = "!ERROR: " + t.getClass().getSimpleName() + ": " + t.getMessage();
+            }
+            out.println(b64e(res));
+            out.flush();
+        }
+    }
+
+    static String dispatch(String op, String a1, String a2) {
+        switch (op) {
+            case "tree": return canonical(Jsoup.parse(a1, a2));
+            case "xmltree": return canonical(Jsoup.parse(a1, a2, Parser.xmlParser()));
+            case "fragtree": {
+                Document shell = Document.createShell("");
+                org.jsoup.nodes.Element ctx = shell.body().appendElement(a2.isEmpty() ? "div" : a2);
+                List<Node> nodes = Parser.parseFragment(a1, ctx, "");
+                StringBuilder sb = new StringBuilder();
+                for (Node n : nodes) canonNode(n, sb);
+                return sb.toString();
+            }
+            case "text": return Jsoup.parse(a1, a2).body().text();
+            case "wholetext": return Jsoup.parse(a1).body().wholeText();
+            case "title": return Jsoup.parse(a1).title();
+            case "select": {
+                Document doc = Jsoup.parse(a1);
+                Elements els = doc.select(a2);
+                StringBuilder sb = new StringBuilder();
+                for (org.jsoup.nodes.Element el : els) {
+                    if (sb.length() > 0) sb.append('\u0002');
+                    sb.append(el.tagName()).append('\u0001').append(el.id()).append('\u0001').append(el.ownText());
+                }
+                return sb.toString();
+            }
+            case "selcount": return String.valueOf(Jsoup.parse(a1).select(a2).size());
+            case "clean": return Jsoup.clean(a1, safelist(a2));
+            case "cleantree": {
+                String cleaned = Jsoup.clean(a1, safelist(a2));
+                Document doc = Jsoup.parse(cleaned);
+                StringBuilder sb = new StringBuilder();
+                for (Node n : doc.body().childNodes()) canonNode(n, sb);
+                return sb.toString();
+            }
+            case "spans": return spans(Jsoup.parse(a1, a2));
+            default: return "!ERROR: unknown op " + op;
+        }
+    }
+
+    static Safelist safelist(String name) {
+        switch (name) {
+            case "none": return Safelist.none();
+            case "simpleText": return Safelist.simpleText();
+            case "basic": return Safelist.basic();
+            case "basicWithImages": return Safelist.basicWithImages();
+            case "relaxed": return Safelist.relaxed();
+            default: throw new IllegalArgumentException("safelist " + name);
+        }
+    }
+
+    // Canonical tree: (tag{ns} [k=v ...] children...) / "text" / #data:... / #c:... / #dt:... / #cd:...
+    static String canonical(Document doc) {
+        StringBuilder sb = new StringBuilder();
+        for (Node n : doc.childNodes()) canonNode(n, sb);
+        return sb.toString();
+    }
+
+    static void canonNode(Node n, StringBuilder sb) {
+        if (n instanceof org.jsoup.nodes.Element) {
+            org.jsoup.nodes.Element el = (org.jsoup.nodes.Element) n;
+            sb.append('(').append(el.tagName());
+            String ns = el.tag().namespace();
+            if (!ns.equals("http://www.w3.org/1999/xhtml")) sb.append('{').append(ns).append('}');
+            for (Attribute a : el.attributes()) {
+                sb.append(" [").append(a.getKey()).append('=').append(esc(a.getValue())).append(']');
+            }
+            for (Node c : el.childNodes()) canonNode(c, sb);
+            sb.append(')');
+        } else if (n instanceof CDataNode) {
+            sb.append("#cd:").append(esc(((CDataNode) n).getWholeText())).append(';');
+        } else if (n instanceof TextNode) {
+            sb.append('"').append(esc(((TextNode) n).getWholeText())).append('"');
+        } else if (n instanceof DataNode) {
+            sb.append("#data:").append(esc(((DataNode) n).getWholeData())).append(';');
+        } else if (n instanceof Comment) {
+            sb.append("#c:").append(esc(((Comment) n).getData())).append(';');
+        } else if (n instanceof DocumentType) {
+            DocumentType dt = (DocumentType) n;
+            sb.append("#dt:").append(esc(dt.name())).append('|').append(esc(dt.publicId())).append('|').append(esc(dt.systemId())).append(';');
+        } else if (n instanceof XmlDeclaration) {
+            XmlDeclaration xd = (XmlDeclaration) n;
+            sb.append("#xd:").append(esc(xd.name())).append('|').append(esc(xd.getWholeDeclaration())).append(';');
+        } else {
+            sb.append("#?:").append(n.nodeName()).append(';');
+        }
+    }
+
+    static String esc(String s) {
+        return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)").replace("\"", "\\\"")
+                .replace(";", "\\;").replace("[", "\\[").replace("]", "\\]").replace("|", "\\|");
+    }
+
+    // ---- span emitter golden (engine spec; see jsoup_spark/extract/spans.py) ----
+    static final Set<String> MEDIA = new HashSet<>(Arrays.asList(
+        "img", "video", "audio", "source", "embed", "iframe", "track"));
+    static final Set<String> DATA_TAGS = new HashSet<>(Arrays.asList("script", "style"));
+
+    static String spans(Document doc) {
+        List<String[]> out = new ArrayList<>();
+        String title = doc.title();
+        if (!title.isEmpty()) out.add(new String[]{"title", title, ""});
+        org.jsoup.nodes.Element body = doc.body();
+        StringBuilder accum = new StringBuilder();
+        NodeTraversor.traverse(new NodeVisitor() {
+            @Override public void head(Node node, int depth) {
+                if (node instanceof TextNode) {
+                    appendNormalised(accum, (TextNode) node);
+                } else if (node instanceof org.jsoup.nodes.Element) {
+                    org.jsoup.nodes.Element el = (org.jsoup.nodes.Element) node;
+                    String name = el.tagName();
+                    if (MEDIA.contains(name)) {
+                        flush(out, accum);
+                        String ref = el.hasAttr("src") ? el.absUrl("src") : "";
+                        if (ref.isEmpty() && el.hasAttr("src")) ref = el.attr("src");
+                        String alt = el.hasAttr("alt") ? el.attr("alt").trim() : "";
+                        out.add(new String[]{"media", alt, ref});
+                    } else if (DATA_TAGS.contains(name)) {
+                        flush(out, accum);
+                        out.add(new String[]{"data", el.data(), ""});
+                    } else {
+                        if (accum.length() > 0 && needsLeadingSep(el) && !lastWs(accum)) accum.append(' ');
+                    }
+                }
+            }
+            @Override public void tail(Node node, int depth) {
+                if (node instanceof org.jsoup.nodes.Element) {
+                    org.jsoup.nodes.Element el = (org.jsoup.nodes.Element) node;
+                    Node next = node.nextSibling();
+                    if (needsTrailingSep(el)
+                        && (next instanceof TextNode || (next instanceof org.jsoup.nodes.Element && isInline((org.jsoup.nodes.Element) next)))
+                        && !lastWs(accum)) accum.append(' ');
+                }
+            }
+        }, body);
+        flush(out, accum);
+        StringBuilder sb = new StringBuilder();
+        for (String[] s : out) {
+            if (sb.length() > 0) sb.append('\u0002');
+            sb.append(s[0]).append('\u0001').append(s[1]).append('\u0001').append(s[2]);
+        }
+        return sb.toString();
+    }
+
+    static void flush(List<String[]> out, StringBuilder accum) {
+        String t = accum.toString().trim();
+        accum.setLength(0);
+        if (!t.isEmpty()) out.add(new String[]{"text", t, ""});
+    }
+
+    static boolean lastWs(StringBuilder sb) {
+        return sb.length() > 0 && sb.charAt(sb.length() - 1) == ' ';
+    }
+
+    static boolean isInline(org.jsoup.nodes.Element el) { return !el.isBlock(); }
+
+    static boolean needsLeadingSep(org.jsoup.nodes.Element el) {
+        // mirror of Element.TextAccumulator.needsLeadingTextSeparator (Element.java:1589-1594)
+        return el.isBlock() || el.tagName().equals("br")
+            || (isTextBoundary(el) && el.childNodeSize() > 0 && el.hasText());
+    }
+
+    static boolean needsTrailingSep(org.jsoup.nodes.Element el) {
+        // mirror of needsTrailingTextSeparator (Element.java:1597-1601)
+        if (isTextBoundary(el) || el.isBlock()) return true;
+        for (int i = 0; i < el.childNodeSize(); i++) {
+            Node c = el.childNode(i);
+            if (c instanceof org.jsoup.nodes.Element && ((org.jsoup.nodes.Element) c).isBlock()) return true;
+        }
+        return false;
+    }
+
+    static final Set<String> TEXT_BOUNDARY = new HashSet<>(Arrays.asList(
+        "button", "input", "select", "textarea", "option", "output", "progress", "meter",
+        "img", "picture", "audio", "video", "canvas", "object", "embed", "iframe"));
+    static boolean isTextBoundary(org.jsoup.nodes.Element el) { return TEXT_BOUNDARY.contains(el.tagName()); }
+
+    static boolean preserveWS(Node node) {
+        int i = 0;
+        Node n = node;
+        while (n instanceof org.jsoup.nodes.Element && i < 6) {
+            String t = ((org.jsoup.nodes.Element) n).tagName();
+            if (t.equals("pre") || t.equals("plaintext") || t.equals("title") || t.equals("textarea") || t.equals("script"))
+                return true;
+            n = n.parent(); i++;
+        }
+        return false;
+    }
+
+    static void appendNormalised(StringBuilder accum, TextNode tn) {
+        String text = tn.getWholeText();
+        if (preserveWS(tn.parent()) || tn instanceof CDataNode) { accum.append(text); return; }
+        // StringUtil.appendNormalisedWhitespace (StringUtil.java:234-253): whitespace set is
+        // { \t \n \f \r space nbsp }, invisible chars {U+200B, U+00AD} dropped,
+        // stripLeading = lastCharIsWhitespace(accum) (TextNode.java:117-119).
+        boolean stripLeading = lastWs(accum);
+        boolean lastWasWhite = false;
+        boolean reachedNonWhite = false;
+        int c;
+        for (int i = 0; i < text.length(); i += Character.charCount(c)) {
+            c = text.codePointAt(i);
+            if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == 160) {
+                if ((stripLeading && !reachedNonWhite) || lastWasWhite) continue;
+                accum.append(' ');
+                lastWasWhite = true;
+            } else if (c != 8203 && c != 173) {
+                accum.appendCodePoint(c);
+                lastWasWhite = false;
+                reachedNonWhite = true;
+            }
+        }
+    }
+}
