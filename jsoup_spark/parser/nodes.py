@@ -1,0 +1,422 @@
+"""DOM node tree.
+
+Lightweight per-document tree used *inside* Arrow batch UDFs — never a Spark
+type. Node kinds mirror the reference hierarchy (nodes/Node.java:26,
+Element.java:49, TextNode/DataNode/CDataNode/Comment/DocumentType). Slots
+keep per-node overhead small since millions of nodes live per batch.
+
+Text extraction (text()/whole_text()/own_text()) implements the reference's
+normalization semantics exactly (nodes/Element.java:1551-1705,
+internal/StringUtil.java:234-253): HTML whitespace collapse incl. nbsp,
+invisible-char stripping, synthetic separators at block/br/TextBoundary
+boundaries, preserve-whitespace subtrees verbatim (6-level lookup).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+from . import tags
+from .tags import NS_HTML
+
+_WS_CHARS = frozenset(" \t\n\f\r\xa0")
+_INVISIBLE = frozenset((chr(8203), chr(173)))
+
+
+def _append_normalised(accum: list[str], text: str) -> None:
+    """StringUtil.appendNormalisedWhitespace with stripLeading =
+    lastCharIsWhitespace(accum)."""
+    strip_leading = bool(accum) and accum[-1].endswith(" ")
+    last_white = False
+    reached_non_white = False
+    out = []
+    for ch in text:
+        if ch in _WS_CHARS:
+            if (strip_leading and not reached_non_white) or last_white:
+                continue
+            out.append(" ")
+            last_white = True
+        elif ch not in _INVISIBLE:
+            out.append(ch)
+            last_white = False
+            reached_non_white = True
+    if out:
+        accum.append("".join(out))
+
+
+def _last_char_is_ws(accum: list[str]) -> bool:
+    return bool(accum) and accum[-1].endswith(" ")
+
+
+class Node:
+    __slots__ = ("parent",)
+    name = "#node"
+
+    def owner_document(self):
+        n = self
+        while n is not None:
+            if isinstance(n, Document):
+                return n
+            n = n.parent
+        return None
+
+    def base_uri(self) -> str:
+        doc = self.owner_document()
+        return doc.base if doc is not None else ""
+
+    def next_sibling(self):
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    def remove(self) -> None:
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+
+
+class LeafNode(Node):
+    __slots__ = ("value",)
+
+    def __init__(self, value: str):
+        self.parent = None
+        self.value = value
+
+
+class TextNode(LeafNode):
+    __slots__ = ()
+    name = "#text"
+
+    def is_blank(self) -> bool:
+        return all(c in _WS_CHARS or c in _INVISIBLE for c in self.value)
+
+
+class CDataNode(TextNode):
+    __slots__ = ()
+    name = "#cdata"
+
+
+class DataNode(LeafNode):
+    __slots__ = ()
+    name = "#data"
+
+
+class CommentNode(LeafNode):
+    __slots__ = ()
+    name = "#comment"
+
+
+class DoctypeNode(LeafNode):
+    __slots__ = ("public_id", "system_id")
+    name = "#doctype"
+
+    def __init__(self, name_: str, public_id: str, system_id: str):
+        super().__init__(name_)
+        self.public_id = public_id
+        self.system_id = system_id
+
+
+class XmlDeclNode(LeafNode):
+    __slots__ = ("attrs", "is_declaration")
+    name = "#declaration"
+
+    def __init__(self, name_: str, attrs, is_declaration: bool):
+        super().__init__(name_)
+        self.attrs = attrs if attrs is not None else {}
+        self.is_declaration = is_declaration
+
+
+class Element(Node):
+    __slots__ = ("name", "ns", "attrs", "children", "flags", "tag_name_case")
+
+    def __init__(self, name: str, ns: str = NS_HTML, attrs: dict | None = None):
+        self.parent = None
+        self.name = name                    # normalized (lowercase in HTML)
+        self.ns = ns
+        self.attrs = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+        self.flags = tags.flags(name, ns)
+        self.tag_name_case = name           # original case (XML / foreign)
+
+    # --- structure ---
+    def append(self, child: Node) -> None:
+        if child.parent is not None:
+            child.parent.children.remove(child)
+        child.parent = self
+        self.children.append(child)
+
+    def insert(self, idx: int, child: Node) -> None:
+        if child.parent is not None:
+            child.parent.children.remove(child)
+        child.parent = self
+        self.children.insert(idx, child)
+
+    def child_elements(self):
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def elements(self):
+        """All descendant elements, depth-first pre-order, excluding self."""
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                yield n
+                stack.extend(reversed(n.children))
+
+    def nodes(self):
+        """All descendant nodes incl. self, depth-first pre-order."""
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            yield n
+            if isinstance(n, Element):
+                stack.extend(reversed(n.children))
+
+    # --- flags ---
+    @property
+    def is_block(self) -> bool:
+        return bool(self.flags & tags.BLOCK)
+
+    @property
+    def is_inline(self) -> bool:
+        return not (self.flags & tags.BLOCK)
+
+    @property
+    def preserves_ws(self) -> bool:
+        return bool(self.flags & tags.PRESERVE_WS)
+
+    # --- attributes ---
+    def attr(self, key: str) -> str:
+        v = self.attrs.get(key)
+        return v if v is not None else ("" if key in self.attrs else "")
+
+    def has_attr(self, key: str) -> bool:
+        return key in self.attrs
+
+    def abs_url(self, key: str) -> str:
+        """Node.absUrl semantics (nodes/Node.java:112-133): resolve the attr
+        against the doc base URI; '' if missing/unresolvable."""
+        if key not in self.attrs:
+            return ""
+        rel = self.attr(key)
+        base = self.base_uri()
+        return resolve_url(base, rel)
+
+    @property
+    def id(self) -> str:
+        return self.attr("id")
+
+    def class_names(self) -> list[str]:
+        cls = self.attr("class")
+        return [c for c in cls.split() if c]
+
+    def has_class(self, name: str) -> bool:
+        # case-insensitive (Evaluator.java:184)
+        lname = name.lower()
+        return any(c.lower() == lname for c in self.class_names())
+
+    # --- text (reference semantics; Element.java:1551-1705) ---
+    def text(self) -> str:
+        accum: list[str] = []
+        _text_accumulate(self, accum)
+        return "".join(accum).strip()
+
+    def own_text(self) -> str:
+        accum: list[str] = []
+        for child in self.children:
+            if isinstance(child, TextNode):
+                _append_normalised_text(accum, child)
+            elif isinstance(child, Element) and child.name == "br":
+                if not _last_char_is_ws(accum):
+                    accum.append(" ")
+        return "".join(accum).strip()
+
+    def whole_text(self) -> str:
+        parts: list[str] = []
+        for n in self.nodes():
+            if isinstance(n, TextNode):
+                parts.append(n.value)
+            elif isinstance(n, Element) and n.name == "br":
+                parts.append("\n")
+        return "".join(parts)
+
+    def whole_own_text(self) -> str:
+        parts: list[str] = []
+        for n in self.children:
+            if isinstance(n, TextNode):
+                parts.append(n.value)
+            elif isinstance(n, Element) and n.name == "br":
+                parts.append("\n")
+        return "".join(parts)
+
+    def data(self) -> str:
+        """script/style/comment contents (Element.java:1753)."""
+        parts: list[str] = []
+        for n in self.nodes():
+            if isinstance(n, DataNode):
+                parts.append(n.value)
+            elif isinstance(n, CDataNode):
+                parts.append(n.value)
+            elif isinstance(n, CommentNode):
+                parts.append(n.value)
+        return "".join(parts)
+
+    def has_text(self) -> bool:
+        stack = list(self.children)
+        while stack:
+            n = stack.pop()
+            if isinstance(n, TextNode):
+                if not n.is_blank():
+                    return True
+            elif isinstance(n, Element):
+                stack.extend(n.children)
+        return False
+
+
+def preserve_whitespace(node: Node | None) -> bool:
+    """Element.preserveWhitespace: this element and five levels up."""
+    i = 0
+    n = node
+    while isinstance(n, Element) and i < 6:
+        if n.flags & tags.PRESERVE_WS:
+            return True
+        n = n.parent
+        i += 1
+    return False
+
+
+def _append_normalised_text(accum: list[str], tn: TextNode) -> None:
+    if isinstance(tn, CDataNode) or preserve_whitespace(tn.parent):
+        accum.append(tn.value)
+    else:
+        _append_normalised(accum, tn.value)
+
+
+def _needs_leading_sep(el: Element) -> bool:
+    return (el.is_block or el.name == "br"
+            or (el.flags & tags.TEXT_BOUNDARY and el.children and el.has_text()))
+
+
+def _needs_trailing_sep(el: Element) -> bool:
+    if el.flags & tags.TEXT_BOUNDARY or el.is_block:
+        return True
+    return any(isinstance(c, Element) and c.is_block for c in el.children)
+
+
+def _text_accumulate(root: Element, accum: list[str]) -> None:
+    """Iterative head/tail traversal mirroring Element.TextAccumulator.
+
+    Next-sibling is threaded through the stack to stay O(nodes) (the
+    reference uses parent/sibling pointers; our children are lists).
+    """
+    # stack entries: (element, child_index, next_sibling_of_element)
+    stack: list[list] = [[root, 0, None]]
+    _head(root, accum)
+    while stack:
+        top = stack[-1]
+        node, idx = top[0], top[1]
+        children = node.children
+        if idx < len(children):
+            top[1] = idx + 1
+            child = children[idx]
+            nxt = children[idx + 1] if idx + 1 < len(children) else None
+            _head(child, accum)
+            if isinstance(child, Element) and child.children:
+                stack.append([child, 0, nxt])
+            else:
+                _tail(child, accum, nxt)
+        else:
+            stack.pop()
+            _tail(node, accum, top[2])
+
+
+def _head(node: Node, accum: list[str]) -> None:
+    if isinstance(node, TextNode):
+        _append_normalised_text(accum, node)
+    elif isinstance(node, Element):
+        if accum and _needs_leading_sep(node) and not _last_char_is_ws(accum):
+            accum.append(" ")
+
+
+def _tail(node: Node, accum: list[str], nxt: Node | None) -> None:
+    if isinstance(node, Element):
+        if (_needs_trailing_sep(node)
+                and (isinstance(nxt, TextNode)
+                     or (isinstance(nxt, Element) and nxt.is_inline))
+                and not _last_char_is_ws(accum)):
+            accum.append(" ")
+
+
+class Document(Element):
+    __slots__ = ("base", "quirks_mode", "errors", "parse_mode")
+
+    def __init__(self, base_uri: str = ""):
+        super().__init__("#root", NS_HTML)
+        self.base = base_uri or ""
+        self.quirks_mode = "noQuirks"
+        self.errors: list[str] = []
+        self.parse_mode = "html"
+
+    def _first(self, name: str) -> Element | None:
+        for el in self.elements():
+            if el.name == name:
+                return el
+        return None
+
+    @property
+    def head(self) -> Element | None:
+        html = self._first("html")
+        if html is not None:
+            for c in html.child_elements():
+                if c.name == "head":
+                    return c
+        return self._first("head")
+
+    @property
+    def body(self) -> Element | None:
+        html = self._first("html")
+        if html is not None:
+            for c in html.child_elements():
+                if c.name in ("body", "frameset"):
+                    return c
+        return self._first("body")
+
+    def title(self) -> str:
+        """First <title> text, normalized (Document.java:198)."""
+        t = self._first("title")
+        if t is None:
+            return ""
+        accum: list[str] = []
+        _append_normalised(accum, t.text())
+        return "".join(accum).strip()
+
+
+def resolve_url(base: str, rel: str) -> str:
+    """absUrl resolution: absolute rel passes through; else urljoin against
+    base; '' when unresolvable (no/invalid base and relative url)."""
+    if not rel:
+        return ""
+    # already absolute (has a scheme)?
+    head = rel.split(":", 1)
+    if len(head) == 2 and head[0] and all(
+        c.isalnum() or c in "+-." for c in head[0]
+    ) and head[0][0].isalpha():
+        return rel
+    if not base:
+        return ""
+    try:
+        out = urljoin(base, rel)
+    except ValueError:
+        return ""
+    # urljoin of a non-hierarchical base returns rel unchanged -> unresolvable
+    if out == rel and not rel.startswith(("http", "/")):
+        has_scheme = ":" in out.split("/", 1)[0] if "/" in out else ":" in out
+        if not has_scheme:
+            return ""
+    return out

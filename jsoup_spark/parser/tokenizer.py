@@ -1,0 +1,1619 @@
+"""WHATWG HTML5 tokenizer.
+
+From-scratch Python implementation of the HTML tokenization state machine
+with the same observable token stream as the reference engine
+(parser/TokeniserState.java:12-1681, parser/Tokeniser.java:66-221). Designed
+for batch execution inside pandas/Arrow UDFs: hot states consume input with
+bulk regex scans (the `consumeTo` analog, CharacterReader.java:306-322)
+instead of per-character stepping, and character runs are coalesced into
+single tokens.
+
+Notable reference behaviors preserved:
+* nulls in Data are passed through raw (tree builder strips/replaces);
+  nulls in RCDATA/Rawtext/ScriptData/PLAINTEXT become U+FFFD.
+* RCDATA with no matching close tag ahead breaks out to TagOpen instead of
+  swallowing to EOF (TokeniserState.java:188-198 divergence).
+* named entities: base set matches without ';', extended requires ';';
+  attribute values refuse a match followed by [=alnum-_].
+* tag names eat nulls then replace with U+FFFD; attr names likewise.
+* self-closing unacknowledged start tags, first-wins attr dedup and the
+  512-attribute cap are handled in the tree builder.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .entities import REPLACEMENT, consume_charref
+
+EOF = "￿"
+NULL = "\x00"
+
+# ---------------------------------------------------------------- tokens
+
+T_DOCTYPE = 0
+T_START = 1
+T_END = 2
+T_COMMENT = 3
+T_CHAR = 4
+T_CDATA = 5
+T_EOF = 6
+T_XMLDECL = 7
+
+
+class Tok:
+    __slots__ = ()
+
+
+class Doctype(Tok):
+    __slots__ = ("name", "pub_sys_key", "public_id", "system_id", "force_quirks")
+    type = T_DOCTYPE
+
+    def __init__(self):
+        self.name = ""
+        self.pub_sys_key = None
+        self.public_id = ""
+        self.system_id = ""
+        self.force_quirks = False
+
+
+class Tag(Tok):
+    __slots__ = ("name", "attrs", "self_closing")
+
+    def __init__(self, name: str, attrs, self_closing: bool):
+        self.name = name          # original case
+        self.attrs = attrs        # list[(name, value-or-None)] or None
+        self.self_closing = self_closing
+
+    @property
+    def normal(self) -> str:
+        return self.name.lower()
+
+
+class StartTag(Tag):
+    __slots__ = ()
+    type = T_START
+
+
+class EndTag(Tag):
+    __slots__ = ()
+    type = T_END
+
+
+class XmlDecl(Tag):
+    __slots__ = ("is_declaration",)  # <!..> vs <?..?>
+    type = T_XMLDECL
+
+    def __init__(self, name, attrs, self_closing, is_declaration):
+        super().__init__(name, attrs, self_closing)
+        self.is_declaration = is_declaration
+
+
+class Comment(Tok):
+    __slots__ = ("data", "bogus")
+    type = T_COMMENT
+
+    def __init__(self, data: str, bogus: bool = False):
+        self.data = data
+        self.bogus = bogus
+
+
+class Character(Tok):
+    __slots__ = ("data",)
+    type = T_CHAR
+
+    def __init__(self, data: str):
+        self.data = data
+
+
+class CData(Character):
+    __slots__ = ()
+    type = T_CDATA
+
+
+class EOFTok(Tok):
+    __slots__ = ()
+    type = T_EOF
+
+
+# ---------------------------------------------------------------- states
+
+(
+    DATA, RCDATA, RAWTEXT, SCRIPT_DATA, PLAINTEXT, TAG_OPEN, END_TAG_OPEN,
+    TAG_NAME, RCDATA_LT, RCDATA_END_OPEN, RCDATA_END_NAME, RAWTEXT_LT,
+    RAWTEXT_END_OPEN, RAWTEXT_END_NAME, SD_LT, SD_END_OPEN, SD_END_NAME,
+    SD_ESC_START, SD_ESC_START_DASH, SD_ESC, SD_ESC_DASH, SD_ESC_DASH_DASH,
+    SD_ESC_LT, SD_ESC_END_OPEN, SD_ESC_END_NAME, SD_DBL_START, SD_DBL,
+    SD_DBL_DASH, SD_DBL_DASH_DASH, SD_DBL_LT, SD_DBL_END,
+    BEFORE_ATTR_NAME, ATTR_NAME, AFTER_ATTR_NAME, BEFORE_ATTR_VALUE,
+    ATTR_VALUE_DQ, ATTR_VALUE_SQ, ATTR_VALUE_UQ, AFTER_ATTR_VALUE_Q,
+    SELF_CLOSING, BOGUS_COMMENT, MARKUP_DECL_OPEN, MARKUP_PROC_OPEN,
+    COMMENT_START, COMMENT_START_DASH, COMMENT, COMMENT_END_DASH,
+    COMMENT_END, COMMENT_END_BANG, DOCTYPE_ST, BEFORE_DT_NAME, DT_NAME,
+    AFTER_DT_NAME, AFTER_DT_PUBLIC_KW, BEFORE_DT_PUBLIC_ID, DT_PUBLIC_DQ,
+    DT_PUBLIC_SQ, AFTER_DT_PUBLIC_ID, BETWEEN_DT_PUB_SYS, AFTER_DT_SYSTEM_KW,
+    BEFORE_DT_SYSTEM_ID, DT_SYSTEM_DQ, DT_SYSTEM_SQ, AFTER_DT_SYSTEM_ID,
+    BOGUS_DOCTYPE, CDATA_SECTION,
+) = range(66)
+
+_WS = "\t\n\r\f "
+
+_P_DATA = re.compile("[&<\x00]")
+_P_RAW = re.compile("[<\x00]")
+_P_PLAIN = re.compile("\x00")
+_P_TAGNAME = re.compile("[\t\n\r\f />]")
+_P_ATTRNAME = re.compile("[\t\n\r\f \"'/<=>?]")
+_P_ATTRVAL_UQ = re.compile("[\x00\t\n\r\f \"&'<=>`]")
+_P_ATTRVAL_DQ = re.compile('[\x00&"]')
+_P_ATTRVAL_SQ = re.compile("[\x00&']")
+_P_COMMENT = re.compile("[-\x00]")
+_P_SD_ESC = re.compile("[-<\x00]")
+_P_LETTERS = re.compile(r"[^\W\d_]+")  # unicode letters (Character.isLetter analog)
+_P_ASCII_ALPHA = re.compile("[A-Za-z]")
+
+
+class Tokeniser:
+    """Pull tokenizer: call read() until an EOFTok is returned."""
+
+    __slots__ = (
+        "s", "s_lower", "pos", "n", "state", "syntax", "cdata_allowed",
+        "errors", "_queue", "_chars",
+        "tag_start", "tag_name", "tag_attrs", "tag_self_closing",
+        "tag_is_decl", "tag_decl_bang",
+        "attr_name", "attr_value", "attr_has_empty_value", "attr_had_value",
+        "comment", "comment_bogus", "doctype", "data_buf", "last_start",
+    )
+
+    def __init__(self, s: str, syntax: str = "html", errors: list | None = None):
+        self.s = s
+        self.s_lower = None  # lazily built for contains-scan
+        self.pos = 0
+        self.n = len(s)
+        self.state = DATA
+        self.syntax = syntax
+        self.cdata_allowed = lambda: syntax == "xml"
+        self.errors = errors if errors is not None else []
+        self._queue: list[Tok] = []
+        self._chars: list[str] = []
+        self.tag_start = True
+        self.tag_name = ""
+        self.tag_attrs = None
+        self.tag_self_closing = False
+        self.tag_is_decl = False
+        self.tag_decl_bang = False
+        self.attr_name = None
+        self.attr_value = None
+        self.attr_has_empty_value = False
+        self.attr_had_value = False
+        self.comment = None
+        self.comment_bogus = False
+        self.doctype = None
+        self.data_buf = None
+        self.last_start = None
+
+    # --- error reporting (bounded) ---
+    def error(self, msg: str) -> None:
+        if len(self.errors) < 64:
+            self.errors.append(msg)
+
+    # --- emit plumbing ---
+    def _emit_str(self, data: str) -> None:
+        self._chars.append(data)
+
+    def _emit_tok(self, tok: Tok) -> None:
+        self._queue.append(tok)
+        if tok.type == T_START:
+            self.last_start = tok.normal
+        elif tok.type == T_END and tok.attrs:
+            self.error("attributes on end tag")
+
+    def read(self) -> Tok:
+        """Next token; coalesces character runs (Tokeniser.java:101-108)."""
+        q = self._queue
+        chars = self._chars
+        states = _STATES
+        while not q:
+            states[self.state](self)
+        if chars:
+            tok = Character("".join(chars))
+            chars.clear()
+            return tok
+        return q.pop(0)
+
+    # --- pending tag helpers ---
+    def create_tag(self, start: bool) -> None:
+        self.tag_start = start
+        self.tag_name = ""
+        self.tag_attrs = None
+        self.tag_self_closing = False
+        self.tag_is_decl = False
+        self.attr_name = None
+        self.attr_value = None
+        self.attr_has_empty_value = False
+
+    def create_xmldecl(self, declaration: bool) -> None:
+        self.create_tag(True)
+        self.tag_is_decl = True
+        self.tag_decl_bang = declaration
+
+    def append_tag_name(self, s: str) -> None:
+        if NULL in s:
+            s = s.replace(NULL, REPLACEMENT)
+        self.tag_name += s
+
+    def new_attribute(self) -> None:
+        if self.tag_attrs is None:
+            self.tag_attrs = []
+        if self.attr_name:
+            name = self.attr_name.replace(NULL, REPLACEMENT).strip()
+            if name and len(self.tag_attrs) < 512:
+                if self.attr_value is not None:
+                    value = self.attr_value
+                elif self.attr_has_empty_value:
+                    value = ""
+                else:
+                    value = None
+                self.tag_attrs.append((name, value))
+        self.attr_name = None
+        self.attr_value = None
+        self.attr_has_empty_value = False
+
+    def append_attr_name(self, s: str) -> None:
+        self.attr_name = s if self.attr_name is None else self.attr_name + s
+
+    def append_attr_value(self, s: str) -> None:
+        self.attr_value = s if self.attr_value is None else self.attr_value + s
+
+    def emit_tag(self) -> None:
+        self.new_attribute()
+        if self.tag_is_decl:
+            self._emit_tok(XmlDecl(self.tag_name, self.tag_attrs,
+                                   self.tag_self_closing, self.tag_decl_bang))
+        elif self.tag_start:
+            self._emit_tok(StartTag(self.tag_name, self.tag_attrs, self.tag_self_closing))
+        else:
+            self._emit_tok(EndTag(self.tag_name, self.tag_attrs, self.tag_self_closing))
+
+    def create_comment(self, bogus: bool = False) -> None:
+        self.comment = []
+        self.comment_bogus = bogus
+
+    def emit_comment(self) -> None:
+        self._emit_tok(Comment("".join(self.comment), self.comment_bogus))
+        self.comment = None
+
+    def create_doctype(self) -> None:
+        self.doctype = Doctype()
+
+    def emit_doctype(self) -> None:
+        self._emit_tok(self.doctype)
+        self.doctype = None
+
+    # --- appropriate end tag ---
+    def appropriate_end(self) -> str | None:
+        return self.last_start
+
+    def is_appropriate_end(self) -> bool:
+        return self.last_start is not None and self.tag_name.lower() == self.last_start
+
+    def contains_close_ahead(self) -> bool:
+        if self.last_start is None:
+            return False
+        if self.s_lower is None:
+            self.s_lower = self.s.lower()
+        return self.s_lower.find("</" + self.last_start, self.pos) != -1
+
+    # --- charref ---
+    def consume_charref_tokens(self, additional: str | None, in_attr: bool) -> str | None:
+        decoded, newpos = consume_charref(self.s, self.pos, additional, in_attr, self.errors)
+        if decoded is not None:
+            self.pos = newpos
+        return decoded
+
+
+# state function registry
+_STATES: list = [None] * 66
+
+
+def _state(idx):
+    def deco(fn):
+        _STATES[idx] = fn
+        return fn
+    return deco
+
+
+def _cur(t: Tokeniser) -> str:
+    return t.s[t.pos] if t.pos < t.n else EOF
+
+
+def _consume(t: Tokeniser) -> str:
+    if t.pos >= t.n:
+        return EOF
+    c = t.s[t.pos]
+    t.pos += 1
+    return c
+
+
+def _consume_to_re(t: Tokeniser, pattern) -> str:
+    m = pattern.search(t.s, t.pos)
+    if m is None:
+        data = t.s[t.pos:]
+        t.pos = t.n
+    else:
+        data = t.s[t.pos:m.start()]
+        t.pos = m.start()
+    return data
+
+
+def _consume_letters(t: Tokeniser) -> str:
+    m = _P_LETTERS.match(t.s, t.pos)
+    if m is None:
+        return ""
+    t.pos = m.end()
+    return m.group()
+
+
+@_state(DATA)
+def _data(t):
+    c = _cur(t)
+    if c == "&":
+        t.pos += 1
+        decoded = t.consume_charref_tokens(None, False)
+        t._emit_str(decoded if decoded is not None else "&")
+    elif c == "<":
+        t.pos += 1
+        t.state = TAG_OPEN
+    elif c == NULL:
+        t.error("null in data")
+        t.pos += 1
+        t._emit_str(NULL)  # raw null; tree builder normalizes
+    elif c == EOF:
+        t._emit_tok(EOFTok())
+    else:
+        t._emit_str(_consume_to_re(t, _P_DATA))
+
+
+@_state(RCDATA)
+def _rcdata(t):
+    c = _cur(t)
+    if c == "&":
+        t.pos += 1
+        decoded = t.consume_charref_tokens(None, False)
+        t._emit_str(decoded if decoded is not None else "&")
+    elif c == "<":
+        t.pos += 1
+        t.state = RCDATA_LT
+    elif c == NULL:
+        t.error("null in rcdata")
+        t.pos += 1
+        t._emit_str(REPLACEMENT)
+    elif c == EOF:
+        t._emit_tok(EOFTok())
+    else:
+        t._emit_str(_consume_to_re(t, _P_DATA))
+
+
+def _raw_data(t, lt_state):
+    c = _cur(t)
+    if c == "<":
+        t.pos += 1
+        t.state = lt_state
+    elif c == NULL:
+        t.error("null in raw text")
+        t.pos += 1
+        t._emit_str(REPLACEMENT)
+    elif c == EOF:
+        t._emit_tok(EOFTok())
+    else:
+        t._emit_str(_consume_to_re(t, _P_RAW))
+
+
+@_state(RAWTEXT)
+def _rawtext(t):
+    _raw_data(t, RAWTEXT_LT)
+
+
+@_state(SCRIPT_DATA)
+def _script_data(t):
+    _raw_data(t, SD_LT)
+
+
+@_state(PLAINTEXT)
+def _plaintext(t):
+    c = _cur(t)
+    if c == NULL:
+        t.error("null in plaintext")
+        t.pos += 1
+        t._emit_str(REPLACEMENT)
+    elif c == EOF:
+        t._emit_tok(EOFTok())
+    else:
+        t._emit_str(_consume_to_re(t, _P_PLAIN))
+
+
+@_state(TAG_OPEN)
+def _tag_open(t):
+    c = _cur(t)
+    if c == "!":
+        t.pos += 1
+        t.state = MARKUP_DECL_OPEN
+    elif c == "/":
+        t.pos += 1
+        t.state = END_TAG_OPEN
+    elif c == "?":
+        if t.syntax == "xml":
+            t.pos += 1
+            t.state = MARKUP_PROC_OPEN
+        else:
+            t.create_comment(bogus=True)
+            t.state = BOGUS_COMMENT
+    elif c != EOF and _P_ASCII_ALPHA.match(c):
+        t.create_tag(True)
+        t.state = TAG_NAME
+    else:
+        t.error("unexpected after <")
+        t._emit_str("<")
+        t.state = DATA
+
+
+@_state(END_TAG_OPEN)
+def _end_tag_open(t):
+    c = _cur(t)
+    if c == EOF:
+        t.error("eof after </")
+        t._emit_str("</")
+        t.state = DATA
+    elif _P_ASCII_ALPHA.match(c):
+        t.create_tag(False)
+        t.state = TAG_NAME
+    elif c == ">":
+        t.error("</>")
+        t.pos += 1
+        t.state = DATA
+    else:
+        t.error("bogus end tag")
+        t.create_comment(bogus=True)
+        t.comment.append("/")
+        t.state = BOGUS_COMMENT
+
+
+@_state(TAG_NAME)
+def _tag_name(t):
+    # consumeTagName: stops at ws / > ; eats nulls (replaced in append)
+    name = _consume_to_re(t, _P_TAGNAME)
+    if name:
+        t.append_tag_name(name)
+    c = _consume(t)
+    if c in _WS:
+        t.state = BEFORE_ATTR_NAME
+    elif c == "/":
+        t.state = SELF_CLOSING
+    elif c == ">":
+        t.emit_tag()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof in tag name")
+        t.state = DATA
+    else:
+        t.append_tag_name(c)
+
+
+@_state(RCDATA_LT)
+def _rcdata_lt(t):
+    c = _cur(t)
+    if c == "/":
+        t.data_buf = []
+        t.pos += 1
+        t.state = RCDATA_END_OPEN
+    elif (c != EOF and _P_ASCII_ALPHA.match(c) and t.appropriate_end() is not None
+          and not t.contains_close_ahead()):
+        # divergence per reference: no close tag ahead -> emit synthetic end tag
+        # and break out (TokeniserState.java:188-198)
+        t.create_tag(False)
+        t.tag_name = t.appropriate_end()
+        t.emit_tag()
+        t.state = TAG_OPEN
+    else:
+        t._emit_str("<")
+        t.state = RCDATA
+
+
+@_state(RCDATA_END_OPEN)
+def _rcdata_end_open(t):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        t.create_tag(False)
+        t.append_tag_name(c)
+        t.data_buf.append(c)
+        t.pos += 1
+        t.state = RCDATA_END_NAME
+    else:
+        t._emit_str("</")
+        t.state = RCDATA
+
+
+@_state(RCDATA_END_NAME)
+def _rcdata_end_name(t):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        name = _consume_to_re(t, _P_TAGNAME)
+        t.append_tag_name(name)
+        t.data_buf.append(name)
+        return
+
+    def anything_else():
+        t._emit_str("</" + "".join(t.data_buf))
+        t.state = RCDATA
+
+    c = _consume(t)
+    if c in _WS and t.is_appropriate_end():
+        t.state = BEFORE_ATTR_NAME
+    elif c == "/" and t.is_appropriate_end():
+        t.state = SELF_CLOSING
+    elif c == ">" and t.is_appropriate_end():
+        t.emit_tag()
+        t.state = DATA
+    else:
+        if c != EOF:
+            t.pos -= 1
+        anything_else()
+
+
+def _read_end_tag(t, a, b):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        t.create_tag(False)
+        t.state = a
+    else:
+        t._emit_str("</")
+        t.state = b
+
+
+def _handle_data_end_tag(t, else_state):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        m = _P_TAGNAME.search(t.s, t.pos)
+        end = m.start() if m else t.n
+        name = t.s[t.pos:end]
+        t.pos = end
+        t.append_tag_name(name)
+        t.data_buf.append(name)
+        return
+    needs_exit = False
+    if t.is_appropriate_end() and t.pos < t.n:
+        c = _consume(t)
+        if c in _WS:
+            t.state = BEFORE_ATTR_NAME
+        elif c == "/":
+            t.state = SELF_CLOSING
+        elif c == ">":
+            t.emit_tag()
+            t.state = DATA
+        else:
+            t.data_buf.append(c)
+            needs_exit = True
+    else:
+        needs_exit = True
+    if needs_exit:
+        t._emit_str("</" + "".join(t.data_buf))
+        t.state = else_state
+
+
+@_state(RAWTEXT_LT)
+def _rawtext_lt(t):
+    if _cur(t) == "/":
+        t.data_buf = []
+        t.pos += 1
+        t.state = RAWTEXT_END_OPEN
+    else:
+        t._emit_str("<")
+        t.state = RAWTEXT
+
+
+@_state(RAWTEXT_END_OPEN)
+def _rawtext_end_open(t):
+    _read_end_tag(t, RAWTEXT_END_NAME, RAWTEXT)
+
+
+@_state(RAWTEXT_END_NAME)
+def _rawtext_end_name(t):
+    _handle_data_end_tag(t, RAWTEXT)
+
+
+@_state(SD_LT)
+def _sd_lt(t):
+    c = _consume(t)
+    if c == "/":
+        t.data_buf = []
+        t.state = SD_END_OPEN
+    elif c == "!":
+        t._emit_str("<!")
+        t.state = SD_ESC_START
+    elif c == EOF:
+        t._emit_str("<")
+        t.error("eof after < in script")
+        t.state = DATA
+    else:
+        t._emit_str("<")
+        t.pos -= 1
+        t.state = SCRIPT_DATA
+
+
+@_state(SD_END_OPEN)
+def _sd_end_open(t):
+    _read_end_tag(t, SD_END_NAME, SCRIPT_DATA)
+
+
+@_state(SD_END_NAME)
+def _sd_end_name(t):
+    _handle_data_end_tag(t, SCRIPT_DATA)
+
+
+@_state(SD_ESC_START)
+def _sd_esc_start(t):
+    if _cur(t) == "-":
+        t._emit_str("-")
+        t.pos += 1
+        t.state = SD_ESC_START_DASH
+    else:
+        t.state = SCRIPT_DATA
+
+
+@_state(SD_ESC_START_DASH)
+def _sd_esc_start_dash(t):
+    if _cur(t) == "-":
+        t._emit_str("-")
+        t.pos += 1
+        t.state = SD_ESC_DASH_DASH
+    else:
+        t.state = SCRIPT_DATA
+
+
+@_state(SD_ESC)
+def _sd_esc(t):
+    if t.pos >= t.n:
+        t.error("eof in script escaped")
+        t.state = DATA
+        return
+    c = _cur(t)
+    if c == "-":
+        t._emit_str("-")
+        t.pos += 1
+        t.state = SD_ESC_DASH
+    elif c == "<":
+        t.pos += 1
+        t.state = SD_ESC_LT
+    elif c == NULL:
+        t.error("null in script")
+        t.pos += 1
+        t._emit_str(REPLACEMENT)
+    else:
+        t._emit_str(_consume_to_re(t, _P_SD_ESC))
+
+
+@_state(SD_ESC_DASH)
+def _sd_esc_dash(t):
+    if t.pos >= t.n:
+        t.error("eof in script escaped")
+        t.state = DATA
+        return
+    c = _consume(t)
+    if c == "-":
+        t._emit_str(c)
+        t.state = SD_ESC_DASH_DASH
+    elif c == "<":
+        t.state = SD_ESC_LT
+    elif c == NULL:
+        t.error("null")
+        t._emit_str(REPLACEMENT)
+        t.state = SD_ESC
+    else:
+        t._emit_str(c)
+        t.state = SD_ESC
+
+
+@_state(SD_ESC_DASH_DASH)
+def _sd_esc_dash_dash(t):
+    if t.pos >= t.n:
+        t.error("eof in script escaped")
+        t.state = DATA
+        return
+    c = _consume(t)
+    if c == "-":
+        t._emit_str(c)
+    elif c == "<":
+        t.state = SD_ESC_LT
+    elif c == ">":
+        t._emit_str(c)
+        t.state = SCRIPT_DATA
+    elif c == NULL:
+        t.error("null")
+        t._emit_str(REPLACEMENT)
+        t.state = SD_ESC
+    else:
+        t._emit_str(c)
+        t.state = SD_ESC
+
+
+@_state(SD_ESC_LT)
+def _sd_esc_lt(t):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        t.data_buf = [c]
+        t._emit_str("<" + c)
+        t.pos += 1
+        t.state = SD_DBL_START
+    elif c == "/":
+        t.data_buf = []
+        t.pos += 1
+        t.state = SD_ESC_END_OPEN
+    else:
+        t._emit_str("<")
+        t.state = SD_ESC
+
+
+@_state(SD_ESC_END_OPEN)
+def _sd_esc_end_open(t):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        t.create_tag(False)
+        t.append_tag_name(c)
+        t.data_buf.append(c)
+        t.pos += 1
+        t.state = SD_ESC_END_NAME
+    else:
+        t._emit_str("</")
+        t.state = SD_ESC
+
+
+@_state(SD_ESC_END_NAME)
+def _sd_esc_end_name(t):
+    _handle_data_end_tag(t, SD_ESC)
+
+
+def _double_escape_tag(t, primary, fallback):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        name = _consume_letters(t)
+        t.data_buf.append(name)
+        t._emit_str(name)
+        return
+    c = _consume(t)
+    if c in "\t\n\r\f />":
+        t.state = primary if "".join(t.data_buf) == "script" else fallback
+        t._emit_str(c)
+    else:
+        if c != EOF:
+            t.pos -= 1
+        t.state = fallback
+
+
+@_state(SD_DBL_START)
+def _sd_dbl_start(t):
+    _double_escape_tag(t, SD_DBL, SD_ESC)
+
+
+@_state(SD_DBL)
+def _sd_dbl(t):
+    c = _cur(t)
+    if c == "-":
+        t._emit_str(c)
+        t.pos += 1
+        t.state = SD_DBL_DASH
+    elif c == "<":
+        t._emit_str(c)
+        t.pos += 1
+        t.state = SD_DBL_LT
+    elif c == NULL:
+        t.error("null")
+        t.pos += 1
+        t._emit_str(REPLACEMENT)
+    elif c == EOF:
+        t.error("eof in script")
+        t.state = DATA
+    else:
+        t._emit_str(_consume_to_re(t, _P_SD_ESC))
+
+
+@_state(SD_DBL_DASH)
+def _sd_dbl_dash(t):
+    c = _consume(t)
+    if c == "-":
+        t._emit_str(c)
+        t.state = SD_DBL_DASH_DASH
+    elif c == "<":
+        t._emit_str(c)
+        t.state = SD_DBL_LT
+    elif c == NULL:
+        t.error("null")
+        t._emit_str(REPLACEMENT)
+        t.state = SD_DBL
+    elif c == EOF:
+        t.error("eof")
+        t.state = DATA
+    else:
+        t._emit_str(c)
+        t.state = SD_DBL
+
+
+@_state(SD_DBL_DASH_DASH)
+def _sd_dbl_dash_dash(t):
+    c = _consume(t)
+    if c == "-":
+        t._emit_str(c)
+    elif c == "<":
+        t._emit_str(c)
+        t.state = SD_DBL_LT
+    elif c == ">":
+        t._emit_str(c)
+        t.state = SCRIPT_DATA
+    elif c == NULL:
+        t.error("null")
+        t._emit_str(REPLACEMENT)
+        t.state = SD_DBL
+    elif c == EOF:
+        t.error("eof")
+        t.state = DATA
+    else:
+        t._emit_str(c)
+        t.state = SD_DBL
+
+
+@_state(SD_DBL_LT)
+def _sd_dbl_lt(t):
+    if _cur(t) == "/":
+        t._emit_str("/")
+        t.data_buf = []
+        t.pos += 1
+        t.state = SD_DBL_END
+    else:
+        t.state = SD_DBL
+
+
+@_state(SD_DBL_END)
+def _sd_dbl_end(t):
+    _double_escape_tag(t, SD_ESC, SD_DBL)
+
+
+@_state(BEFORE_ATTR_NAME)
+def _before_attr_name(t):
+    c = _consume(t)
+    if c in _WS:
+        return
+    if c == "/":
+        t.state = SELF_CLOSING
+    elif c == ">":
+        t.emit_tag()
+        t.state = DATA
+    elif c == NULL:
+        t.pos -= 1
+        t.error("null before attr name")
+        t.new_attribute()
+        t.state = ATTR_NAME
+    elif c == EOF:
+        t.error("eof before attr name")
+        t.state = DATA
+    elif c in "\"'=":
+        t.error("bad char in attr name")
+        t.new_attribute()
+        t.append_attr_name(c)
+        t.state = ATTR_NAME
+    elif c == "?" and t.tag_is_decl and not t.tag_decl_bang:
+        return
+    else:
+        t.new_attribute()
+        t.pos -= 1
+        t.state = ATTR_NAME
+
+
+@_state(ATTR_NAME)
+def _attr_name(t):
+    name = _consume_to_re(t, _P_ATTRNAME)
+    if name:
+        t.append_attr_name(name)
+    c = _consume(t)
+    if c in _WS:
+        t.state = AFTER_ATTR_NAME
+    elif c == "/":
+        t.state = SELF_CLOSING
+    elif c == "=":
+        t.state = BEFORE_ATTR_VALUE
+    elif c == ">":
+        t.emit_tag()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof in attr name")
+        t.state = DATA
+    elif c in "\"'<":
+        t.error("bad char in attr name")
+        t.append_attr_name(c)
+    elif c == "?" and t.syntax == "xml" and t.tag_is_decl:
+        t.state = AFTER_ATTR_NAME
+    else:
+        t.append_attr_name(c)
+
+
+@_state(AFTER_ATTR_NAME)
+def _after_attr_name(t):
+    c = _consume(t)
+    if c in _WS:
+        return
+    if c == "/":
+        t.state = SELF_CLOSING
+    elif c == "=":
+        t.state = BEFORE_ATTR_VALUE
+    elif c == ">":
+        t.emit_tag()
+        t.state = DATA
+    elif c == NULL:
+        t.error("null")
+        t.append_attr_name(REPLACEMENT)
+        t.state = ATTR_NAME
+    elif c == EOF:
+        t.error("eof")
+        t.state = DATA
+    elif c in "\"'<":
+        t.error("bad char")
+        t.new_attribute()
+        t.append_attr_name(c)
+        t.state = ATTR_NAME
+    else:
+        t.new_attribute()
+        t.pos -= 1
+        t.state = ATTR_NAME
+
+
+@_state(BEFORE_ATTR_VALUE)
+def _before_attr_value(t):
+    c = _consume(t)
+    if c in _WS:
+        return
+    if c == '"':
+        t.state = ATTR_VALUE_DQ
+    elif c == "&":
+        t.pos -= 1
+        t.state = ATTR_VALUE_UQ
+    elif c == "'":
+        t.state = ATTR_VALUE_SQ
+    elif c == NULL:
+        t.error("null")
+        t.append_attr_value(REPLACEMENT)
+        t.state = ATTR_VALUE_UQ
+    elif c == EOF:
+        t.error("eof")
+        t.emit_tag()
+        t.state = DATA
+    elif c == ">":
+        t.error("> before attr value")
+        t.emit_tag()
+        t.state = DATA
+    elif c in "<=`":
+        t.error("bad char before attr value")
+        t.append_attr_value(c)
+        t.state = ATTR_VALUE_UQ
+    else:
+        t.pos -= 1
+        t.state = ATTR_VALUE_UQ
+
+
+def _attr_value_quoted(t, pattern, quote):
+    value = _consume_to_re(t, pattern)
+    if value:
+        t.append_attr_value(value)
+    else:
+        t.attr_has_empty_value = True
+    c = _consume(t)
+    if c == quote:
+        t.state = AFTER_ATTR_VALUE_Q
+    elif c == "&":
+        decoded = t.consume_charref_tokens(quote, True)
+        t.append_attr_value(decoded if decoded is not None else "&")
+    elif c == NULL:
+        t.error("null in attr value")
+        t.append_attr_value(REPLACEMENT)
+    elif c == EOF:
+        t.error("eof in attr value")
+        t.state = DATA
+
+
+@_state(ATTR_VALUE_DQ)
+def _attr_value_dq(t):
+    _attr_value_quoted(t, _P_ATTRVAL_DQ, '"')
+
+
+@_state(ATTR_VALUE_SQ)
+def _attr_value_sq(t):
+    _attr_value_quoted(t, _P_ATTRVAL_SQ, "'")
+
+
+@_state(ATTR_VALUE_UQ)
+def _attr_value_uq(t):
+    value = _consume_to_re(t, _P_ATTRVAL_UQ)
+    if value:
+        t.append_attr_value(value)
+    c = _consume(t)
+    if c in _WS:
+        t.state = BEFORE_ATTR_NAME
+    elif c == "&":
+        decoded = t.consume_charref_tokens(">", True)
+        t.append_attr_value(decoded if decoded is not None else "&")
+    elif c == ">":
+        t.emit_tag()
+        t.state = DATA
+    elif c == NULL:
+        t.error("null")
+        t.append_attr_value(REPLACEMENT)
+    elif c == EOF:
+        t.error("eof")
+        t.state = DATA
+    else:
+        t.error("bad char in unquoted attr value")
+        t.append_attr_value(c)
+
+
+@_state(AFTER_ATTR_VALUE_Q)
+def _after_attr_value_q(t):
+    c = _consume(t)
+    if c in _WS:
+        t.state = BEFORE_ATTR_NAME
+    elif c == "/":
+        t.state = SELF_CLOSING
+    elif c == ">":
+        t.emit_tag()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof")
+        t.state = DATA
+    elif c == "?" and t.tag_is_decl and not t.tag_decl_bang:
+        return
+    else:
+        t.pos -= 1
+        t.error("missing space after attr value")
+        t.state = BEFORE_ATTR_NAME
+
+
+@_state(SELF_CLOSING)
+def _self_closing(t):
+    c = _consume(t)
+    if c == ">":
+        t.tag_self_closing = True
+        t.emit_tag()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof in self-closing tag")
+        t.state = DATA
+    else:
+        t.pos -= 1
+        t.error("bad char after /")
+        t.state = BEFORE_ATTR_NAME
+
+
+@_state(BOGUS_COMMENT)
+def _bogus_comment(t):
+    end = t.s.find(">", t.pos)
+    if end == -1:
+        t.comment.append(t.s[t.pos:])
+        t.pos = t.n
+    else:
+        t.comment.append(t.s[t.pos:end])
+        t.pos = end + 1
+    t.emit_comment()
+    t.state = DATA
+
+
+@_state(MARKUP_DECL_OPEN)
+def _markup_decl_open(t):
+    s, pos = t.s, t.pos
+    if s.startswith("--", pos):
+        t.pos += 2
+        t.create_comment()
+        t.state = COMMENT_START
+    elif s[pos:pos + 7].upper() == "DOCTYPE":
+        t.pos += 7
+        t.state = DOCTYPE_ST
+    elif s.startswith("[CDATA[", pos):
+        t.pos += 7
+        if t.cdata_allowed():
+            t.data_buf = []
+            t.state = CDATA_SECTION
+        else:
+            t.error("cdata outside foreign content")
+            t.create_comment(bogus=True)
+            t.comment.append("[CDATA[")
+            t.state = BOGUS_COMMENT
+    elif t.syntax == "xml" and pos < t.n and _P_ASCII_ALPHA.match(s[pos]):
+        t.create_xmldecl(True)
+        t.state = TAG_NAME
+    else:
+        t.error("bogus markup declaration")
+        t.create_comment(bogus=True)
+        t.state = BOGUS_COMMENT
+
+
+@_state(MARKUP_PROC_OPEN)
+def _markup_proc_open(t):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        t.create_xmldecl(False)
+        t.state = TAG_NAME
+    else:
+        t.error("bogus processing instruction")
+        t.create_comment(bogus=True)
+        t.comment.append("?")
+        t.state = BOGUS_COMMENT
+
+
+@_state(COMMENT_START)
+def _comment_start(t):
+    c = _consume(t)
+    if c == "-":
+        t.state = COMMENT_START_DASH
+    elif c == NULL:
+        t.error("null")
+        t.comment.append(REPLACEMENT)
+        t.state = COMMENT
+    elif c == ">":
+        t.error("empty comment")
+        t.emit_comment()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof in comment")
+        t.emit_comment()
+        t.state = DATA
+    else:
+        t.pos -= 1
+        t.state = COMMENT
+
+
+@_state(COMMENT_START_DASH)
+def _comment_start_dash(t):
+    c = _consume(t)
+    if c == "-":
+        t.state = COMMENT_END
+    elif c == NULL:
+        t.error("null")
+        t.comment.append(REPLACEMENT)
+        t.state = COMMENT
+    elif c == ">":
+        t.error("empty comment")
+        t.emit_comment()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof in comment")
+        t.emit_comment()
+        t.state = DATA
+    else:
+        t.comment.append(c)
+        t.state = COMMENT
+
+
+@_state(COMMENT)
+def _comment(t):
+    c = _cur(t)
+    if c == "-":
+        t.pos += 1
+        t.state = COMMENT_END_DASH
+    elif c == NULL:
+        t.error("null in comment")
+        t.pos += 1
+        t.comment.append(REPLACEMENT)
+    elif c == EOF:
+        t.error("eof in comment")
+        t.emit_comment()
+        t.state = DATA
+    else:
+        t.comment.append(_consume_to_re(t, _P_COMMENT))
+
+
+@_state(COMMENT_END_DASH)
+def _comment_end_dash(t):
+    c = _consume(t)
+    if c == "-":
+        t.state = COMMENT_END
+    elif c == NULL:
+        t.error("null")
+        t.comment.append("-" + REPLACEMENT)
+        t.state = COMMENT
+    elif c == EOF:
+        t.error("eof in comment")
+        t.emit_comment()
+        t.state = DATA
+    else:
+        t.comment.append("-")
+        t.comment.append(c)
+        t.state = COMMENT
+
+
+@_state(COMMENT_END)
+def _comment_end(t):
+    c = _consume(t)
+    if c == ">":
+        t.emit_comment()
+        t.state = DATA
+    elif c == NULL:
+        t.error("null")
+        t.comment.append("--" + REPLACEMENT)
+        t.state = COMMENT
+    elif c == "!":
+        t.state = COMMENT_END_BANG
+    elif c == "-":
+        t.comment.append("-")
+    elif c == EOF:
+        t.error("eof in comment")
+        t.emit_comment()
+        t.state = DATA
+    else:
+        t.comment.append("--")
+        t.comment.append(c)
+        t.state = COMMENT
+
+
+@_state(COMMENT_END_BANG)
+def _comment_end_bang(t):
+    c = _consume(t)
+    if c == "-":
+        t.comment.append("--!")
+        t.state = COMMENT_END_DASH
+    elif c == ">":
+        t.emit_comment()
+        t.state = DATA
+    elif c == NULL:
+        t.error("null")
+        t.comment.append("--!" + REPLACEMENT)
+        t.state = COMMENT
+    elif c == EOF:
+        t.error("eof in comment")
+        t.emit_comment()
+        t.state = DATA
+    else:
+        t.comment.append("--!")
+        t.comment.append(c)
+        t.state = COMMENT
+
+
+@_state(DOCTYPE_ST)
+def _doctype_st(t):
+    c = _consume(t)
+    if c in _WS:
+        t.state = BEFORE_DT_NAME
+    elif c in (">", EOF):
+        if c == EOF:
+            t.error("eof in doctype")
+        t.error("invalid doctype")
+        t.create_doctype()
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.error("missing space before doctype name")
+        t.pos -= 1
+        t.state = BEFORE_DT_NAME
+
+
+@_state(BEFORE_DT_NAME)
+def _before_dt_name(t):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        t.create_doctype()
+        t.state = DT_NAME
+        return
+    c = _consume(t)
+    if c in _WS:
+        return
+    if c == NULL:
+        t.error("null")
+        t.create_doctype()
+        t.doctype.name = REPLACEMENT
+        t.state = DT_NAME
+    elif c == EOF:
+        t.error("eof in doctype")
+        t.create_doctype()
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.create_doctype()
+        t.doctype.name = c
+        t.state = DT_NAME
+
+
+@_state(DT_NAME)
+def _dt_name(t):
+    c = _cur(t)
+    if c != EOF and _P_ASCII_ALPHA.match(c):
+        t.doctype.name += _consume_letters(t)
+        return
+    c = _consume(t)
+    if c == ">":
+        t.emit_doctype()
+        t.state = DATA
+    elif c in _WS:
+        t.state = AFTER_DT_NAME
+    elif c == NULL:
+        t.error("null")
+        t.doctype.name += REPLACEMENT
+    elif c == EOF:
+        t.error("eof in doctype")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.doctype.name += c
+
+
+@_state(AFTER_DT_NAME)
+def _after_dt_name(t):
+    if t.pos >= t.n:
+        t.error("eof in doctype")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+        return
+    c = _cur(t)
+    if c in _WS:
+        t.pos += 1
+        return
+    if c == ">":
+        t.pos += 1
+        t.emit_doctype()
+        t.state = DATA
+    elif t.s[t.pos:t.pos + 6].upper() == "PUBLIC":
+        t.pos += 6
+        t.doctype.pub_sys_key = "PUBLIC"
+        t.state = AFTER_DT_PUBLIC_KW
+    elif t.s[t.pos:t.pos + 6].upper() == "SYSTEM":
+        t.pos += 6
+        t.doctype.pub_sys_key = "SYSTEM"
+        t.state = AFTER_DT_SYSTEM_KW
+    else:
+        t.error("unexpected in doctype")
+        t.doctype.force_quirks = True
+        t.pos += 1
+        t.state = BOGUS_DOCTYPE
+
+
+@_state(AFTER_DT_PUBLIC_KW)
+def _after_dt_public_kw(t):
+    c = _consume(t)
+    if c in _WS:
+        t.state = BEFORE_DT_PUBLIC_ID
+    elif c == '"':
+        t.error("unexpected quote")
+        t.state = DT_PUBLIC_DQ
+    elif c == "'":
+        t.error("unexpected quote")
+        t.state = DT_PUBLIC_SQ
+    elif c == ">":
+        t.error("unexpected >")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.error("unexpected char")
+        t.doctype.force_quirks = True
+        t.state = BOGUS_DOCTYPE
+
+
+@_state(BEFORE_DT_PUBLIC_ID)
+def _before_dt_public_id(t):
+    c = _consume(t)
+    if c in _WS:
+        return
+    if c == '"':
+        t.state = DT_PUBLIC_DQ
+    elif c == "'":
+        t.state = DT_PUBLIC_SQ
+    elif c == ">":
+        t.error("unexpected >")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.error("unexpected char")
+        t.doctype.force_quirks = True
+        t.state = BOGUS_DOCTYPE
+
+
+_P_DT_ID_DQ = re.compile('[">\x00]')
+_P_DT_ID_SQ = re.compile("['>\x00]")
+
+
+def _dt_identifier(t, quote, which, after_state):
+    pattern = _P_DT_ID_DQ if quote == '"' else _P_DT_ID_SQ
+    parts = []
+    while True:
+        chunk = _consume_to_re(t, pattern)
+        parts.append(chunk)
+        c = _consume(t)
+        if c == quote:
+            t.state = after_state
+            break
+        if c == NULL:
+            t.error("null in doctype identifier")
+            parts.append(REPLACEMENT)
+            continue
+        # '>' or EOF: error, force quirks, emit
+        t.error("unexpected end of doctype identifier")
+        t.doctype.force_quirks = True
+        val = "".join(parts)
+        if which == "public":
+            t.doctype.public_id += val
+        else:
+            t.doctype.system_id += val
+        t.emit_doctype()
+        t.state = DATA
+        return
+    val = "".join(parts)
+    if which == "public":
+        t.doctype.public_id += val
+    else:
+        t.doctype.system_id += val
+
+
+@_state(DT_PUBLIC_DQ)
+def _dt_public_dq(t):
+    _dt_identifier(t, '"', "public", AFTER_DT_PUBLIC_ID)
+
+
+@_state(DT_PUBLIC_SQ)
+def _dt_public_sq(t):
+    _dt_identifier(t, "'", "public", AFTER_DT_PUBLIC_ID)
+
+
+@_state(AFTER_DT_PUBLIC_ID)
+def _after_dt_public_id(t):
+    c = _consume(t)
+    if c in _WS:
+        t.state = BETWEEN_DT_PUB_SYS
+    elif c == ">":
+        t.emit_doctype()
+        t.state = DATA
+    elif c == '"':
+        t.error("unexpected quote")
+        t.state = DT_SYSTEM_DQ
+    elif c == "'":
+        t.error("unexpected quote")
+        t.state = DT_SYSTEM_SQ
+    elif c == EOF:
+        t.error("eof")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.error("unexpected char")
+        t.doctype.force_quirks = True
+        t.state = BOGUS_DOCTYPE
+
+
+@_state(BETWEEN_DT_PUB_SYS)
+def _between_dt_pub_sys(t):
+    c = _consume(t)
+    if c in _WS:
+        return
+    if c == ">":
+        t.emit_doctype()
+        t.state = DATA
+    elif c == '"':
+        t.state = DT_SYSTEM_DQ
+    elif c == "'":
+        t.state = DT_SYSTEM_SQ
+    elif c == EOF:
+        t.error("eof")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.error("unexpected char")
+        t.doctype.force_quirks = True
+        t.state = BOGUS_DOCTYPE
+
+
+@_state(AFTER_DT_SYSTEM_KW)
+def _after_dt_system_kw(t):
+    c = _consume(t)
+    if c in _WS:
+        t.state = BEFORE_DT_SYSTEM_ID
+    elif c == ">":
+        t.error("unexpected >")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    elif c == '"':
+        t.error("unexpected quote")
+        t.state = DT_SYSTEM_DQ
+    elif c == "'":
+        t.error("unexpected quote")
+        t.state = DT_SYSTEM_SQ
+    elif c == EOF:
+        t.error("eof")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.error("unexpected char")
+        t.doctype.force_quirks = True
+        t.state = BOGUS_DOCTYPE
+
+
+@_state(BEFORE_DT_SYSTEM_ID)
+def _before_dt_system_id(t):
+    c = _consume(t)
+    if c in _WS:
+        return
+    if c == '"':
+        t.state = DT_SYSTEM_DQ
+    elif c == "'":
+        t.state = DT_SYSTEM_SQ
+    elif c == ">":
+        t.error("unexpected >")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.error("unexpected char")
+        t.doctype.force_quirks = True
+        t.state = BOGUS_DOCTYPE
+
+
+@_state(DT_SYSTEM_DQ)
+def _dt_system_dq(t):
+    _dt_identifier(t, '"', "system", AFTER_DT_SYSTEM_ID)
+
+
+@_state(DT_SYSTEM_SQ)
+def _dt_system_sq(t):
+    _dt_identifier(t, "'", "system", AFTER_DT_SYSTEM_ID)
+
+
+@_state(AFTER_DT_SYSTEM_ID)
+def _after_dt_system_id(t):
+    c = _consume(t)
+    if c in _WS:
+        return
+    if c == ">":
+        t.emit_doctype()
+        t.state = DATA
+    elif c == EOF:
+        t.error("eof")
+        t.doctype.force_quirks = True
+        t.emit_doctype()
+        t.state = DATA
+    else:
+        t.error("unexpected char")
+        t.state = BOGUS_DOCTYPE  # NOT force quirks (spec)
+
+
+@_state(BOGUS_DOCTYPE)
+def _bogus_doctype(t):
+    end = t.s.find(">", t.pos)
+    t.pos = t.n if end == -1 else end + 1
+    t.emit_doctype()
+    t.state = DATA
+
+
+@_state(CDATA_SECTION)
+def _cdata_section(t):
+    end = t.s.find("]]>", t.pos)
+    if end == -1:
+        t.data_buf.append(t.s[t.pos:])
+        t.pos = t.n
+    else:
+        t.data_buf.append(t.s[t.pos:end])
+        t.pos = end + 3
+    t._emit_tok(CData("".join(t.data_buf)))
+    t.state = DATA

@@ -1,0 +1,2346 @@
+"""WHATWG HTML5 tree builder.
+
+From-scratch Python implementation of the HTML tree-construction algorithm
+with the same observable DOM as the reference engine (insertion modes per
+parser/HtmlTreeBuilderState.java, builder mechanics per
+parser/HtmlTreeBuilder.java / TreeBuilder.java). Runs per-document inside
+Arrow batch UDFs.
+
+Reference behaviors intentionally preserved (verified against the compiled
+reference via tools/golden/Harness.java):
+* raw input is NOT CRLF-normalized (CharacterReader keeps \\r)
+* leading newline stripped after <pre>/<listing> only (not textarea)
+* self-closing non-void known tags are an error and stay open
+* noscript parsed as a contained island (HtmlTreeBuilder.java:879-936)
+* whitespace kept in BeforeHtml/BeforeHead/InHead (out-of-spec comments)
+* stack depth capped at 512 with prune callbacks; scope scans capped at 256
+* nulls removed from inserted character data (replaced in foreign content)
+"""
+
+from __future__ import annotations
+
+from . import tags, tokenizer as tz
+from .nodes import (
+    CDataNode, CommentNode, DataNode, Document, DoctypeNode, Element,
+    TextNode,
+)
+from .tags import NS_HTML, NS_MATHML, NS_SVG
+
+# insertion modes
+(
+    INITIAL, BEFORE_HTML, BEFORE_HEAD, IN_HEAD, AFTER_HEAD, IN_BODY, TEXT,
+    IN_TABLE, IN_TABLE_TEXT, IN_CAPTION, IN_COLUMN_GROUP, IN_TABLE_BODY,
+    IN_ROW, IN_CELL, IN_SELECT, IN_SELECT_IN_TABLE, IN_TEMPLATE, AFTER_BODY,
+    IN_FRAMESET, AFTER_FRAMESET, AFTER_AFTER_BODY, AFTER_AFTER_FRAMESET,
+    FOREIGN,
+) = range(23)
+
+_WS_STRICT = frozenset(" \t\n\r\f")
+
+MAX_DEPTH = 512          # TreeBuilder.defaultMaxDepth
+MAX_QUEUE_DEPTH = 256    # HtmlTreeBuilder.maxQueueDepth
+MAX_USED_FORMATTING = 12
+
+# --- tag option bitmasks (HtmlTagOptions.java) ---
+OPT_SCOPE = 1
+OPT_LIST_SCOPE = 2
+OPT_BUTTON_SCOPE = 4
+OPT_TABLE_SCOPE = 8
+OPT_SELECT_MEMBER = 16
+OPT_IMPLIED_END = 32
+OPT_THOROUGH_END = 64
+OPT_SPECIAL = 128
+
+_SCOPE_TAGS = frozenset("applet caption html marquee object select table td template th".split())
+_MATH_SCOPE = frozenset("annotation-xml mi mn mo ms mtext".split())
+_SVG_SCOPE = frozenset("desc foreignobject title".split())
+_LIST_SCOPE = frozenset(("ol", "ul"))
+_BUTTON_SCOPE = frozenset(("button",))
+_TABLE_SCOPE = frozenset(("html", "table", "template"))
+_SELECT_MEMBER = frozenset(("optgroup", "option"))
+_IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
+_THOROUGH_END = frozenset(
+    "caption colgroup dd dt li optgroup option p rb rp rt rtc tbody td tfoot th thead tr".split())
+_SPECIAL = frozenset("""
+    address applet area article aside base basefont bgsound blockquote body br
+    button caption center col colgroup dd details dir div dl dt embed
+    fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6
+    head header hgroup hr html iframe img input keygen li link listing main
+    marquee menu meta nav noembed noframes noscript object ol p param
+    plaintext pre script search section select source style summary table
+    tbody td template textarea tfoot th thead title tr track ul wbr xmp
+""".split())
+
+_OPT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def tag_options(name: str, ns: str) -> int:
+    key = (ns, name)
+    o = _OPT_CACHE.get(key)
+    if o is not None:
+        return o
+    o = 0
+    if ns == NS_HTML:
+        if name in _IMPLIED_END:
+            o |= OPT_IMPLIED_END
+        if name in _THOROUGH_END:
+            o |= OPT_THOROUGH_END
+        if name in _SELECT_MEMBER:
+            o |= OPT_SELECT_MEMBER
+        if name in _SCOPE_TAGS:
+            o |= OPT_SCOPE
+        if name in _LIST_SCOPE:
+            o |= OPT_LIST_SCOPE
+        if name in _BUTTON_SCOPE:
+            o |= OPT_BUTTON_SCOPE
+        if name in _TABLE_SCOPE:
+            o |= OPT_TABLE_SCOPE
+        if name in _SPECIAL:
+            o |= OPT_SPECIAL
+    elif ns == NS_MATHML:
+        if name in _MATH_SCOPE:
+            o |= OPT_SCOPE | OPT_SPECIAL
+    elif ns == NS_SVG:
+        if name in _SVG_SCOPE:
+            o |= OPT_SCOPE | OPT_SPECIAL
+    _OPT_CACHE[key] = o
+    return o
+
+
+def _is_special(el: Element) -> bool:
+    return bool(tag_options(el.name, el.ns) & OPT_SPECIAL)
+
+
+# Constants lists (HtmlTreeBuilderState.Constants, behavioral data)
+C_IN_HEAD_EMPTY = frozenset("base basefont bgsound command link".split())
+C_IN_HEAD_RAW = frozenset(("noframes", "style"))
+C_IN_HEAD_END = frozenset(("body", "br", "html"))
+C_AFTER_HEAD_BODY = frozenset(("body", "br", "html"))
+C_BEFORE_HTML_TO_HEAD = frozenset(("body", "br", "head", "html"))
+C_TO_HEAD = frozenset("base basefont bgsound command link meta noframes script style template title".split())
+C_P_CLOSERS = frozenset("""
+    address article aside blockquote center details dir div dl fieldset
+    figcaption figure footer header hgroup menu nav ol p section summary ul
+""".split())
+C_HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+C_LI_BREAKERS = frozenset(("address", "div", "p"))
+C_DD_DT = frozenset(("dd", "dt"))
+C_APPLETS = frozenset(("applet", "marquee", "object"))
+C_MEDIA = frozenset(("param", "source", "track"))
+C_DROP = frozenset("caption col colgroup frame head tbody td tfoot th thead tr".split())
+C_END_CLOSERS = frozenset("""
+    address article aside blockquote button center details dir div dl
+    fieldset figcaption figure footer header hgroup listing menu nav ol pre
+    section summary ul
+""".split())
+C_END_OTHER_ERRORS = frozenset(
+    "body dd dt html li optgroup option p rb rp rt rtc tbody td tfoot th thead tr".split())
+C_ADOPTION_FORMATTERS = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split())
+C_TABLE_TO_BODY = frozenset(("tbody", "tfoot", "thead"))
+C_TABLE_ADD_BODY = frozenset(("td", "th", "tr"))
+C_TABLE_TO_HEAD = frozenset(("script", "style", "template"))
+C_CELL_NAMES = frozenset(("td", "th"))
+C_CELL_BODY = frozenset("body caption col colgroup html".split())
+C_CELL_TABLE = frozenset("table tbody tfoot thead tr".split())
+C_CELL_COL = frozenset("caption col colgroup tbody td tfoot th thead tr".split())
+C_TABLE_END_ERR = frozenset("body caption col colgroup html tbody td tfoot th thead tr".split())
+C_TABLE_FOSTER = frozenset("table tbody tfoot thead tr".split())
+C_TABLE_BODY_EXIT = frozenset("caption col colgroup tbody tfoot thead".split())
+C_TABLE_BODY_END_IGNORE = frozenset("body caption col colgroup html td th tr".split())
+C_ROW_MISSING = frozenset("caption col colgroup tbody tfoot thead tr".split())
+C_ROW_IGNORE = frozenset("body caption col colgroup html td th".split())
+C_SELECT_END = frozenset(("input", "keygen", "textarea"))
+C_SELECT_TABLE_END = frozenset("caption table tbody td tfoot th thead tr".split())
+C_TABLE_END_IGNORE = frozenset(("tbody", "tfoot", "thead"))
+C_CAPTION_IGNORE = frozenset("body col colgroup html tbody td tfoot th thead tr".split())
+C_TEMPLATE_TO_HEAD = frozenset(
+    "base basefont bgsound link meta noframes script style template title".split())
+C_TEMPLATE_TO_TABLE = frozenset("caption colgroup tbody tfoot thead".split())
+C_FOREIGN_TO_HTML = frozenset("""
+    b big blockquote body br center code dd div dl dt em embed h1 h2 h3 h4 h5
+    h6 head hr i img li listing menu meta nobr ol p pre ruby s small span
+    strike strong sub sup table tt u ul var
+""".split())
+C_MATHML_TEXT = frozenset(("mi", "mo", "mn", "ms", "mtext"))
+C_SVG_HTML_INTEGRATION = frozenset(("foreignObject", "desc", "title"))
+C_FORM_LISTED = frozenset(("button", "fieldset", "input", "keygen", "object",
+                           "output", "select", "textarea"))
+C_MAX_STACK_SCAN = 24  # dd/dt scan cap
+
+
+def _is_ws_token(tok) -> bool:
+    if tok.type == tz.T_CHAR and tok.type != tz.T_CDATA:
+        d = tok.data
+        return all(c in _WS_STRICT for c in d)
+    return False
+
+
+class _NoscriptState:
+    __slots__ = ("boundary", "saved_form")
+
+    def __init__(self, boundary, saved_form):
+        self.boundary = boundary
+        self.saved_form = saved_form
+
+
+class HtmlTreeBuilder:
+    """One instance per parse (single document)."""
+
+    def __init__(self):
+        self.doc: Document | None = None
+        self.base_uri = ""
+        self.base_set = False
+        self.stack: list[Element] = []
+        self.state = INITIAL
+        self.original_state = INITIAL
+        self.head_el: Element | None = None
+        self.form_el: Element | None = None
+        self.context_el: Element | None = None
+        self.formatting: list[Element | None] = []
+        self.tmpl_modes: list[int] = []
+        self.pending_table_chars: list = []
+        self.frameset_ok = True
+        self.foster_inserts = False
+        self.fragment = False
+        self.noscript: _NoscriptState | None = None
+        self.tok: tz.Tokeniser | None = None
+        self.current_token = None
+
+    # ------------------------------------------------------------ entry
+    def parse(self, html: str, base_uri: str = "") -> Document:
+        self.doc = Document(base_uri)
+        self.base_uri = base_uri or ""
+        self.tok = tz.Tokeniser(html, "html", self.doc.errors)
+        self.tok.cdata_allowed = self._cdata_allowed
+        self._run()
+        return self.doc
+
+    def parse_fragment(self, html: str, context_name: str | None,
+                       base_uri: str = "") -> list:
+        """Parser.parseFragment semantics (HtmlTreeBuilder.java:88-143)."""
+        self.doc = Document(base_uri)
+        self.base_uri = base_uri or ""
+        self.fragment = True
+        self.tok = tz.Tokeniser(html, "html", self.doc.errors)
+        self.tok.cdata_allowed = self._cdata_allowed
+        if context_name:
+            name = context_name.lower()
+            ctx = Element(name, NS_HTML)
+            self.context_el = ctx
+            fl = ctx.flags
+            if name == "script":
+                self.tok.state = tz.SCRIPT_DATA
+            elif name == "plaintext":
+                self.tok.state = tz.PLAINTEXT
+            elif name == "template":
+                self.push_template_mode(IN_TEMPLATE)
+            elif fl & tags.RCDATA:
+                self.tok.state = tz.RCDATA
+            elif fl & tags.DATA:
+                self.tok.state = tz.RAWTEXT
+            self.doc.append(ctx)
+            self.stack.append(ctx)
+            self.reset_insertion_mode()
+            if name == "noscript":
+                self._enter_noscript(ctx)
+        self._run()
+        if self.context_el is not None:
+            # content pushed outside the context root is re-homed
+            parent = self.context_el.parent
+            if parent is not None:
+                sibs = [n for n in parent.children if n is not self.context_el]
+                for n in sibs:
+                    self.context_el.append(n)
+            return list(self.context_el.children)
+        return list(self.doc.children)
+
+    def _run(self) -> None:
+        tok = self.tok
+        while True:
+            token = tok.read()
+            self.current_token = token
+            self.process(token)
+            if token.type == tz.T_EOF:
+                break
+
+    def _cdata_allowed(self) -> bool:
+        return bool(self.stack) and self.stack[-1].ns != NS_HTML
+
+    # ------------------------------------------------------------ errors
+    def error(self, msg: str = "unexpected token") -> None:
+        errs = self.doc.errors
+        if len(errs) < 64:
+            errs.append(msg)
+
+    # ------------------------------------------------------------ dispatch
+    def process(self, token) -> bool:
+        if self.noscript is not None and self.state != TEXT:
+            return self._process_noscript(token)
+        if self._use_current_insert(token):
+            return _MODES[self.state](self, token)
+        return _foreign_content(self, token)
+
+    def process_in(self, token, mode: int) -> bool:
+        return _MODES[mode](self, token)
+
+    def process_start(self, name: str, attrs=None) -> bool:
+        return self.process(tz.StartTag(name, attrs, False))
+
+    def process_end(self, name: str) -> bool:
+        return self.process(tz.EndTag(name, None, False))
+
+    def _use_current_insert(self, token) -> bool:
+        if not self.stack:
+            return True
+        el = self.stack[-1]
+        if el.ns == NS_HTML:
+            return True
+        tt = token.type
+        if self._is_mathml_text(el):
+            if tt == tz.T_START and token.normal not in ("mglyph", "malignmark"):
+                return True
+            if tt == tz.T_CHAR:
+                return True
+        if (el.ns == NS_MATHML and el.name == "annotation-xml"
+                and tt == tz.T_START and token.normal == "svg"):
+            return True
+        if self._is_html_integration(el) and tt in (tz.T_START, tz.T_CHAR):
+            return True
+        return tt == tz.T_EOF
+
+    @staticmethod
+    def _is_mathml_text(el: Element) -> bool:
+        return el.ns == NS_MATHML and el.name in C_MATHML_TEXT
+
+    @staticmethod
+    def _is_html_integration(el: Element) -> bool:
+        if el.ns == NS_MATHML and el.name == "annotation-xml":
+            enc = el.attr("encoding").lower().strip()
+            if enc in ("text/html", "application/xhtml+xml"):
+                return True
+        return el.ns == NS_SVG and el.tag_name_case in C_SVG_HTML_INTEGRATION
+
+    # ------------------------------------------------------------ inserts
+    def _finalize_attrs(self, attrs, preserve_case: bool) -> dict:
+        """Lowercase (html settings) + first-wins dedupe
+        (HtmlTreeBuilder.java:369-388, Token.java:169-192)."""
+        out: dict = {}
+        if attrs:
+            dupes = 0
+            for k, v in attrs:
+                if not preserve_case:
+                    k = k.lower()
+                if k in out:
+                    dupes += 1
+                else:
+                    out[k] = v
+            if dupes:
+                self.error("dropped duplicate attributes")
+        return out
+
+    def _create_element(self, start, ns: str, preserve_case: bool) -> Element:
+        attrs = self._finalize_attrs(start.attrs, preserve_case)
+        name = start.name if preserve_case else start.normal
+        el = Element(start.normal, ns, attrs)
+        el.tag_name_case = name
+        if ns != NS_HTML:
+            el.flags = tags.flags(start.normal, ns)
+        return el
+
+    def insert_element(self, start) -> Element:
+        el = self._create_element(start, NS_HTML, False)
+        self._do_insert(el)
+        if start.self_closing:
+            fl = el.flags
+            if fl & tags.VOID:
+                pass  # handled below
+            elif fl & tags.KNOWN and fl & tags.SELF_CLOSE:
+                # only for customized self-closable tags (none by default)
+                self.tok.state = tz.DATA
+                self.tok._emit_tok(tz.EndTag(el.tag_name_case, None, False))
+            else:
+                self.error("tag cannot be self-closing; not a void tag")
+        if el.flags & tags.VOID:
+            self.pop()
+        return el
+
+    def insert_foreign_element(self, start, ns: str) -> Element:
+        el = self._create_element(start, ns, True)
+        self._do_insert(el)
+        if start.self_closing:
+            self.pop()
+        return el
+
+    def insert_empty_element(self, start) -> Element:
+        el = self._create_element(start, NS_HTML, False)
+        self._do_insert(el)
+        self.pop()
+        return el
+
+    def insert_form_element(self, start, on_stack: bool,
+                            check_template: bool) -> Element:
+        el = self._create_element(start, NS_HTML, False)
+        if check_template:
+            if not self.on_stack_name("template"):
+                self.form_el = el
+        else:
+            self.form_el = el
+        self._do_insert(el)
+        if not on_stack:
+            self.pop()
+        return el
+
+    def _do_insert(self, el: Element) -> None:
+        self._enforce_depth()
+        if (self.form_el is not None and el.ns == NS_HTML
+                and el.name in C_FORM_LISTED):
+            pass  # form-control association tracked implicitly via tree
+        if self.foster_inserts and self.stack and \
+                self.stack[-1].name in C_TABLE_FOSTER:
+            self.insert_in_foster_parent(el)
+        else:
+            self.current_element().append(el)
+        self.stack.append(el)
+
+    def _enforce_depth(self) -> None:
+        while len(self.stack) >= MAX_DEPTH:
+            trimmed = self.pop()
+            self._on_pruned(trimmed)
+
+    def _on_pruned(self, el: Element) -> None:
+        if el is self.head_el:
+            self.head_el = None
+        if el is self.form_el:
+            self.form_el = None
+        self.remove_from_formatting(el)
+        if el.name == "template":
+            self.clear_formatting_to_marker()
+            if self.tmpl_modes:
+                self.pop_template_mode()
+            self.reset_insertion_mode()
+        elif self.noscript is not None and el is self.noscript.boundary:
+            self._restore_noscript()
+
+    def insert_comment(self, token) -> None:
+        self.current_element().append(CommentNode(token.data))
+
+    def insert_character(self, token, replace_nulls: bool = False) -> None:
+        data = token.data
+        if "\x00" in data:
+            data = (data.replace("\x00", "�") if replace_nulls
+                    else data.replace("\x00", ""))
+        el = self.current_element()
+        self.insert_character_to(el, token, data)
+
+    def insert_character_to(self, el: Element, token, data: str | None = None) -> None:
+        if data is None:
+            data = token.data
+        if token.type == tz.T_CDATA:
+            node = CDataNode(data)
+        elif el.flags & tags.DATA:
+            node = DataNode(data)
+        else:
+            node = TextNode(data)
+        el.append(node)
+
+    def insert_in_foster_parent(self, node) -> None:
+        last_table = self.get_from_stack("table")
+        if last_table is not None:
+            if last_table.parent is not None:
+                parent = last_table.parent
+                idx = parent.children.index(last_table)
+                parent.insert(idx, node)
+                return
+            foster = self.above_on_stack(last_table)
+        else:
+            foster = self.stack[0]
+        if foster is not None:
+            foster.append(node)
+
+    # ------------------------------------------------------------ stack
+    def current_element(self) -> Element:
+        return self.stack[-1] if self.stack else self.doc
+
+    def current_is(self, name: str) -> bool:
+        if not self.stack:
+            return False
+        el = self.stack[-1]
+        return el.name == name and el.ns == NS_HTML
+
+    def pop(self) -> Element:
+        return self.stack.pop()
+
+    def push(self, el: Element) -> None:
+        self.stack.append(el)
+
+    def on_stack(self, el: Element) -> bool:
+        s = self.stack
+        lo = max(0, len(s) - 1 - MAX_QUEUE_DEPTH)
+        for i in range(len(s) - 1, lo - 1, -1):
+            if s[i] is el:
+                return True
+        return False
+
+    def on_stack_name(self, name: str) -> bool:
+        return self.get_from_stack(name) is not None
+
+    def get_from_stack(self, name: str) -> Element | None:
+        s = self.stack
+        lo = max(0, len(s) - 1 - MAX_QUEUE_DEPTH)
+        for i in range(len(s) - 1, lo - 1, -1):
+            el = s[i]
+            if el.name == name and el.ns == NS_HTML:
+                return el
+        return None
+
+    def remove_from_stack(self, el: Element) -> bool:
+        s = self.stack
+        for i in range(len(s) - 1, -1, -1):
+            if s[i] is el:
+                del s[i]
+                return True
+        return False
+
+    def pop_to_close(self, name: str) -> Element | None:
+        while self.stack:
+            el = self.pop()
+            if el.name == name and el.ns == NS_HTML:
+                return el
+        return None
+
+    def pop_to_close_any_ns(self, name: str) -> Element | None:
+        while self.stack:
+            el = self.pop()
+            if el.name == name:
+                return el
+        return None
+
+    def pop_to_close_set(self, names) -> None:
+        while self.stack:
+            el = self.pop()
+            if el.name in names and el.ns == NS_HTML:
+                break
+
+    def clear_stack_to_context(self, *names) -> None:
+        while self.stack:
+            el = self.stack[-1]
+            if el.ns == NS_HTML and (el.name in names or el.name == "html"):
+                break
+            self.pop()
+
+    def above_on_stack(self, el: Element) -> Element | None:
+        s = self.stack
+        for i in range(len(s) - 1, 0, -1):
+            if s[i] is el:
+                return s[i - 1]
+        return None
+
+    def insert_on_stack_after(self, after: Element, el: Element) -> None:
+        s = self.stack
+        for i in range(len(s) - 1, -1, -1):
+            if s[i] is after:
+                s.insert(i + 1, el)
+                return
+        self.error("no element on stack to insert after")
+        s.append(el)
+
+    def replace_on_stack(self, out: Element, new: Element) -> None:
+        s = self.stack
+        for i in range(len(s) - 1, -1, -1):
+            if s[i] is out:
+                s[i] = new
+                return
+
+    def on_stack_not(self, allowed) -> bool:
+        return any(el.name not in allowed for el in self.stack)
+
+    # ------------------------------------------------------------ scopes
+    def _in_specific_scope(self, target: str, boundary_opts: int) -> bool:
+        for i in range(len(self.stack) - 1, -1, -1):
+            el = self.stack[i]
+            if el.ns == NS_HTML and el.name == target:
+                return True
+            if tag_options(el.name, el.ns) & boundary_opts:
+                return False
+        return False
+
+    def in_scope(self, target: str) -> bool:
+        return self._in_specific_scope(target, OPT_SCOPE)
+
+    def in_list_scope(self, target: str) -> bool:
+        return self._in_specific_scope(target, OPT_SCOPE | OPT_LIST_SCOPE)
+
+    def in_button_scope(self, target: str) -> bool:
+        return self._in_specific_scope(target, OPT_SCOPE | OPT_BUTTON_SCOPE)
+
+    def in_table_scope(self, target: str) -> bool:
+        return self._in_specific_scope(target, OPT_TABLE_SCOPE)
+
+    def in_select_scope(self, target: str) -> bool:
+        for i in range(len(self.stack) - 1, -1, -1):
+            el = self.stack[i]
+            if el.name == target:
+                return True
+            if not tag_options(el.name, el.ns) & OPT_SELECT_MEMBER:
+                return False
+        return False
+
+    def heading_in_scope(self) -> bool:
+        for i in range(len(self.stack) - 1, -1, -1):
+            el = self.stack[i]
+            if el.ns == NS_HTML and el.name in C_HEADINGS:
+                return True
+            if tag_options(el.name, el.ns) & OPT_SCOPE:
+                return False
+        return False
+
+    # ------------------------------------------------------------ implied ends
+    def generate_implied_end(self, exclude: str | None = None) -> None:
+        while self.stack:
+            el = self.stack[-1]
+            if not tag_options(el.name, el.ns) & OPT_IMPLIED_END:
+                break
+            if exclude is not None and el.name == exclude and el.ns == NS_HTML:
+                break
+            self.pop()
+
+    def generate_implied_end_thorough(self) -> None:
+        while self.stack:
+            el = self.stack[-1]
+            if not tag_options(el.name, el.ns) & OPT_THOROUGH_END:
+                break
+            self.pop()
+
+    def close_element(self, name: str) -> None:
+        self.generate_implied_end(name)
+        if not self.current_is(name):
+            self.error("unexpected open elements at close")
+        self.pop_to_close(name)
+
+    # ------------------------------------------------------------ formatting
+    def push_formatting(self, el: Element) -> None:
+        self._check_noahs_ark(el)
+        self.formatting.append(el)
+
+    def push_formatting_bookmark(self, el: Element, bookmark: int) -> None:
+        self._check_noahs_ark(el)
+        if 0 <= bookmark <= len(self.formatting):
+            self.formatting.insert(bookmark, el)
+        else:
+            self.formatting.append(el)
+
+    def _check_noahs_ark(self, el: Element) -> None:
+        seen = 0
+        f = self.formatting
+        ceil = max(0, len(f) - 1 - MAX_USED_FORMATTING)
+        for i in range(len(f) - 1, ceil - 1, -1):
+            cand = f[i]
+            if cand is None:
+                break
+            if cand.name == el.name and cand.attrs == el.attrs:
+                seen += 1
+            if seen == 3:
+                del f[i]
+                break
+
+    def reconstruct_formatting(self) -> None:
+        if len(self.stack) > MAX_QUEUE_DEPTH:
+            return
+        f = self.formatting
+        last = f[-1] if f else None
+        if last is None or self.on_stack(last):
+            return
+        size = len(f)
+        ceil = max(0, size - MAX_USED_FORMATTING)
+        pos = size - 1
+        skip = False
+        entry = last
+        while True:
+            if pos == ceil:
+                skip = True
+                break
+            pos -= 1
+            entry = f[pos]
+            if entry is None or self.on_stack(entry):
+                break
+        while True:
+            if not skip:
+                pos += 1
+                entry = f[pos]
+            skip = False
+            new_el = Element(entry.name, entry.ns, dict(entry.attrs))
+            new_el.tag_name_case = entry.tag_name_case
+            self._do_insert(new_el)
+            f[pos] = new_el
+            if pos == size - 1:
+                break
+
+    def clear_formatting_to_marker(self) -> None:
+        f = self.formatting
+        while f:
+            el = f.pop()
+            if el is None:
+                break
+
+    def remove_from_formatting(self, el: Element) -> None:
+        f = self.formatting
+        for i in range(len(f) - 1, -1, -1):
+            if f[i] is el:
+                del f[i]
+                break
+
+    def in_formatting(self, el: Element) -> bool:
+        f = self.formatting
+        lo = max(0, len(f) - 1 - MAX_QUEUE_DEPTH)
+        for i in range(len(f) - 1, lo - 1, -1):
+            if f[i] is el:
+                return True
+        return False
+
+    def get_formatting(self, name: str) -> Element | None:
+        f = self.formatting
+        for i in range(len(f) - 1, -1, -1):
+            el = f[i]
+            if el is None:
+                break
+            if el.name == name:
+                return el
+        return None
+
+    def replace_formatting(self, out: Element, new: Element) -> None:
+        f = self.formatting
+        for i in range(len(f) - 1, -1, -1):
+            if f[i] is out:
+                f[i] = new
+                return
+
+    def formatting_index(self, el: Element) -> int:
+        for i, cand in enumerate(self.formatting):
+            if cand is el:
+                return i
+        return -1
+
+    def insert_formatting_marker(self) -> None:
+        self.formatting.append(None)
+
+    # ------------------------------------------------------------ templates
+    def push_template_mode(self, mode: int) -> None:
+        self.tmpl_modes.append(mode)
+
+    def pop_template_mode(self):
+        return self.tmpl_modes.pop() if self.tmpl_modes else None
+
+    def current_template_mode(self):
+        return self.tmpl_modes[-1] if self.tmpl_modes else None
+
+    # ------------------------------------------------------------ misc
+    def maybe_set_base(self, el: Element) -> None:
+        """First <base href> rebases the doc (HtmlTreeBuilder.java:347-357)."""
+        if self.base_set or not el.has_attr("href"):
+            return
+        from .nodes import resolve_url
+        resolved = resolve_url(self.base_uri, el.attr("href"))
+        if resolved:
+            self.base_uri = resolved
+            self.base_set = True
+            self.doc.base = resolved
+
+    def reset_body(self) -> None:
+        if not self.on_stack_name("body"):
+            body = self.doc.body
+            if body is not None:
+                self.stack.append(body)
+        self.state = IN_BODY
+
+    def reset_insertion_mode(self) -> bool:
+        orig = self.state
+        if not self.stack:
+            self.state = IN_BODY
+        last = False
+        bottom = len(self.stack) - 1
+        upper = max(0, bottom - MAX_QUEUE_DEPTH)
+        for pos in range(bottom, upper - 1, -1):
+            node = self.stack[pos]
+            if pos == upper:
+                last = True
+                if self.fragment:
+                    node = self.context_el
+            name = node.name if (node is not None and node.ns == NS_HTML) else ""
+            if name == "select":
+                self.state = IN_SELECT
+                break
+            if name in ("td", "th") and not last:
+                self.state = IN_CELL
+                break
+            if name == "tr":
+                self.state = IN_ROW
+                break
+            if name in ("tbody", "thead", "tfoot"):
+                self.state = IN_TABLE_BODY
+                break
+            if name == "caption":
+                self.state = IN_CAPTION
+                break
+            if name == "colgroup":
+                self.state = IN_COLUMN_GROUP
+                break
+            if name == "table":
+                self.state = IN_TABLE
+                break
+            if name == "template":
+                tmpl = self.current_template_mode()
+                if tmpl is not None:
+                    self.state = tmpl
+                    break
+            if name == "head" and not last:
+                self.state = IN_HEAD
+                break
+            if name == "body":
+                self.state = IN_BODY
+                break
+            if name == "frameset":
+                self.state = IN_FRAMESET
+                break
+            if name == "html":
+                self.state = BEFORE_HEAD if self.head_el is None else AFTER_HEAD
+                break
+            if last:
+                self.state = IN_BODY
+                break
+        return self.state != orig
+
+    # ------------------------------------------------------------ noscript island
+    def start_noscript(self, start) -> None:
+        boundary = self.insert_element(start)
+        self._enter_noscript(boundary)
+
+    def _enter_noscript(self, boundary: Element) -> None:
+        self.noscript = _NoscriptState(boundary, self.form_el)
+        self.form_el = None
+
+    def _process_noscript(self, token) -> bool:
+        tt = token.type
+        if tt == tz.T_START:
+            return self._noscript_start(token)
+        if tt == tz.T_END:
+            return self._noscript_end(token)
+        if tt == tz.T_COMMENT:
+            self.insert_comment(token)
+            return True
+        if tt in (tz.T_CHAR, tz.T_CDATA):
+            self.insert_character(token)
+            if not _is_ws_token(token):
+                self.frameset_ok = False
+            return True
+        if tt == tz.T_DOCTYPE:
+            self.error("doctype in noscript")
+            return False
+        if tt == tz.T_EOF:
+            self.error("eof in noscript")
+            self._end_noscript()
+            return self.process(token)
+        return False
+
+    def _noscript_start(self, start) -> bool:
+        fl = tags.flags(start.normal)
+        el = self.insert_element(start)
+        text_state = None
+        if fl & tags.RCDATA:
+            text_state = tz.RCDATA
+        elif fl & tags.DATA:
+            text_state = tz.RAWTEXT
+        if text_state is not None:
+            if start.self_closing:
+                if self.current_element() is el:
+                    self.pop()
+            else:
+                self.tok.state = text_state
+                self.original_state = self.state
+                self.state = TEXT
+        self.frameset_ok = False
+        return True
+
+    def _noscript_end(self, end) -> bool:
+        name = end.normal
+        island = self.noscript
+        if name == "noscript" and island.boundary is not self.context_el:
+            self._end_noscript()
+            return True
+        if not self._in_noscript_scope(name):
+            self.error("no matching open element in noscript")
+            return False
+        if not self.current_is(name):
+            self.error("unexpected open elements")
+        self.pop_to_close(name)
+        return True
+
+    def _in_noscript_scope(self, name: str) -> bool:
+        if self.noscript is None:
+            return False
+        for i in range(len(self.stack) - 1, -1, -1):
+            el = self.stack[i]
+            if el is self.noscript.boundary:
+                return False
+            if el.name == name:
+                return True
+        return False
+
+    def _end_noscript(self) -> None:
+        island = self.noscript
+        boundary_idx = -1
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i] is island.boundary:
+                boundary_idx = i
+                break
+        if boundary_idx == -1:
+            self.error("noscript boundary missing")
+            self._restore_noscript()
+            return
+        if self.stack[-1] is not island.boundary:
+            self.error("unclosed elements in noscript")
+        while len(self.stack) > boundary_idx:
+            self.pop()
+        self._restore_noscript()
+
+    def _restore_noscript(self) -> None:
+        island = self.noscript
+        self.noscript = None
+        self.form_el = island.saved_form
+
+
+def _merge_attributes(start, dest: Element) -> None:
+    if not start.attrs:
+        return
+    for k, v in start.attrs:
+        k = k.lower()
+        if k not in dest.attrs:
+            dest.attrs[k] = v
+
+
+def _handle_text_state(start, tb: HtmlTreeBuilder, text_state) -> None:
+    if text_state is not None:
+        tb.tok.state = text_state
+    tb.original_state = tb.state
+    tb.state = TEXT
+    tb.insert_element(start)
+
+
+def _text_state_for(normal: str) -> int | None:
+    fl = tags.flags(normal)
+    if fl & tags.RCDATA:
+        return tz.RCDATA
+    if fl & tags.DATA:
+        return tz.RAWTEXT
+    return None
+
+
+# ================================================================= modes
+
+def _initial(tb, t):
+    if _is_ws_token(t):
+        return True
+    if t.type == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif t.type == tz.T_DOCTYPE:
+        node = DoctypeNode(t.name.lower(), t.public_id, t.system_id)
+        tb.doc.append(node)
+        if (t.force_quirks or node.value != "html"
+                or node.public_id.lower() == "html"):
+            tb.doc.quirks_mode = "quirks"
+        tb.state = BEFORE_HTML
+    else:
+        tb.doc.quirks_mode = "quirks"
+        tb.state = BEFORE_HTML
+        return tb.process(t)
+    return True
+
+
+def _before_html_anything(tb, t):
+    tb.process_start("html")
+    tb.state = BEFORE_HEAD
+    return tb.process(t)
+
+
+def _before_html(tb, t):
+    tt = t.type
+    if tt == tz.T_DOCTYPE:
+        tb.error("doctype after init")
+        return False
+    if tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif _is_ws_token(t):
+        tb.insert_character(t)
+    elif tt == tz.T_START and t.normal == "html":
+        tb.insert_element(t)
+        tb.state = BEFORE_HEAD
+    elif tt == tz.T_END and t.normal in C_BEFORE_HTML_TO_HEAD:
+        return _before_html_anything(tb, t)
+    elif tt == tz.T_END:
+        tb.error("unexpected end tag")
+        return False
+    else:
+        return _before_html_anything(tb, t)
+    return True
+
+
+def _before_head(tb, t):
+    tt = t.type
+    if _is_ws_token(t):
+        tb.insert_character(t)
+    elif tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif tt == tz.T_DOCTYPE:
+        tb.error("doctype")
+        return False
+    elif tt == tz.T_START and t.normal == "html":
+        return _in_body(tb, t)
+    elif tt == tz.T_START and t.normal == "head":
+        tb.head_el = tb.insert_element(t)
+        tb.state = IN_HEAD
+    elif tt == tz.T_END and t.normal in C_BEFORE_HTML_TO_HEAD:
+        tb.process_start("head")
+        return tb.process(t)
+    elif tt == tz.T_END:
+        tb.error("unexpected end tag")
+        return False
+    else:
+        tb.process_start("head")
+        return tb.process(t)
+    return True
+
+
+def _in_head_anything(tb, t):
+    tb.process_end("head")
+    return tb.process(t)
+
+
+def _in_head(tb, t):
+    if _is_ws_token(t):
+        tb.insert_character(t)
+        return True
+    tt = t.type
+    if tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif tt == tz.T_DOCTYPE:
+        tb.error("doctype")
+        return False
+    elif tt == tz.T_START:
+        name = t.normal
+        if name == "html":
+            return _in_body(tb, t)
+        if name in C_IN_HEAD_EMPTY:
+            el = tb.insert_empty_element(t)
+            if name == "base" and el.has_attr("href"):
+                tb.maybe_set_base(el)
+        elif name == "meta":
+            tb.insert_empty_element(t)
+        elif name == "title":
+            _handle_text_state(t, tb, _text_state_for(name))
+        elif name in C_IN_HEAD_RAW:
+            _handle_text_state(t, tb, _text_state_for(name))
+        elif name == "noscript":
+            tb.start_noscript(t)
+        elif name == "script":
+            tb.tok.state = tz.SCRIPT_DATA
+            tb.original_state = tb.state
+            tb.state = TEXT
+            tb.insert_element(t)
+        elif name == "head":
+            tb.error("head in head")
+            return False
+        elif name == "template":
+            tb.insert_element(t)
+            tb.insert_formatting_marker()
+            tb.frameset_ok = False
+            tb.state = IN_TEMPLATE
+            tb.push_template_mode(IN_TEMPLATE)
+        else:
+            return _in_head_anything(tb, t)
+    elif tt == tz.T_END:
+        name = t.normal
+        if name == "head":
+            tb.pop()
+            tb.state = AFTER_HEAD
+        elif name in C_IN_HEAD_END:
+            return _in_head_anything(tb, t)
+        elif name == "template":
+            if not tb.on_stack_name(name):
+                tb.error("no template open")
+            else:
+                tb.generate_implied_end_thorough()
+                if not tb.current_is(name):
+                    tb.error("unexpected open elements")
+                tb.pop_to_close(name)
+                tb.clear_formatting_to_marker()
+                tb.pop_template_mode()
+                tb.reset_insertion_mode()
+        else:
+            tb.error("unexpected end tag in head")
+            return False
+    else:
+        return _in_head_anything(tb, t)
+    return True
+
+
+def _after_head_anything(tb, t):
+    tb.process_start("body")
+    tb.frameset_ok = True
+    return tb.process(t)
+
+
+def _after_head(tb, t):
+    tt = t.type
+    if _is_ws_token(t):
+        tb.insert_character(t)
+    elif tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif tt == tz.T_DOCTYPE:
+        tb.error("doctype")
+    elif tt == tz.T_START:
+        name = t.normal
+        if name == "html":
+            return _in_body(tb, t)
+        if name == "body":
+            tb.insert_element(t)
+            tb.frameset_ok = False
+            tb.state = IN_BODY
+        elif name == "frameset":
+            tb.insert_element(t)
+            tb.state = IN_FRAMESET
+        elif name in C_TO_HEAD:
+            tb.error("misplaced head content")
+            head = tb.head_el
+            tb.push(head)
+            _in_head(tb, t)
+            tb.remove_from_stack(head)
+        elif name == "head":
+            tb.error("head after head")
+            return False
+        else:
+            _after_head_anything(tb, t)
+    elif tt == tz.T_END:
+        name = t.normal
+        if name in C_AFTER_HEAD_BODY:
+            _after_head_anything(tb, t)
+        elif name == "template":
+            _in_head(tb, t)
+        else:
+            tb.error("unexpected end tag")
+            return False
+    else:
+        _after_head_anything(tb, t)
+    return True
+
+
+def _in_body(tb, t):
+    tt = t.type
+    if tt in (tz.T_CHAR, tz.T_CDATA):
+        tb.reconstruct_formatting()
+        tb.insert_character(t)
+        if not (tb.frameset_ok and _is_ws_token(t)):
+            tb.frameset_ok = False
+        return True
+    if tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+        return True
+    if tt == tz.T_DOCTYPE:
+        tb.error("doctype in body")
+        return False
+    if tt == tz.T_START:
+        return _in_body_start(tb, t)
+    if tt == tz.T_END:
+        return _in_body_end(tb, t)
+    if tt == tz.T_EOF:
+        if tb.tmpl_modes:
+            return _in_template(tb, t)
+        if tb.on_stack_not(C_END_OTHER_ERRORS):
+            tb.error("unexpected open elements at eof")
+    return True
+
+
+def _in_body_start(tb, t):
+    name = t.normal
+    if name == "a":
+        if tb.get_formatting("a") is not None:
+            tb.error("nested a")
+            tb.process_end("a")
+            remaining = tb.get_from_stack("a")
+            if remaining is not None:
+                tb.remove_from_formatting(remaining)
+                tb.remove_from_stack(remaining)
+        tb.reconstruct_formatting()
+        el = tb.insert_element(t)
+        tb.push_formatting(el)
+    elif name == "span":
+        tb.reconstruct_formatting()
+        tb.insert_element(t)
+    elif name == "li":
+        tb.frameset_ok = False
+        stack = tb.stack
+        for i in range(len(stack) - 1, 0, -1):
+            el = stack[i]
+            if el.name == "li" and el.ns == NS_HTML:
+                tb.process_end("li")
+                break
+            if _is_special(el) and el.name not in C_LI_BREAKERS:
+                break
+        if tb.in_button_scope("p"):
+            tb.process_end("p")
+        tb.insert_element(t)
+    elif name == "html":
+        tb.error("html in body")
+        if tb.on_stack_name("template"):
+            return False
+        if tb.stack:
+            _merge_attributes(t, tb.stack[0])
+    elif name == "body":
+        tb.error("body in body")
+        stack = tb.stack
+        if (len(stack) < 2
+                or (len(stack) > 2 and stack[1].name != "body")
+                or tb.on_stack_name("template")):
+            return False
+        tb.frameset_ok = False
+        body = tb.get_from_stack("body")
+        if body is not None:
+            _merge_attributes(t, body)
+    elif name == "frameset":
+        tb.error("frameset in body")
+        stack = tb.stack
+        if len(stack) < 2 or (len(stack) > 2 and stack[1].name != "body"):
+            return False
+        if not tb.frameset_ok:
+            return False
+        second = stack[1]
+        if second.parent is not None:
+            second.remove()
+        while len(stack) > 1:
+            stack.pop()
+        tb.insert_element(t)
+        tb.state = IN_FRAMESET
+    elif name == "form":
+        if tb.form_el is not None and not tb.on_stack_name("template"):
+            tb.error("nested form")
+            return False
+        if tb.in_button_scope("p"):
+            tb.close_element("p")
+        tb.insert_form_element(t, True, True)
+    elif name == "plaintext":
+        if tb.in_button_scope("p"):
+            tb.process_end("p")
+        tb.insert_element(t)
+        tb.tok.state = tz.PLAINTEXT
+    elif name == "button":
+        if tb.in_button_scope("button"):
+            tb.error("nested button")
+            tb.process_end("button")
+            tb.process(t)
+        else:
+            tb.reconstruct_formatting()
+            tb.insert_element(t)
+            tb.frameset_ok = False
+    elif name == "nobr":
+        tb.reconstruct_formatting()
+        if tb.in_scope("nobr"):
+            tb.error("nested nobr")
+            tb.process_end("nobr")
+            tb.reconstruct_formatting()
+        el = tb.insert_element(t)
+        tb.push_formatting(el)
+    elif name == "table":
+        if tb.doc.quirks_mode != "quirks" and tb.in_button_scope("p"):
+            tb.process_end("p")
+        tb.insert_element(t)
+        tb.frameset_ok = False
+        tb.state = IN_TABLE
+    elif name == "input":
+        tb.reconstruct_formatting()
+        el = tb.insert_empty_element(t)
+        if el.attr("type").lower() != "hidden":
+            tb.frameset_ok = False
+    elif name == "hr":
+        if tb.in_button_scope("p"):
+            tb.process_end("p")
+        tb.insert_empty_element(t)
+        tb.frameset_ok = False
+    elif name == "image":
+        if tb.get_from_stack("svg") is None:
+            return tb.process(tz.StartTag("img", t.attrs, t.self_closing))
+        tb.insert_element(t)
+    elif name == "textarea":
+        tb.frameset_ok = False
+        _handle_text_state(t, tb, _text_state_for(name))
+    elif name == "xmp":
+        if tb.in_button_scope("p"):
+            tb.process_end("p")
+        tb.reconstruct_formatting()
+        tb.frameset_ok = False
+        _handle_text_state(t, tb, _text_state_for(name))
+    elif name == "iframe":
+        tb.frameset_ok = False
+        _handle_text_state(t, tb, _text_state_for(name))
+    elif name == "noembed":
+        _handle_text_state(t, tb, _text_state_for(name))
+    elif name == "noscript":
+        tb.reconstruct_formatting()
+        tb.start_noscript(t)
+    elif name == "select":
+        tb.reconstruct_formatting()
+        tb.insert_element(t)
+        tb.frameset_ok = False
+        if t.self_closing:
+            return True
+        if tb.state in (IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW, IN_CELL):
+            tb.state = IN_SELECT_IN_TABLE
+        else:
+            tb.state = IN_SELECT
+    elif name == "math":
+        tb.reconstruct_formatting()
+        tb.insert_foreign_element(t, NS_MATHML)
+    elif name == "svg":
+        tb.reconstruct_formatting()
+        tb.insert_foreign_element(t, NS_SVG)
+    elif name in C_HEADINGS:
+        if tb.in_button_scope("p"):
+            tb.process_end("p")
+        if tb.current_element().name in C_HEADINGS:
+            tb.error("nested heading")
+            tb.pop()
+        tb.insert_element(t)
+    elif name in ("pre", "listing"):
+        if tb.in_button_scope("p"):
+            tb.process_end("p")
+        tb.insert_element(t)
+        # skip first LF (reader.matchConsume("\n"))
+        tok = tb.tok
+        if tok.pos < tok.n and tok.s[tok.pos] == "\n":
+            tok.pos += 1
+        tb.frameset_ok = False
+    elif name in C_DD_DT:
+        tb.frameset_ok = False
+        stack = tb.stack
+        bottom = len(stack) - 1
+        upper = bottom - C_MAX_STACK_SCAN if bottom >= C_MAX_STACK_SCAN else 0
+        for i in range(bottom, upper - 1, -1):
+            el = stack[i]
+            if el.name in C_DD_DT:
+                tb.process_end(el.name)
+                break
+            if _is_special(el) and el.name not in C_LI_BREAKERS:
+                break
+        if tb.in_button_scope("p"):
+            tb.process_end("p")
+        tb.insert_element(t)
+    elif name in ("optgroup", "option"):
+        if tb.current_is("option"):
+            tb.process_end("option")
+        tb.reconstruct_formatting()
+        tb.insert_element(t)
+    elif name in ("rb", "rtc"):
+        if tb.in_scope("ruby"):
+            tb.generate_implied_end()
+            if not tb.current_is("ruby"):
+                tb.error("unexpected ruby content")
+        tb.insert_element(t)
+    elif name in ("rp", "rt"):
+        if tb.in_scope("ruby"):
+            tb.generate_implied_end("rtc")
+            if not (tb.current_is("rtc") or tb.current_is("ruby")):
+                tb.error("unexpected ruby content")
+        tb.insert_element(t)
+    elif name in ("area", "br", "embed", "img", "keygen", "wbr"):
+        tb.reconstruct_formatting()
+        tb.insert_empty_element(t)
+        tb.frameset_ok = False
+    elif name in ("b", "big", "code", "em", "font", "i", "s", "small",
+                  "strike", "strong", "tt", "u"):
+        tb.reconstruct_formatting()
+        el = tb.insert_element(t)
+        tb.push_formatting(el)
+    else:
+        text_state = _text_state_for(name)
+        known = tags.is_known(name)
+        if text_state is not None:
+            _handle_text_state(t, tb, text_state)
+        elif not known:
+            tb.insert_element(t)
+        elif name in C_P_CLOSERS:
+            if tb.in_button_scope("p"):
+                tb.process_end("p")
+            tb.insert_element(t)
+        elif name in C_TO_HEAD:
+            return _in_head(tb, t)
+        elif name in C_APPLETS:
+            tb.reconstruct_formatting()
+            tb.insert_element(t)
+            tb.insert_formatting_marker()
+            tb.frameset_ok = False
+        elif name in C_MEDIA:
+            tb.insert_empty_element(t)
+        elif name in C_DROP:
+            tb.error("stray table fragment")
+            return False
+        else:
+            tb.reconstruct_formatting()
+            tb.insert_element(t)
+    return True
+
+
+def _any_other_end_tag(tb, t):
+    name = t.normal
+    if tb.get_from_stack(name) is None:
+        tb.error("no matching element")
+        return False
+    stack = tb.stack
+    for i in range(len(stack) - 1, -1, -1):
+        node = stack[i]
+        if node.name == name:
+            tb.generate_implied_end(name)
+            if not tb.current_is(name):
+                tb.error("unexpected open elements")
+            tb.pop_to_close(name)
+            break
+        if _is_special(node):
+            tb.error("cannot close through special element")
+            return False
+    return True
+
+
+def _in_body_end(tb, t):
+    name = t.normal
+    if name == "template":
+        _in_head(tb, t)
+    elif name in ("sarcasm", "span"):
+        return _any_other_end_tag(tb, t)
+    elif name == "li":
+        if not tb.in_list_scope(name):
+            tb.error("li not in scope")
+            return False
+        tb.generate_implied_end(name)
+        if not tb.current_is(name):
+            tb.error("unexpected open elements")
+        tb.pop_to_close(name)
+    elif name == "body":
+        if not tb.in_scope("body"):
+            tb.error("body not in scope")
+            return False
+        if tb.on_stack_not(C_END_OTHER_ERRORS):
+            tb.error("unexpected open elements")
+        tb.state = AFTER_BODY
+    elif name == "html":
+        if not tb.on_stack_name("body"):
+            tb.error("no body open")
+            return False
+        if tb.on_stack_not(C_END_OTHER_ERRORS):
+            tb.error("unexpected open elements")
+        tb.state = AFTER_BODY
+        return tb.process(t)
+    elif name == "form":
+        if not tb.on_stack_name("template"):
+            current_form = tb.form_el
+            tb.form_el = None
+            if current_form is None or not tb.in_scope(name):
+                tb.error("no form in scope")
+                return False
+            tb.generate_implied_end()
+            if not tb.current_is(name):
+                tb.error("unexpected open elements")
+            tb.remove_from_stack(current_form)
+        else:
+            if not tb.in_scope(name):
+                tb.error("no form in scope")
+                return False
+            tb.generate_implied_end()
+            if not tb.current_is(name):
+                tb.error("unexpected open elements")
+            tb.pop_to_close(name)
+    elif name == "p":
+        if not tb.in_button_scope(name):
+            tb.error("no p to close")
+            tb.process_start(name)
+            return tb.process(t)
+        tb.generate_implied_end(name)
+        if not tb.current_is(name):
+            tb.error("unexpected open elements")
+        tb.pop_to_close(name)
+    elif name in C_DD_DT:
+        if not tb.in_scope(name):
+            tb.error("not in scope")
+            return False
+        tb.generate_implied_end(name)
+        if not tb.current_is(name):
+            tb.error("unexpected open elements")
+        tb.pop_to_close(name)
+    elif name in C_HEADINGS:
+        if not tb.heading_in_scope():
+            tb.error("no heading in scope")
+            return False
+        tb.generate_implied_end(name)
+        if not tb.current_is(name):
+            tb.error("unexpected open elements")
+        tb.pop_to_close_set(C_HEADINGS)
+    elif name == "br":
+        tb.error("misplaced </br>")
+        tb.process_start("br")
+        return False
+    elif name in C_ADOPTION_FORMATTERS:
+        return _adoption_agency(tb, t)
+    elif name in C_END_CLOSERS:
+        if not tb.in_scope(name):
+            tb.error("not in scope")
+            return False
+        tb.generate_implied_end()
+        if not tb.current_is(name):
+            tb.error("unexpected open elements")
+        tb.pop_to_close(name)
+    elif name in C_APPLETS:
+        if not tb.in_scope("name"):
+            if not tb.in_scope(name):
+                tb.error("not in scope")
+                return False
+            tb.generate_implied_end()
+            if not tb.current_is(name):
+                tb.error("unexpected open elements")
+            tb.pop_to_close(name)
+            tb.clear_formatting_to_marker()
+    else:
+        return _any_other_end_tag(tb, t)
+    return True
+
+
+def _adoption_agency(tb, t):
+    """The adoption agency algorithm
+    (HtmlTreeBuilderState.java:797-955; WHATWG 13.2.6.4.7)."""
+    subject = t.normal
+    cur = tb.current_element()
+    if cur.name == subject and not tb.in_formatting(cur):
+        tb.pop()
+        return True
+    outer = 0
+    while True:
+        if outer >= 8:
+            return True
+        outer += 1
+        # last formatting element w/ subject name after last marker
+        fmt_el = None
+        for i in range(len(tb.formatting) - 1, -1, -1):
+            cand = tb.formatting[i]
+            if cand is None:
+                break
+            if cand.name == subject:
+                fmt_el = cand
+                break
+        if fmt_el is None:
+            return _any_other_end_tag(tb, t)
+        if not tb.on_stack(fmt_el):
+            tb.error("formatting element not on stack")
+            tb.remove_from_formatting(fmt_el)
+            return True
+        if not tb.in_scope(fmt_el.name):
+            tb.error("formatting element not in scope")
+            return False
+        if tb.current_element() is not fmt_el:
+            tb.error("formatting element not current")
+
+        furthest = None
+        stack = tb.stack
+        fei = -1
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] is fmt_el:
+                fei = i
+                break
+        if fei != -1:
+            for i in range(fei + 1, len(stack)):
+                if _is_special(stack[i]):
+                    furthest = stack[i]
+                    break
+        if furthest is None:
+            while tb.current_element() is not fmt_el:
+                tb.pop()
+            tb.pop()
+            tb.remove_from_formatting(fmt_el)
+            return True
+
+        common = tb.above_on_stack(fmt_el)
+        if common is None:
+            tb.error("no common ancestor")
+            return True
+        bookmark = tb.formatting_index(fmt_el)
+        el = furthest
+        last_el = furthest
+        inner = 0
+        while True:
+            inner += 1
+            if not tb.on_stack(el):
+                el = el.parent
+            else:
+                el = tb.above_on_stack(el)
+            if el is None or el.name == "body":
+                tb.error("adoption hit body")
+                break
+            if el is fmt_el:
+                break
+            if inner > 3 and tb.in_formatting(el):
+                tb.remove_from_formatting(el)
+                break
+            if not tb.in_formatting(el):
+                tb.remove_from_stack(el)
+                continue
+            if not tb.on_stack(el):
+                tb.error("stale formatting element")
+                tb.remove_from_formatting(el)
+                break
+            replacement = Element(el.name, NS_HTML, dict(el.attrs))
+            replacement.tag_name_case = el.tag_name_case
+            tb.replace_formatting(el, replacement)
+            tb.replace_on_stack(el, replacement)
+            el = replacement
+            if last_el is furthest:
+                bookmark = tb.formatting_index(el) + 1
+            el.append(last_el)
+            last_el = el
+
+        common.append(last_el)
+        adoptor = Element(fmt_el.name, NS_HTML, dict(fmt_el.attrs))
+        adoptor.tag_name_case = fmt_el.tag_name_case
+        for child in list(furthest.children):
+            adoptor.append(child)
+        furthest.append(adoptor)
+        tb.remove_from_formatting(fmt_el)
+        tb.push_formatting_bookmark(adoptor, bookmark)
+        tb.remove_from_stack(fmt_el)
+        tb.insert_on_stack_after(furthest, adoptor)
+
+
+def _text(tb, t):
+    tt = t.type
+    if tt in (tz.T_CHAR, tz.T_CDATA):
+        tb.insert_character(t)
+    elif tt == tz.T_EOF:
+        tb.error("eof in text")
+        tb.pop()
+        tb.state = tb.original_state
+        if tb.state == TEXT:
+            tb.state = IN_BODY
+        return tb.process(t)
+    elif tt == tz.T_END:
+        tb.pop()
+        tb.state = tb.original_state
+    return True
+
+
+def _in_table_anything(tb, t):
+    tb.error("foster content in table")
+    tb.foster_inserts = True
+    _in_body(tb, t)
+    tb.foster_inserts = False
+    return True
+
+
+def _in_table(tb, t):
+    tt = t.type
+    if tt in (tz.T_CHAR, tz.T_CDATA) and \
+            tb.current_element().name in C_TABLE_FOSTER:
+        tb.pending_table_chars = []
+        tb.original_state = tb.state
+        tb.state = IN_TABLE_TEXT
+        return tb.process(t)
+    if tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+        return True
+    if tt == tz.T_DOCTYPE:
+        tb.error("doctype in table")
+        return False
+    if tt == tz.T_START:
+        name = t.normal
+        if name == "caption":
+            tb.clear_stack_to_context("table", "template")
+            tb.insert_formatting_marker()
+            tb.insert_element(t)
+            tb.state = IN_CAPTION
+        elif name == "colgroup":
+            tb.clear_stack_to_context("table", "template")
+            tb.insert_element(t)
+            tb.state = IN_COLUMN_GROUP
+        elif name == "col":
+            tb.clear_stack_to_context("table", "template")
+            tb.process_start("colgroup")
+            return tb.process(t)
+        elif name in C_TABLE_TO_BODY:
+            tb.clear_stack_to_context("table", "template")
+            tb.insert_element(t)
+            tb.state = IN_TABLE_BODY
+        elif name in C_TABLE_ADD_BODY:
+            tb.clear_stack_to_context("table", "template")
+            tb.process_start("tbody")
+            return tb.process(t)
+        elif name == "table":
+            tb.error("nested table")
+            if not tb.in_table_scope(name):
+                return False
+            tb.pop_to_close(name)
+            if not tb.reset_insertion_mode():
+                tb.insert_element(t)
+                return True
+            return tb.process(t)
+        elif name in C_TABLE_TO_HEAD:
+            return _in_head(tb, t)
+        elif name == "noscript":
+            tb.start_noscript(t)
+        elif name == "input":
+            typ = ""
+            if t.attrs:
+                for k, v in t.attrs:
+                    if k.lower() == "type":
+                        typ = (v or "").lower()
+                        break
+            if typ != "hidden":
+                return _in_table_anything(tb, t)
+            tb.insert_empty_element(t)
+        elif name == "form":
+            tb.error("form in table")
+            if tb.form_el is not None or tb.on_stack_name("template"):
+                return False
+            tb.insert_form_element(t, False, False)
+        else:
+            return _in_table_anything(tb, t)
+        return True
+    if tt == tz.T_END:
+        name = t.normal
+        if name == "table":
+            if not tb.in_table_scope(name):
+                tb.error("table not in scope")
+                return False
+            tb.pop_to_close("table")
+            tb.reset_insertion_mode()
+        elif name in C_TABLE_END_ERR:
+            tb.error("stray table end tag")
+            return False
+        elif name == "template":
+            _in_head(tb, t)
+        else:
+            return _in_table_anything(tb, t)
+        return True
+    if tt == tz.T_EOF:
+        if tb.current_is("html"):
+            tb.error("eof in table")
+        return True
+    return _in_table_anything(tb, t)
+
+
+def _in_table_text(tb, t):
+    if t.type in (tz.T_CHAR, tz.T_CDATA):
+        tb.pending_table_chars.append(t)
+    else:
+        if tb.pending_table_chars:
+            og = tb.current_token
+            for c in tb.pending_table_chars:
+                tb.current_token = c
+                if not _is_ws_token(c):
+                    tb.error("non-whitespace in table text")
+                    if tb.current_element().name in C_TABLE_FOSTER:
+                        tb.foster_inserts = True
+                        _in_body(tb, c)
+                        tb.foster_inserts = False
+                    else:
+                        _in_body(tb, c)
+                else:
+                    tb.insert_character(c)
+            tb.current_token = og
+            tb.pending_table_chars = []
+        tb.state = tb.original_state
+        return tb.process(t)
+    return True
+
+
+def _in_caption(tb, t):
+    tt = t.type
+    if tt == tz.T_END and t.normal == "caption":
+        if not tb.in_table_scope("caption"):
+            tb.error("caption not in scope")
+            return False
+        tb.generate_implied_end()
+        if not tb.current_is("caption"):
+            tb.error("unexpected open elements")
+        tb.pop_to_close("caption")
+        tb.clear_formatting_to_marker()
+        tb.state = IN_TABLE
+    elif ((tt == tz.T_START and t.normal in C_CELL_COL)
+          or (tt == tz.T_END and t.normal == "table")):
+        if not tb.in_table_scope("caption"):
+            tb.error("caption not in scope")
+            return False
+        tb.generate_implied_end()
+        if not tb.current_is("caption"):
+            tb.error("unexpected open elements")
+        tb.pop_to_close("caption")
+        tb.clear_formatting_to_marker()
+        tb.state = IN_TABLE
+        _in_table(tb, t)
+    elif tt == tz.T_END and t.normal in C_CAPTION_IGNORE:
+        tb.error("stray end tag in caption")
+        return False
+    else:
+        return _in_body(tb, t)
+    return True
+
+
+def _in_column_group_anything(tb, t):
+    if not tb.current_is("colgroup"):
+        tb.error("colgroup not current")
+        return False
+    tb.pop()
+    tb.state = IN_TABLE
+    tb.process(t)
+    return True
+
+
+def _in_column_group(tb, t):
+    if _is_ws_token(t):
+        tb.insert_character(t)
+        return True
+    tt = t.type
+    if tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif tt == tz.T_DOCTYPE:
+        tb.error("doctype")
+    elif tt == tz.T_START:
+        name = t.normal
+        if name == "html":
+            return _in_body(tb, t)
+        if name == "col":
+            tb.insert_empty_element(t)
+        elif name == "template":
+            _in_head(tb, t)
+        else:
+            return _in_column_group_anything(tb, t)
+    elif tt == tz.T_END:
+        name = t.normal
+        if name == "colgroup":
+            if not tb.current_is(name):
+                tb.error("colgroup not current")
+                return False
+            tb.pop()
+            tb.state = IN_TABLE
+        elif name == "template":
+            _in_head(tb, t)
+        else:
+            return _in_column_group_anything(tb, t)
+    elif tt == tz.T_EOF:
+        if tb.current_is("html"):
+            return True
+        return _in_column_group_anything(tb, t)
+    else:
+        return _in_column_group_anything(tb, t)
+    return True
+
+
+def _exit_table_body(tb, t):
+    if not (tb.in_table_scope("tbody") or tb.in_table_scope("thead")
+            or tb.in_table_scope("tfoot")):
+        tb.error("table body not in scope")
+        return False
+    tb.clear_stack_to_context("tbody", "tfoot", "thead", "template")
+    tb.process_end(tb.current_element().name)
+    return tb.process(t)
+
+
+def _in_table_body(tb, t):
+    tt = t.type
+    if tt == tz.T_START:
+        name = t.normal
+        if name == "tr":
+            tb.clear_stack_to_context("tbody", "tfoot", "thead", "template")
+            tb.insert_element(t)
+            tb.state = IN_ROW
+        elif name in C_CELL_NAMES:
+            tb.error("cell without row")
+            tb.process_start("tr")
+            return tb.process(t)
+        elif name in C_TABLE_BODY_EXIT:
+            return _exit_table_body(tb, t)
+        else:
+            return _in_table(tb, t)
+    elif tt == tz.T_END:
+        name = t.normal
+        if name in C_TABLE_END_IGNORE:
+            if not tb.in_table_scope(name):
+                tb.error("not in scope")
+                return False
+            tb.clear_stack_to_context("tbody", "tfoot", "thead", "template")
+            tb.pop()
+            tb.state = IN_TABLE
+        elif name == "table":
+            return _exit_table_body(tb, t)
+        elif name in C_TABLE_BODY_END_IGNORE:
+            tb.error("stray end tag")
+            return False
+        else:
+            return _in_table(tb, t)
+    else:
+        return _in_table(tb, t)
+    return True
+
+
+def _in_row(tb, t):
+    tt = t.type
+    if tt == tz.T_START:
+        name = t.normal
+        if name in C_CELL_NAMES:
+            tb.clear_stack_to_context("tr", "template")
+            tb.insert_element(t)
+            tb.state = IN_CELL
+            tb.insert_formatting_marker()
+        elif name in C_ROW_MISSING:
+            if not tb.in_table_scope("tr"):
+                tb.error("tr not in scope")
+                return False
+            tb.clear_stack_to_context("tr", "template")
+            tb.pop()
+            tb.state = IN_TABLE_BODY
+            return tb.process(t)
+        else:
+            return _in_table(tb, t)
+    elif tt == tz.T_END:
+        name = t.normal
+        if name == "tr":
+            if not tb.in_table_scope(name):
+                tb.error("tr not in scope")
+                return False
+            tb.clear_stack_to_context("tr", "template")
+            tb.pop()
+            tb.state = IN_TABLE_BODY
+        elif name == "table":
+            if not tb.in_table_scope("tr"):
+                tb.error("tr not in scope")
+                return False
+            tb.clear_stack_to_context("tr", "template")
+            tb.pop()
+            tb.state = IN_TABLE_BODY
+            return tb.process(t)
+        elif name in C_TABLE_TO_BODY:
+            if not tb.in_table_scope(name):
+                tb.error("not in scope")
+                return False
+            if not tb.in_table_scope("tr"):
+                return False
+            tb.clear_stack_to_context("tr", "template")
+            tb.pop()
+            tb.state = IN_TABLE_BODY
+            return tb.process(t)
+        elif name in C_ROW_IGNORE:
+            tb.error("stray end tag")
+            return False
+        else:
+            return _in_table(tb, t)
+    else:
+        return _in_table(tb, t)
+    return True
+
+
+def _close_cell(tb):
+    if tb.in_table_scope("td"):
+        tb.process_end("td")
+    else:
+        tb.process_end("th")
+
+
+def _in_cell(tb, t):
+    tt = t.type
+    if tt == tz.T_END:
+        name = t.normal
+        if name in C_CELL_NAMES:
+            if not tb.in_table_scope(name):
+                tb.error("cell not in scope")
+                tb.state = IN_ROW
+                return False
+            tb.generate_implied_end()
+            if not tb.current_is(name):
+                tb.error("unexpected open elements")
+            tb.pop_to_close(name)
+            tb.clear_formatting_to_marker()
+            tb.state = IN_ROW
+        elif name in C_CELL_BODY:
+            tb.error("stray end tag")
+            return False
+        elif name in C_CELL_TABLE:
+            if not tb.in_table_scope(name):
+                tb.error("not in scope")
+                return False
+            _close_cell(tb)
+            return tb.process(t)
+        else:
+            return _in_body(tb, t)
+    elif tt == tz.T_START and t.normal in C_CELL_COL:
+        if not (tb.in_table_scope("td") or tb.in_table_scope("th")):
+            tb.error("no cell in scope")
+            return False
+        _close_cell(tb)
+        return tb.process(t)
+    else:
+        return _in_body(tb, t)
+    return True
+
+
+def _in_select(tb, t):
+    tt = t.type
+    if tt in (tz.T_CHAR, tz.T_CDATA):
+        tb.insert_character(t)
+    elif tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif tt == tz.T_DOCTYPE:
+        tb.error("doctype")
+        return False
+    elif tt == tz.T_START:
+        name = t.normal
+        if name == "html":
+            return _in_body(tb, t)
+        if name == "option":
+            if tb.current_is("option"):
+                tb.process_end("option")
+            tb.insert_element(t)
+        elif name == "optgroup":
+            if tb.current_is("option"):
+                tb.process_end("option")
+            if tb.current_is("optgroup"):
+                tb.process_end("optgroup")
+            tb.insert_element(t)
+        elif name == "select":
+            tb.error("nested select")
+            return tb.process_end("select")
+        elif name in C_SELECT_END:
+            tb.error("input-like in select")
+            if not tb.in_select_scope("select"):
+                return False
+            while True:
+                tb.pop_to_close("select")
+                tb.reset_insertion_mode()
+                if not tb.in_select_scope("select"):
+                    break
+            return tb.process(t)
+        elif name in ("script", "template"):
+            return _in_head(tb, t)
+        elif name == "noscript":
+            tb.start_noscript(t)
+        else:
+            tb.error("unexpected in select")
+            return False
+    elif tt == tz.T_END:
+        name = t.normal
+        if name == "optgroup":
+            if tb.current_is("option"):
+                above = tb.above_on_stack(tb.current_element())
+                if above is not None and above.name == "optgroup":
+                    tb.process_end("option")
+            if tb.current_is("optgroup"):
+                tb.pop()
+            else:
+                tb.error("stray optgroup end")
+        elif name == "option":
+            if tb.current_is("option"):
+                tb.pop()
+            else:
+                tb.error("stray option end")
+        elif name == "select":
+            if not tb.in_select_scope(name):
+                tb.error("select not in scope")
+                return False
+            tb.pop_to_close(name)
+            tb.reset_insertion_mode()
+        elif name == "template":
+            return _in_head(tb, t)
+        else:
+            tb.error("unexpected in select")
+            return False
+    elif tt == tz.T_EOF:
+        if not tb.current_is("html"):
+            tb.error("eof in select")
+    else:
+        tb.error("unexpected in select")
+        return False
+    return True
+
+
+def _in_select_in_table(tb, t):
+    tt = t.type
+    if tt == tz.T_START and t.normal in C_SELECT_TABLE_END:
+        tb.error("table element in select-in-table")
+        tb.pop_to_close("select")
+        tb.reset_insertion_mode()
+        return tb.process(t)
+    if tt == tz.T_END and t.normal in C_SELECT_TABLE_END:
+        tb.error("table end in select-in-table")
+        if tb.in_table_scope(t.normal):
+            tb.pop_to_close("select")
+            tb.reset_insertion_mode()
+            return tb.process(t)
+        return False
+    return _in_select(tb, t)
+
+
+def _in_template(tb, t):
+    tt = t.type
+    if tt in (tz.T_CHAR, tz.T_CDATA, tz.T_COMMENT, tz.T_DOCTYPE):
+        _in_body(tb, t)
+    elif tt == tz.T_START:
+        name = t.normal
+        if name in C_TEMPLATE_TO_HEAD:
+            _in_head(tb, t)
+        elif name in C_TEMPLATE_TO_TABLE:
+            tb.pop_template_mode()
+            tb.push_template_mode(IN_TABLE)
+            tb.state = IN_TABLE
+            return tb.process(t)
+        elif name == "col":
+            tb.pop_template_mode()
+            tb.push_template_mode(IN_COLUMN_GROUP)
+            tb.state = IN_COLUMN_GROUP
+            return tb.process(t)
+        elif name == "tr":
+            tb.pop_template_mode()
+            tb.push_template_mode(IN_TABLE_BODY)
+            tb.state = IN_TABLE_BODY
+            return tb.process(t)
+        elif name in ("td", "th"):
+            tb.pop_template_mode()
+            tb.push_template_mode(IN_ROW)
+            tb.state = IN_ROW
+            return tb.process(t)
+        else:
+            tb.pop_template_mode()
+            tb.push_template_mode(IN_BODY)
+            tb.state = IN_BODY
+            return tb.process(t)
+    elif tt == tz.T_END:
+        if t.normal == "template":
+            _in_head(tb, t)
+        else:
+            tb.error("unexpected end tag in template")
+            return False
+    elif tt == tz.T_EOF:
+        if not tb.on_stack_name("template"):
+            return True
+        tb.error("eof in template")
+        tb.pop_to_close("template")
+        tb.clear_formatting_to_marker()
+        tb.pop_template_mode()
+        tb.reset_insertion_mode()
+        if tb.state != IN_TEMPLATE and len(tb.tmpl_modes) < 12:
+            return tb.process(t)
+        return True
+    return True
+
+
+def _after_body(tb, t):
+    html = tb.get_from_stack("html")
+    if _is_ws_token(t):
+        if html is not None:
+            tb.insert_character_to(html, t)
+        else:
+            _in_body(tb, t)
+    elif t.type == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif t.type == tz.T_DOCTYPE:
+        tb.error("doctype")
+        return False
+    elif t.type == tz.T_START and t.normal == "html":
+        return _in_body(tb, t)
+    elif t.type == tz.T_END and t.normal == "html":
+        if tb.fragment:
+            tb.error("html end in fragment")
+            return False
+        tb.state = AFTER_AFTER_BODY
+    elif t.type == tz.T_EOF:
+        pass
+    else:
+        tb.error("unexpected after body")
+        tb.reset_body()
+        return tb.process(t)
+    return True
+
+
+def _in_frameset(tb, t):
+    if _is_ws_token(t):
+        tb.insert_character(t)
+    elif t.type == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif t.type == tz.T_DOCTYPE:
+        tb.error("doctype")
+        return False
+    elif t.type == tz.T_START:
+        name = t.normal
+        if name == "html":
+            return _in_body(tb, t)
+        if name == "frameset":
+            tb.insert_element(t)
+        elif name == "frame":
+            tb.insert_empty_element(t)
+        elif name == "noframes":
+            return _in_head(tb, t)
+        else:
+            tb.error("unexpected in frameset")
+            return False
+    elif t.type == tz.T_END and t.normal == "frameset":
+        if not tb.current_is("frameset"):
+            tb.error("frameset not current")
+            return False
+        tb.pop()
+        if not tb.fragment and not tb.current_is("frameset"):
+            tb.state = AFTER_FRAMESET
+    elif t.type == tz.T_EOF:
+        if not tb.current_is("html"):
+            tb.error("eof in frameset")
+        return True
+    else:
+        tb.error("unexpected in frameset")
+        return False
+    return True
+
+
+def _after_frameset(tb, t):
+    if _is_ws_token(t):
+        tb.insert_character(t)
+    elif t.type == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif t.type == tz.T_DOCTYPE:
+        tb.error("doctype")
+        return False
+    elif t.type == tz.T_START and t.normal == "html":
+        return _in_body(tb, t)
+    elif t.type == tz.T_END and t.normal == "html":
+        tb.state = AFTER_AFTER_FRAMESET
+    elif t.type == tz.T_START and t.normal == "noframes":
+        return _in_head(tb, t)
+    elif t.type == tz.T_EOF:
+        pass
+    else:
+        tb.error("unexpected after frameset")
+        return False
+    return True
+
+
+def _after_after_body(tb, t):
+    if t.type == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif t.type == tz.T_DOCTYPE or (t.type == tz.T_START and t.normal == "html"):
+        return _in_body(tb, t)
+    elif _is_ws_token(t):
+        tb.insert_character_to(tb.doc, t)
+    elif t.type == tz.T_EOF:
+        pass
+    else:
+        tb.error("unexpected after after body")
+        tb.reset_body()
+        return tb.process(t)
+    return True
+
+
+def _after_after_frameset(tb, t):
+    if t.type == tz.T_COMMENT:
+        tb.insert_comment(t)
+    elif (t.type == tz.T_DOCTYPE or _is_ws_token(t)
+          or (t.type == tz.T_START and t.normal == "html")):
+        return _in_body(tb, t)
+    elif t.type == tz.T_EOF:
+        pass
+    elif t.type == tz.T_START and t.normal == "noframes":
+        return _in_head(tb, t)
+    else:
+        tb.error("unexpected after after frameset")
+        return False
+    return True
+
+
+def _foreign_content(tb, t):
+    tt = t.type
+    if tt in (tz.T_CHAR, tz.T_CDATA):
+        if _is_ws_token(t):
+            tb.insert_character(t)
+        else:
+            tb.insert_character(t, replace_nulls=True)
+            tb.frameset_ok = False
+        return True
+    if tt == tz.T_COMMENT:
+        tb.insert_comment(t)
+        return True
+    if tt == tz.T_DOCTYPE:
+        tb.error("doctype in foreign content")
+        return True
+    if tt == tz.T_START:
+        name = t.normal
+        if name in C_FOREIGN_TO_HTML:
+            return _MODES[tb.state](tb, t)
+        if name == "font" and t.attrs and any(
+                k.lower() in ("color", "face", "size") for k, _ in t.attrs):
+            return _MODES[tb.state](tb, t)
+        ns = tb.current_element().ns
+        el = tb.insert_foreign_element(t, ns)
+        # browser behavior: svg script enters ScriptData; custom data tags
+        fl = tags.flags(name, ns)
+        if fl & tags.DATA and not t.self_closing:
+            if name == "script":
+                tb.tok.state = tz.SCRIPT_DATA
+            else:
+                tb.tok.state = tz.RAWTEXT
+        return True
+    if tt == tz.T_END:
+        name = t.normal
+        if name in ("br", "p"):
+            return _MODES[tb.state](tb, t)
+        if name == "script" and tb.stack and \
+                tb.stack[-1].name == "script" and tb.stack[-1].ns == NS_SVG:
+            tb.pop()
+            return True
+        stack = tb.stack
+        if not stack:
+            return True
+        i = len(stack) - 1
+        el = stack[i]
+        if el.name != name:
+            tb.error("mismatched foreign end tag")
+        while i != 0:
+            if el.name == name:
+                tb.pop_to_close_any_ns(el.name)
+                return True
+            i -= 1
+            el = stack[i]
+            if el.ns == NS_HTML:
+                return _MODES[tb.state](tb, t)
+        return True
+    return True
+
+
+_MODES = [
+    _initial, _before_html, _before_head, _in_head, _after_head, _in_body,
+    _text, _in_table, _in_table_text, _in_caption, _in_column_group,
+    _in_table_body, _in_row, _in_cell, _in_select, _in_select_in_table,
+    _in_template, _after_body, _in_frameset, _after_frameset,
+    _after_after_body, _after_after_frameset, _foreign_content,
+]
+
+
+def parse(html: str, base_uri: str = "") -> Document:
+    """Parse an HTML document (Jsoup.parse equivalent)."""
+    return HtmlTreeBuilder().parse(html, base_uri)
+
+
+def parse_fragment(html: str, context: str | None = None,
+                   base_uri: str = "") -> list:
+    """Parse an HTML fragment in an optional context element."""
+    return HtmlTreeBuilder().parse_fragment(html, context, base_uri)
+
+
+def parse_body_fragment(html: str, base_uri: str = "") -> Document:
+    """Parser.parseBodyFragment: fragment assumed <body> content."""
+    doc = Document(base_uri)
+    body_nodes = HtmlTreeBuilder().parse_fragment(html, "body", base_uri)
+    html_el = Element("html", NS_HTML)
+    head_el = Element("head", NS_HTML)
+    body_el = Element("body", NS_HTML)
+    doc.append(html_el)
+    html_el.append(head_el)
+    html_el.append(body_el)
+    for n in body_nodes:
+        body_el.append(n)
+    return doc
