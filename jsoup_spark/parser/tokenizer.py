@@ -158,7 +158,7 @@ class Tokeniser:
     __slots__ = (
         "s", "s_lower", "pos", "n", "state", "syntax", "cdata_allowed",
         "errors", "_queue", "_chars",
-        "tag_start", "tag_name", "tag_attrs", "tag_self_closing",
+        "tag_start", "_tag_name_parts", "tag_attrs", "tag_self_closing",
         "tag_is_decl", "tag_decl_bang",
         "attr_name", "attr_value", "attr_has_empty_value", "attr_had_value",
         "comment", "comment_bogus", "doctype", "data_buf", "last_start",
@@ -176,7 +176,7 @@ class Tokeniser:
         self._queue: list[Tok] = []
         self._chars: list[str] = []
         self.tag_start = True
-        self.tag_name = ""
+        self._tag_name_parts = []
         self.tag_attrs = None
         self.tag_self_closing = False
         self.tag_is_decl = False
@@ -223,7 +223,7 @@ class Tokeniser:
     # --- pending tag helpers ---
     def create_tag(self, start: bool) -> None:
         self.tag_start = start
-        self.tag_name = ""
+        self._tag_name_parts = []
         self.tag_attrs = None
         self.tag_self_closing = False
         self.tag_is_decl = False
@@ -239,16 +239,16 @@ class Tokeniser:
     def append_tag_name(self, s: str) -> None:
         if NULL in s:
             s = s.replace(NULL, REPLACEMENT)
-        self.tag_name += s
+        self._tag_name_parts.append(s)
 
     def new_attribute(self) -> None:
         if self.tag_attrs is None:
             self.tag_attrs = []
         if self.attr_name:
-            name = self.attr_name.replace(NULL, REPLACEMENT).strip()
+            name = "".join(self.attr_name).replace(NULL, REPLACEMENT).strip()
             if name and len(self.tag_attrs) < 512:
                 if self.attr_value is not None:
-                    value = self.attr_value
+                    value = "".join(self.attr_value)
                 elif self.attr_has_empty_value:
                     value = ""
                 else:
@@ -259,10 +259,20 @@ class Tokeniser:
         self.attr_has_empty_value = False
 
     def append_attr_name(self, s: str) -> None:
-        self.attr_name = s if self.attr_name is None else self.attr_name + s
+        if self.attr_name is None:
+            self.attr_name = [s]
+        else:
+            self.attr_name.append(s)
 
     def append_attr_value(self, s: str) -> None:
-        self.attr_value = s if self.attr_value is None else self.attr_value + s
+        if self.attr_value is None:
+            self.attr_value = [s]
+        else:
+            self.attr_value.append(s)
+
+    @property
+    def tag_name(self) -> str:
+        return "".join(self._tag_name_parts)
 
     def emit_tag(self) -> None:
         self.new_attribute()
@@ -510,7 +520,7 @@ def _rcdata_lt(t):
         # divergence per reference: no close tag ahead -> emit synthetic end tag
         # and break out (TokeniserState.java:188-198)
         t.create_tag(False)
-        t.tag_name = t.appropriate_end()
+        t._tag_name_parts = [t.appropriate_end()]
         t.emit_tag()
         t.state = TAG_OPEN
     else:
@@ -1285,8 +1295,8 @@ def _doctype_st(t):
         t.emit_doctype()
         t.state = DATA
     else:
+        # char is consumed and dropped (TokeniserState Doctype default)
         t.error("missing space before doctype name")
-        t.pos -= 1
         t.state = BEFORE_DT_NAME
 
 

@@ -910,10 +910,11 @@ class HtmlTreeBuilder:
 
 
 def _merge_attributes(start, dest: Element) -> None:
+    # original case kept: mergeAttributes bypasses settings normalization
+    # (HtmlTreeBuilderState.java:1872-1884)
     if not start.attrs:
         return
     for k, v in start.attrs:
-        k = k.lower()
         if k not in dest.attrs:
             dest.attrs[k] = v
 
@@ -1591,7 +1592,9 @@ def _adoption_agency(tb, t):
                 tb.error("stale formatting element")
                 tb.remove_from_formatting(el)
                 break
-            replacement = Element(el.name, NS_HTML, dict(el.attrs))
+            # inner-loop replacement is created WITHOUT attributes
+            # (HtmlTreeBuilderState.java:912-915: new Element(tagFor(...)))
+            replacement = Element(el.name, NS_HTML)
             replacement.tag_name_case = el.tag_name_case
             tb.replace_formatting(el, replacement)
             tb.replace_on_stack(el, replacement)
