@@ -1,0 +1,109 @@
+"""Span emitter — the engine's flagship extraction output.
+
+Walks a parsed document and emits an ordered span sequence
+(kind, text, media_ref, order):
+
+* ``title``  — document title (first <title>, normalized), if non-empty
+* ``text``   — normalized text runs (Element.text() semantics,
+               nodes/Element.java:1551-1705), flushed at media/data barriers
+* ``media``  — one per media element (img/video/audio/source/embed/iframe/
+               track) in document order; media_ref = absUrl(src) (raw src
+               if unresolvable), text = trimmed alt
+* ``data``   — one per script/style element (raw data contents)
+
+The identical algorithm runs over the reference DOM in
+tools/golden/Harness.java `spans()`, giving golden fixtures for
+span-sequence equality — the per-row invariant from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from ..parser import tags
+from ..parser.nodes import (
+    Document, Element, TextNode, _append_normalised_text,
+    _last_char_is_ws, _needs_leading_sep, _needs_trailing_sep, java_trim,
+)
+
+MEDIA_TAGS = frozenset(("img", "video", "audio", "source", "embed",
+                        "iframe", "track"))
+DATA_SPAN_TAGS = frozenset(("script", "style"))
+
+
+def extract_spans(doc: Document) -> list[tuple[str, str, str, int]]:
+    """Emit (kind, text, media_ref, order) tuples for a document."""
+    out: list[list] = []
+    title = doc.title()
+    if title:
+        out.append(["title", title, ""])
+    body = doc.body
+    if body is not None:
+        accum: list[str] = []
+        _walk(body, out, accum)
+        _flush(out, accum)
+    return [(k, t, r, i) for i, (k, t, r) in enumerate(out)]
+
+
+def _flush(out: list, accum: list[str]) -> None:
+    text = java_trim("".join(accum))
+    accum.clear()
+    if text:
+        out.append(["text", text, ""])
+
+
+def _emit_barrier(el: Element, out: list, accum: list[str]) -> None:
+    name = el.name
+    if name in MEDIA_TAGS:
+        _flush(out, accum)
+        if el.has_attr("src"):
+            ref = el.abs_url("src") or el.attr("src")
+        else:
+            ref = ""
+        alt = java_trim(el.attr("alt")) if el.has_attr("alt") else ""
+        out.append(["media", alt, ref])
+    else:  # data element
+        _flush(out, accum)
+        out.append(["data", el.data(), ""])
+
+
+def _walk(root: Element, out: list, accum: list[str]) -> None:
+    # head/tail traversal identical to nodes._text_accumulate, with
+    # barrier emission for media/data elements
+    stack: list[list] = [[root, 0, None]]
+    while stack:
+        top = stack[-1]
+        node, idx = top[0], top[1]
+        children = node.children
+        if idx < len(children):
+            top[1] = idx + 1
+            child = children[idx]
+            nxt = children[idx + 1] if idx + 1 < len(children) else None
+            descend = False
+            if isinstance(child, TextNode):
+                _append_normalised_text(accum, child)
+            elif isinstance(child, Element):
+                if child.name in MEDIA_TAGS or child.name in DATA_SPAN_TAGS:
+                    _emit_barrier(child, out, accum)
+                    descend = True  # media may nest source; data children are
+                    # DataNodes (ignored) — matches the golden traversal
+                elif accum and _needs_leading_sep(child) \
+                        and not _last_char_is_ws(accum):
+                    accum.append(" ")
+                    descend = True
+                else:
+                    descend = True
+            if descend and isinstance(child, Element) and child.children:
+                stack.append([child, 0, nxt])
+            elif isinstance(child, Element):
+                _tail_sep(child, nxt, accum)
+        else:
+            stack.pop()
+            if node is not root:
+                _tail_sep(node, top[2], accum)
+
+
+def _tail_sep(el: Element, nxt, accum: list[str]) -> None:
+    if (_needs_trailing_sep(el)
+            and (isinstance(nxt, TextNode)
+                 or (isinstance(nxt, Element) and nxt.is_inline))
+            and not _last_char_is_ws(accum)):
+        accum.append(" ")

@@ -225,7 +225,7 @@ class Element(Node):
     def text(self) -> str:
         accum: list[str] = []
         _text_accumulate(self, accum)
-        return "".join(accum).strip()
+        return java_trim("".join(accum))
 
     def own_text(self) -> str:
         accum: list[str] = []
@@ -235,7 +235,7 @@ class Element(Node):
             elif isinstance(child, Element) and child.name == "br":
                 if not _last_char_is_ws(accum):
                     accum.append(" ")
-        return "".join(accum).strip()
+        return java_trim("".join(accum))
 
     def whole_text(self) -> str:
         parts: list[str] = []
@@ -394,14 +394,24 @@ class Document(Element):
             return ""
         accum: list[str] = []
         _append_normalised(accum, t.text())
-        return "".join(accum).strip()
+        return java_trim("".join(accum))
+
+
+def java_trim(s: str) -> str:
+    """Java String.trim(): strips chars <= U+0020 only (NOT \xa0 etc.)."""
+    start = 0
+    end = len(s)
+    while start < end and s[start] <= " ":
+        start += 1
+    while end > start and s[end - 1] <= " ":
+        end -= 1
+    return s[start:end]
 
 
 def resolve_url(base: str, rel: str) -> str:
     """absUrl resolution: absolute rel passes through; else urljoin against
-    base; '' when unresolvable (no/invalid base and relative url)."""
-    if not rel:
-        return ""
+    base; '' when unresolvable (no/invalid base and relative url).
+    Note rel='' resolves to the base itself (java.net.URL behavior)."""
     # already absolute (has a scheme)?
     head = rel.split(":", 1)
     if len(head) == 2 and head[0] and all(
