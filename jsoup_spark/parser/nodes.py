@@ -412,12 +412,13 @@ def resolve_url(base: str, rel: str) -> str:
     """absUrl resolution: absolute rel passes through; else urljoin against
     base; '' when unresolvable (no/invalid base and relative url).
     Note rel='' resolves to the base itself (java.net.URL behavior)."""
-    # already absolute (has a scheme)?
+    # already absolute (has a scheme)? java.net.URL lowercases the scheme
     head = rel.split(":", 1)
     if len(head) == 2 and head[0] and all(
         c.isalnum() or c in "+-." for c in head[0]
     ) and head[0][0].isalpha():
-        return rel
+        scheme = head[0]
+        return rel if scheme.islower() else scheme.lower() + ":" + head[1]
     if not base:
         return ""
     try:

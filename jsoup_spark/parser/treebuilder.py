@@ -352,6 +352,7 @@ class HtmlTreeBuilder:
         el = self._create_element(start, NS_HTML, False)
         self._do_insert(el)
         if start.self_closing:
+            el.flags |= tags.SEEN_SELF_CLOSE
             fl = el.flags
             if fl & tags.VOID:
                 pass  # handled below
@@ -369,6 +370,7 @@ class HtmlTreeBuilder:
         el = self._create_element(start, ns, True)
         self._do_insert(el)
         if start.self_closing:
+            el.flags |= tags.SEEN_SELF_CLOSE  # remembered for xml-mode output
             self.pop()
         return el
 

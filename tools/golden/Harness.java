@@ -69,6 +69,8 @@ public class Harness {
                 return sb.toString();
             }
             case "text": return Jsoup.parse(a1, a2).body().text();
+            case "html": return Jsoup.parse(a1, a2).html();
+            case "bodyhtml": return Jsoup.parse(a1, a2).body().html();
             case "wholetext": return Jsoup.parse(a1).body().wholeText();
             case "title": return Jsoup.parse(a1).title();
             case "select": {
