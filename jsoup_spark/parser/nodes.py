@@ -388,8 +388,16 @@ class Document(Element):
         return self._first("body")
 
     def title(self) -> str:
-        """First <title> text, normalized (Document.java:198)."""
-        t = self._first("title")
+        """First <title> within head, normalized (Document.java:198-202
+        searches head() only)."""
+        head = self.head
+        if head is None:
+            return ""
+        t = None
+        for el in head.elements():
+            if el.name == "title":
+                t = el
+                break
         if t is None:
             return ""
         accum: list[str] = []

@@ -1,0 +1,54 @@
+"""Selector engine equivalence vs golden fixtures."""
+
+from conftest import load_fixture
+
+from jsoup_spark.parser.treebuilder import parse
+from jsoup_spark.select.selector import SelectorParseError, select
+
+SEP1, SEP2 = chr(1), chr(2)
+
+
+def _fmt(els):
+    return SEP2.join(
+        f"{e.name}{SEP1}{e.attr('id')}{SEP1}{e.own_text()}" for e in els)
+
+
+def test_select_curated():
+    fx = load_fixture("golden_select.json")
+    doc = parse(fx["doc"])
+    for case in fx["queries"]:
+        golden = case["out"]
+        try:
+            mine = _fmt(select(doc, case["q"]))
+        except SelectorParseError:
+            assert golden.startswith("!ERROR"), case["q"]
+            continue
+        assert mine == golden, (case["q"], golden[:150], mine[:150])
+
+
+def test_select_fuzz():
+    fx = load_fixture("golden_select.json")
+    parsed = {}
+    bad = 0
+    for case in fx["fuzz"]:
+        d = case["doc"]
+        doc = parsed.get(d)
+        if doc is None:
+            doc = parsed[d] = parse(d)
+        mine = _fmt(select(doc, case["q"]))
+        if mine != case["out"]:
+            bad += 1
+    assert bad == 0, f"{bad} fuzz select mismatches"
+
+
+def test_select_nodes():
+    from jsoup_spark.select.selector import select_nodes
+    doc = parse("<p>one<!--c--><b>two</b></p><script>d()</script>")
+    texts = select_nodes(doc, "::text")
+    assert [t.value for t in texts] == ["one", "two"]
+    comments = select_nodes(doc, "::comment")
+    assert [c.value for c in comments] == ["c"]
+    datas = select_nodes(doc, "::data")
+    assert [d.value for d in datas] == ["d()"]
+    hits = select_nodes(doc, "::text:contains(two)")
+    assert [t.value for t in hits] == ["two"]
