@@ -1,38 +1,430 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries come in three families, all built on jsoup_spark:
+
+* extraction (parser-gated): the corpus synthesizer builds deterministic
+  HTML from the `documents` table with Catalyst expressions; the extraction
+  pipeline (WHATWG parse → span emit → select → clean) runs in mapInPandas;
+  the DuckDB oracle recomputes the expected outputs symbolically. An oracle
+  match therefore certifies the whole tokenizer/tree-builder/text/selector/
+  cleaner stack end to end.
+* text analysis / dedup: Catalyst-only operators whose hashes (md5-hex) are
+  identical across Spark and DuckDB.
+* similarity: brute-force + IVF ANN over `embeddings` (cosine rounded to 6
+  decimals for cross-engine stability).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from jsoup_spark.operators import dedup, similarity, textstats
+from jsoup_spark.operators.pipeline import (
+    clean_stage, extract_stage, select_stage, spans_to_rows,
+)
+from jsoup_spark.sources.corpus import synthesize
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthesize(_documents(spark, sf_dir))
+
+
+# SQL fragment: the heavy-tail repeat factor + repeated body (mirrors
+# jsoup_spark.sources.corpus.body_repeat_expr exactly)
+_REP_SQL = ("CASE WHEN doc_id % 97 = 0 THEN 32 WHEN doc_id % 31 = 0 THEN 16 "
+            "WHEN doc_id % 7 = 0 THEN 4 ELSE 1 END")
+_BODY_SQL = f"rtrim(repeat(text || ' ', {_REP_SQL}))"
+
+
+# ------------------------------------------------------------ extraction
+
+def q_extract_title(spark, sf_dir):
+    ext = extract_stage(_corpus(spark, sf_dir))
+    rows = spans_to_rows(ext).filter(F.col("kind") == "title")
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("title"),
+    )
+
+
+def q_extract_text(spark, sf_dir):
+    ext = extract_stage(_corpus(spark, sf_dir))
+    rows = spans_to_rows(ext).filter(
+        (F.col("kind") == "text") & (F.col("order") == 1))
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("body_text"),
+    )
+
+
+def q_extract_spans(spark, sf_dir):
+    """Full span-sequence equality — the BASELINE.json per-row invariant."""
+    ext = extract_stage(_corpus(spark, sf_dir))
+    rows = spans_to_rows(ext)
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("order").cast("int").alias("ord"),
+        F.col("kind").alias("kind"),
+        F.col("text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+
+
+def q_extract_media(spark, sf_dir):
+    ext = extract_stage(_corpus(spark, sf_dir))
+    rows = spans_to_rows(ext).filter(F.col("kind") == "media")
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("order").cast("int").alias("ord"),
+        F.col("media_ref").alias("media_ref"),
+        F.col("text").alias("alt_text"),
+    )
+
+
+def q_select_article_p(spark, sf_dir):
+    sel = select_stage(_corpus(spark, sf_dir), "div.article > p")
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tag").alias("tag"),
+        F.col("text").alias("p_text"),
+    )
+
+
+def q_select_by_class(spark, sf_dir):
+    """Selector lowered to a per-doc existence check: docs whose main div
+    carries the 'es' class."""
+    sel = select_stage(_corpus(spark, sf_dir), "div#main.es")
+    return sel.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_select_nth_li(spark, sf_dir):
+    sel = select_stage(_corpus(spark, sf_dir), "ul > li:nth-child(2)")
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("own_text").alias("second_li"),
+    )
+
+
+def q_select_has(spark, sf_dir):
+    """Structural :has() — every doc has a script inside #main."""
+    sel = select_stage(_corpus(spark, sf_dir), "div:has(> script)")
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("el_id").alias("el_id"),
+    )
+
+
+def q_clean_basic(spark, sf_dir):
+    cl = clean_stage(_corpus(spark, sf_dir), "basic")
+    return cl.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("clean_text").alias("clean_text"),
+        F.col("num_discarded").cast("int").alias("num_discarded"),
+    )
+
+
+def q_extract_metrics(spark, sf_dir):
+    """Corpus-level lineage counters (docs, parse errors, spans)."""
+    ext = extract_stage(_corpus(spark, sf_dir))
+    return ext.agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_parse_errors").cast("long").alias("parse_errors"),
+        F.sum("n_spans").cast("long").alias("spans_out"),
+    )
+
+
+# ------------------------------------------------------------ text stats
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_documents(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_score(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_documents(spark, sf_dir))
+
+
+# ------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_documents(spark, sf_dir))
+
+
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(_documents(spark, sf_dir))
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return dedup.minhash_lsh_buckets(_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_documents(spark, sf_dir))
+
+
+def q_embed_neardup(spark, sf_dir):
+    return dedup.embedding_near_dup(_embeddings(spark, sf_dir), threshold=-1.0)
+
+
+# ------------------------------------------------------------ similarity
+
+def q_ann_brute(spark, sf_dir):
+    return similarity.brute_force_topk(_embeddings(spark, sf_dir))
+
+
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ivf_topk(_embeddings(spark, sf_dir))
+
+
+# ------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on sf0.001 -> flat span table."""
+    return q_extract_spans(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_title": q_extract_title,
+        "extract_text": q_extract_text,
+        "extract_spans": q_extract_spans,
+        "extract_media": q_extract_media,
+        "extract_metrics": q_extract_metrics,
+        "select_article_p": q_select_article_p,
+        "select_by_class": q_select_by_class,
+        "select_nth_li": q_select_nth_li,
+        "select_has": q_select_has,
+        "clean_basic": q_clean_basic,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash": q_minhash,
+        "lsh_buckets": q_lsh_buckets,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embed_neardup": q_embed_neardup,
+        "ann_brute": q_ann_brute,
+        "ann_ivf": q_ann_ivf,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = "('the','a','of','and','to','in','is','on','for','with')"
+
+_SHINGLE_SQL = """
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        list_transform(range(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])
+    ELSE [text] END
+"""
+
+
+def _mh_sql(p: int) -> str:
+    return (f"list_min(list_transform({_SHINGLE_SQL}, "
+            f"s -> md5(s || ':{p}')))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    spans_union = f"""
+        WITH d AS (
+          SELECT doc_id, text, lang, source, {_BODY_SQL} AS body
+          FROM documents
+        )
+        SELECT doc_id, 0 AS ord, 'title' AS kind,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS text, '' AS media_ref FROM d
+        UNION ALL
+        SELECT doc_id, 1, 'text', body, '' FROM d
+        UNION ALL
+        SELECT doc_id, 2, 'media', 'fig ' || CAST(doc_id AS VARCHAR),
+               'http://corpus.example/docs/img/' || CAST(doc_id AS VARCHAR) || '.png' FROM d
+        UNION ALL
+        SELECT doc_id, 3, 'text', source || ' ' || lang, '' FROM d
+        UNION ALL
+        SELECT doc_id, 4, 'data', 'track(''' || CAST(doc_id AS VARCHAR) || ''');', '' FROM d
+        UNION ALL
+        SELECT doc_id, 5, 'media', 'standalone media for ' || CAST(doc_id AS VARCHAR),
+               'http://img.example/' || CAST(doc_id AS VARCHAR) || '/cover.jpg' FROM d
     """
-    return {}
+    return {
+        "extract_title": (
+            "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title "
+            "FROM documents"),
+        "extract_text": (
+            f"SELECT doc_id, {_BODY_SQL} AS body_text FROM documents"),
+        "extract_spans": spans_union,
+        "extract_media": f"""
+            SELECT doc_id, ord, media_ref, text AS alt_text
+            FROM ({spans_union}) WHERE kind = 'media'""",
+        "extract_metrics": (
+            "SELECT count(*)::BIGINT AS docs, 0::BIGINT AS parse_errors, "
+            "(count(*) * 6)::BIGINT AS spans_out FROM documents"),
+        "select_article_p": (
+            f"SELECT doc_id, 'p' AS tag, {_BODY_SQL} AS p_text FROM documents"),
+        "select_by_class": (
+            "SELECT doc_id FROM documents WHERE lang = 'es'"),
+        "select_nth_li": (
+            "SELECT doc_id, lang AS second_li FROM documents"),
+        "select_has": (
+            "SELECT doc_id, 'main' AS el_id FROM documents"),
+        "clean_basic": (
+            f"SELECT doc_id, {_BODY_SQL} || ' ' || source || ' ' || lang "
+            "AS clean_text, 4 AS num_discarded FROM documents"),
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subtokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+            FROM documents""",
+        "quality": f"""
+            WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+                       FROM documents)
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   round(len(list_filter(ws, x -> x IN {_STOP_SQL})) * 1.0
+                         / len(ws), 6) AS stopword_ratio,
+                   round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+                       AS dup_ratio,
+                   CASE WHEN n_chars >= 20 AND n_chars <= 100000
+                             AND len(list_filter(ws, x -> x IN {_STOP_SQL})) > 0
+                        THEN 1 ELSE 0 END AS quality_ok
+            FROM w""",
+        "lang_id": """
+            WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                       FROM documents),
+            scored AS (
+              SELECT doc_id, lang,
+                list_max([
+                  {'score': len(list_filter(ws, x -> x IN ('der','die','und'))), 'lang': 'de'},
+                  {'score': len(list_filter(ws, x -> x IN ('the','and','of'))), 'lang': 'en'},
+                  {'score': len(list_filter(ws, x -> x IN ('el','la','de'))), 'lang': 'es'},
+                  {'score': len(list_filter(ws, x -> x IN ('le','la','et'))), 'lang': 'fr'}
+                ]) AS best
+              FROM w)
+            SELECT doc_id, best.lang AS pred_lang, best.score AS pred_score,
+                   lang AS labeled_lang
+            FROM scored""",
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS text_md5,
+                   md5(substr(text, 1, 64)) AS prefix_md5,
+                   md5(CASE WHEN len(string_split(text,' ')) >= 3
+                        THEN string_split(text,' ')[1] || ' ' ||
+                             string_split(text,' ')[2] || ' ' ||
+                             string_split(text,' ')[3]
+                        ELSE text END) AS shingle3_md5
+            FROM documents""",
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1""",
+        "minhash": f"""
+            SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+                   {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+            FROM documents""",
+        "lsh_buckets": f"""
+            WITH sig AS (
+              SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+                     {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+              FROM documents),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig)
+            SELECT band, band_key, count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM bands GROUP BY 1, 2 HAVING count(*) > 1""",
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct({_SHINGLE_SQL}) AS sh,
+                     md5({_mh_sql(0)} || '|' || {_mh_sql(1)}) AS band_key
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "embed_neardup": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding[1:8],
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                         'string_agg', '') AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                       AS cosine
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                        / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                           * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                  >= -1.0""",
+        "ann_brute": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     round(list_inner_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+                           / (sqrt(list_inner_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+                              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+                         AS cosine
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id),
+            ranked AS (
+              SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, vec_id ASC)
+                         AS rank
+              FROM scored)
+            SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10""",
+        "ann_ivf": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding[1:6],
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                         'string_agg', '') AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+                  FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     round(list_inner_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+                           / (sqrt(list_inner_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+                              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+                         AS cosine
+              FROM e JOIN q ON e.bucket = q.q_bucket
+              WHERE e.vec_id != q.q_id),
+            ranked AS (
+              SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, vec_id ASC)
+                         AS rank
+              FROM scored)
+            SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10""",
+        # simhash: Spark's conv(hex) has no exact portable DuckDB twin in
+        # this container; driver records a rows-only check.
+    }

@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "docs_per_sec_extraction", "value": N, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...}
+
+Scaling mode (the north rule's N→4N proxy):
+  python bench.py --scaling      # runs extraction at local[8] and local[32]
+                                 # in separate JVMs, reports both throughputs
+                                 # + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def make_spark(cpus: str):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName("jsoup_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .getOrCreate()
+    )
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def run_extraction(spark, sf_dir: str) -> tuple[float, int]:
+    """Headline: full parse+extract over the synthesized corpus."""
+    from jsoup_spark.operators.pipeline import extract_stage
+    from jsoup_spark.sources.corpus import synthesize
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = synthesize(docs)
+    t0 = time.time()
+    n = extract_stage(corpus).count()
+    return time.time() - t0, n
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as mod
+    qs = mod.queries()
+    out: dict[str, float] = {}
+    for name in ("extract_spans", "select_article_p", "clean_basic",
+                 "token_count", "quality", "lang_id", "fingerprint",
+                 "dedup_exact", "minhash", "lsh_buckets", "simhash",
+                 "ann_brute", "ann_ivf"):
+        t0 = time.time()
+        _count(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench() -> None:
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up the JVM + python workers on a small slice
+    run_extraction(spark, "/root/testdata/sf0.001")
+    wall, n_docs = run_extraction(spark, SF_DIR)
+    queries = run_queries(spark, SF_DIR)
+    sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else None)
+    print(json.dumps({
+        "metric": "docs_per_sec_extraction",
+        "value": round(n_docs / wall, 2),
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": sf,
+        "docs": n_docs,
+        "extract_wall_sec": round(wall, 3),
+        "cpus": int(CPUS),
+    }))
+
+
+def child_throughput(cpus: str) -> dict:
+    """Run extraction in a fresh JVM at the given parallelism."""
+    code = (
+        "import sys, json, time; sys.path.insert(0, %r);"
+        "import bench;"
+        "spark = bench.make_spark(%r); spark.sparkContext.setLogLevel('ERROR');"
+        "bench.run_extraction(spark, '/root/testdata/sf0.001');"
+        "w, n = bench.run_extraction(spark, %r);"
+        "w2, _ = bench.run_extraction(spark, %r);"
+        "print(json.dumps({'cpus': int(%r), 'docs': n,"
+        " 'wall': min(w, w2), 'docs_per_sec': n / min(w, w2)}))"
+    ) % (REPO, cpus, SF_DIR, SF_DIR, cpus)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, check=True)
+    return json.loads(r.stdout.strip().split("\n")[-1])
+
+
+def main_scaling() -> None:
+    lo = child_throughput("8")
+    hi = child_throughput("32")
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low": lo,
+        "high": hi,
+        "sf_dir": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

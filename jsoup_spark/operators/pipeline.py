@@ -1,0 +1,221 @@
+"""The extraction pipeline: tokenize → tree-build → extract → spans.
+
+Spark-first layering:
+* plan-level stages (reassembly, bucketing, joins, aggregation) are pure
+  Catalyst expressions;
+* the per-document algorithms (WHATWG parse, selector eval, cleaning) run
+  inside ``mapInPandas`` over Arrow batches — batched, never row-at-a-time
+  Python UDFs.
+
+Scale design (north rule):
+* ``bucket_by_size`` range-partitions on html length so a handful of
+  100MB documents can't straggle one partition (heavy-tail skew);
+* Arrow batch size is the backstop for memory (one batch of giant docs
+  stays bounded via spark.sql.execution.arrow.maxRecordsPerBatch);
+* every batch also yields per-partition metric counters (docs, bytes,
+  parse errors) that the caller can aggregate and checkpoint for lineage;
+* resume is an anti-join of input doc_ids against the checkpointed output
+  (see sinks.checkpoint / sinks.remaining).
+
+Output span contract (per-row invariant, BASELINE.json):
+  spans = [title?] ++ walk(html)   where walk emits text/media/data spans
+  ++ input spans with kind='media' (doc-level attachments, offset order).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import schemas
+from ..clean import safelist as safelist_mod
+from ..clean.cleaner import clean_document
+from ..clean.serializer import inner_html
+from ..extract.spans import extract_spans
+from ..parser.treebuilder import HtmlTreeBuilder
+from ..select.selector import compile_query, select
+from ..sources.corpus import assemble_html
+
+# ---------------------------------------------------------------- bucketing
+
+
+def bucket_by_size(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Range-partition docs by html length so giant docs spread evenly.
+
+    At 100TB this is the skew lever: the shuffle key is (size_class, salt),
+    keeping each partition's total bytes comparable instead of its row
+    count (SURVEY §4.3)."""
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    salted = df.withColumn(
+        "_size_class",
+        F.ceil(F.log2(F.greatest(F.col("html_len"), F.lit(1)))).cast("int"),
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
+    )
+    out = salted.repartitionByRange(partitions, "_size_class", "_salt")
+    return out.drop("_size_class", "_salt")
+
+
+# ---------------------------------------------------------------- extract
+
+def _parse_doc(html: str, base_uri: str):
+    tb = HtmlTreeBuilder()
+    doc = tb.parse(html, base_uri)
+    return doc
+
+
+def extract_stage(docs: DataFrame, *, bucket: bool = True) -> DataFrame:
+    """Interleaved span table -> extracted span table (+ per-doc metrics).
+
+    Input: (doc_id, spans) per schemas.DOC_IN. Output: schemas.EXTRACT_OUT.
+    """
+    # keep the input media spans (doc-level attachments) alongside the html
+    media_in = F.array_sort(
+        F.filter(F.col("spans"), lambda s: s["kind"] == "media"),
+        lambda a, b: a["offset"] - b["offset"],
+    )
+    prepared = assemble_html(docs).join(
+        docs.select("doc_id", media_in.alias("_media_in")), "doc_id"
+    )
+    if bucket:
+        prepared = bucket_by_size(prepared)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_spans, out_n, out_err, out_bytes = [], [], [], [], []
+            for doc_id, html, base_uri, media_in_rows in zip(
+                    pdf["doc_id"], pdf["html"], pdf["base_uri"], pdf["_media_in"]):
+                doc = _parse_doc(html, base_uri)
+                spans = extract_spans(doc)
+                order = len(spans)
+                extra = []
+                for m in media_in_rows:
+                    extra.append((
+                        "media", m["text"] or "", m["media_ref"] or "", order))
+                    order += 1
+                spans = spans + extra
+                out_ids.append(doc_id)
+                out_spans.append(spans)
+                out_n.append(len(spans))
+                out_err.append(len(doc.errors))
+                out_bytes.append(len(html))
+            yield pd.DataFrame({
+                "doc_id": out_ids,
+                "spans": out_spans,
+                "n_spans": pd.array(out_n, dtype="int32"),
+                "n_parse_errors": pd.array(out_err, dtype="int32"),
+                "bytes_tokenized": pd.array(out_bytes, dtype="int64"),
+            })
+
+    return prepared.mapInPandas(run, schema=schemas.EXTRACT_OUT)
+
+
+def partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage counters (north rule metrics/lineage rows)."""
+    return (
+        extracted
+        .withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("bytes_tokenized").alias("bytes_tokenized"),
+            F.sum("n_parse_errors").alias("parse_errors"),
+            F.sum("n_spans").alias("spans_out"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- select
+
+def select_stage(docs: DataFrame, query: str, *, bucket: bool = False,
+                 first_only: bool = False) -> DataFrame:
+    """CSS-select over each document; one output row per match.
+
+    The query is compiled once per executor batch (cost-ordered evaluator
+    tree, SURVEY §2.c) and evaluated over the per-doc DOM.
+    """
+    compile_query(query)  # fail fast on driver for bad queries
+    prepared = assemble_html(docs)
+    if bucket:
+        prepared = bucket_by_size(prepared)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ev = compile_query(query)
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "match_idx", "tag", "el_id", "own_text",
+                     "text", "attrs")}
+            for doc_id, html, base_uri in zip(
+                    pdf["doc_id"], pdf["html"], pdf["base_uri"]):
+                doc = _parse_doc(html, base_uri)
+                matches = select(doc, ev)
+                if first_only:
+                    matches = matches[:1]
+                for i, el in enumerate(matches):
+                    rows["doc_id"].append(doc_id)
+                    rows["match_idx"].append(i)
+                    rows["tag"].append(el.name)
+                    rows["el_id"].append(el.attr("id"))
+                    rows["own_text"].append(el.own_text())
+                    rows["text"].append(el.text())
+                    rows["attrs"].append(
+                        {k: (v if v is not None else "")
+                         for k, v in el.attrs.items()})
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["match_idx"] = pdf_out["match_idx"].astype("int32")
+            yield pdf_out
+
+    return prepared.mapInPandas(run, schema=schemas.SELECT_OUT)
+
+
+# ---------------------------------------------------------------- clean
+
+def clean_stage(docs: DataFrame, safelist_name: str = "basic",
+                pretty: bool = True) -> DataFrame:
+    """Safelist-clean each document; emits cleaned html + text + counters."""
+    if safelist_name not in safelist_mod.PRESETS:
+        raise ValueError(f"unknown safelist {safelist_name!r}")
+    prepared = assemble_html(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sl = safelist_mod.PRESETS[safelist_name]()
+        from ..clean.serializer import DEFAULT, OutputSettings
+        settings = DEFAULT if pretty else OutputSettings(pretty=False)
+        for pdf in batches:
+            ids, htmls, texts, discarded = [], [], [], []
+            for doc_id, html, base_uri in zip(
+                    pdf["doc_id"], pdf["html"], pdf["base_uri"]):
+                doc = _parse_doc(html, base_uri)
+                result = clean_document(doc, sl)
+                body = result.doc.body
+                ids.append(doc_id)
+                htmls.append(inner_html(body, settings) if body is not None else "")
+                texts.append(body.text() if body is not None else "")
+                discarded.append(result.num_discarded)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "clean_html": htmls,
+                "clean_text": texts,
+                "num_discarded": pd.array(discarded, dtype="int32"),
+            })
+
+    return prepared.mapInPandas(run, schema=schemas.CLEAN_OUT)
+
+
+# ---------------------------------------------------------------- helpers
+
+def spans_to_rows(extracted: DataFrame) -> DataFrame:
+    """Explode span arrays into a flat span table (doc_id, kind, text,
+    media_ref, order) — the relational surface for downstream SQL."""
+    return extracted.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("order"),
+    )

@@ -1,0 +1,98 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot paths are Catalyst expressions (JVM-side, whole-stage codegen) —
+no Python UDFs. Each operator's semantics are deliberately expressible in
+portable SQL so the DuckDB oracles can recompute them exactly:
+language-ID uses marker-word counts, quality scoring uses length/stopword/
+dup ratios, fingerprinting uses md5 (identical hex output across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# shared word lists (mirrored verbatim in __spark_entry__ oracle SQL)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_words", F.split(F.col(text_col), " "))
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish sub-token estimate (chars/4 heuristic,
+    common for budget accounting)."""
+    d = with_words(documents)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("_words").alias("n_tokens"),
+        F.ceil(F.length("text") / F.lit(4)).cast("long").alias("n_subtokens"),
+        F.size(F.array_distinct("_words")).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / stopword-ratio / duplication heuristics (Gopher-style rules
+    reduced to the columns available)."""
+    d = with_words(documents)
+    n_words = F.size("_words")
+    n_stop = F.size(F.filter("_words", lambda w: w.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("_words"))
+    stop_ratio = F.round(n_stop.cast("double") / n_words, 6)
+    dup_ratio = F.round(F.lit(1.0) - n_distinct.cast("double") / n_words, 6)
+    length_ok = (F.col("n_chars") >= 20) & (F.col("n_chars") <= 100000)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.alias("n_words"),
+        stop_ratio.alias("stopword_ratio"),
+        dup_ratio.alias("dup_ratio"),
+        (length_ok & (stop_ratio > 0.0)).cast("int").alias("quality_ok"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language scores; predicted = argmax with deterministic
+    tie-break on language code."""
+    d = with_words(documents)
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        scores.append(
+            F.struct(
+                F.size(F.filter("_words", lambda w: w.isin(*markers)))
+                .alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max by (score, lang) — ties resolve to lexicographically LAST lang,
+    # mirrored in the oracle
+    best = F.array_max(F.array(*scores))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("pred_score"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprints: full-text md5, first-64-char prefix hash, and
+    a word-shingle hash (first 3-gram) — building blocks for exact and
+    near dedup."""
+    d = with_words(documents)
+    w = F.col("_words")
+    first3 = F.when(
+        F.size(w) >= 3,
+        F.concat_ws(" ", w[0], w[1], w[2]),
+    ).otherwise(F.col("text"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_md5"),
+        F.md5(first3).alias("shingle3_md5"),
+    )
