@@ -131,6 +131,18 @@ class XmlDeclNode(LeafNode):
         self.attrs = attrs if attrs is not None else {}
         self.is_declaration = is_declaration
 
+    def whole_decl(self) -> str:
+        # attributes only — the name is not part of the declaration body
+        parts = []
+        for k, v in self.attrs.items():
+            if v is None:
+                parts.append(k)
+            else:
+                esc = (v.replace("&", "&amp;").replace('"', "&quot;")
+                       .replace("\xa0", "&nbsp;"))
+                parts.append(f'{k}="{esc}"')
+        return " ".join(parts)
+
 
 class Element(Node):
     __slots__ = ("name", "ns", "attrs", "children", "flags", "tag_name_case")

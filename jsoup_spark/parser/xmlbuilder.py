@@ -1,0 +1,117 @@
+"""XML tree builder.
+
+Flat, HTML-semantics-free tree construction (reference:
+parser/XmlTreeBuilder.java:100-260): case-preserved tag/attr names,
+xmlns-stack namespace resolution, self-closing pops, end tags close the
+nearest matching open element (ignored if none), CDATA/comments/doctype/
+xml-declarations as leaf nodes, unlimited depth.
+"""
+
+from __future__ import annotations
+
+from . import tokenizer as tz
+from .nodes import (
+    CDataNode, CommentNode, DataNode, DoctypeNode, Document, Element,
+    TextNode, XmlDeclNode,
+)
+from .tags import NS_XML
+
+
+class XmlTreeBuilder:
+    def __init__(self):
+        self.doc: Document | None = None
+        self.stack: list[Element] = []
+        self.ns_stack: list[dict[str, str]] = [{"": NS_XML}]
+        self.tok: tz.Tokeniser | None = None
+
+    def parse(self, xml: str, base_uri: str = "") -> Document:
+        self.doc = Document(base_uri)
+        self.doc.parse_mode = "xml"
+        self.tok = tz.Tokeniser(xml, "xml", self.doc.errors)
+        self.tok.cdata_allowed = lambda: True
+        while True:
+            token = self.tok.read()
+            tt = token.type
+            if tt == tz.T_EOF:
+                break
+            if tt == tz.T_START:
+                self._insert_element(token)
+            elif tt == tz.T_END:
+                self._pop_to_close(token)
+            elif tt == tz.T_COMMENT:
+                self._cur().append(CommentNode(token.data))
+            elif tt in (tz.T_CHAR, tz.T_CDATA):
+                self._insert_character(token)
+            elif tt == tz.T_DOCTYPE:
+                self._cur().append(DoctypeNode(
+                    token.name, token.public_id, token.system_id))
+            elif tt == tz.T_XMLDECL:
+                attrs = self._finalize_attrs(token.attrs)
+                self._cur().append(XmlDeclNode(
+                    token.name, attrs, token.is_declaration))
+        return self.doc
+
+    def _cur(self) -> Element:
+        return self.stack[-1] if self.stack else self.doc
+
+    @staticmethod
+    def _finalize_attrs(attrs) -> dict:
+        out: dict = {}
+        if attrs:
+            for k, v in attrs:  # case-sensitive first-wins dedupe
+                if k not in out:
+                    out[k] = v
+        return out
+
+    def _insert_element(self, start) -> None:
+        namespaces = dict(self.ns_stack[-1])
+        self.ns_stack.append(namespaces)
+        attrs = self._finalize_attrs(start.attrs)
+        for k, v in attrs.items():
+            if k == "xmlns":
+                namespaces[""] = v or ""
+            elif k.startswith("xmlns:"):
+                namespaces[k[6:]] = v or ""
+        name = start.name  # case preserved
+        ns = namespaces.get("", NS_XML)
+        if ":" in name:
+            prefix = name.split(":", 1)[0]
+            if prefix in namespaces:
+                ns = namespaces[prefix]
+        el = Element(name.lower(), ns, attrs)
+        el.tag_name_case = name
+        el.flags = 0
+        self._cur().append(el)
+        self.stack.append(el)
+        if start.self_closing:
+            from . import tags as _t
+            el.flags |= _t.SEEN_SELF_CLOSE
+            self._pop()
+
+    def _pop(self) -> None:
+        self.ns_stack.pop()
+        self.stack.pop()
+
+    def _pop_to_close(self, end) -> None:
+        # pop to remove the nearest open element of this name; if none, no-op
+        name = end.name
+        target = None
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag_name_case == name:
+                target = i
+                break
+        if target is None:
+            return
+        while len(self.stack) > target:
+            self._pop()
+
+    def _insert_character(self, token) -> None:
+        if token.type == tz.T_CDATA:
+            node = CDataNode(token.data)
+        else:
+            node = TextNode(token.data)
+        self._cur().append(node)
+
+
+def parse_xml(xml: str, base_uri: str = "") -> Document:
+    return XmlTreeBuilder().parse(xml, base_uri)

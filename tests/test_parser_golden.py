@@ -48,3 +48,14 @@ def test_wild_corpus_hashes():
         text = body.text() if body is not None else ""
         text_sha = hashlib.sha256(text.encode()).hexdigest()
         assert text_sha == case["text_sha"], path
+
+
+def test_xml_golden():
+    from jsoup_spark.parser.xmlbuilder import parse_xml
+    cases = load_fixture("golden_xml.json")
+    bad = 0
+    for case in cases:
+        mine = canonical(parse_xml(case["xml"]))
+        if mine != case["tree"]:
+            bad += 1
+    assert bad == 0, f"{bad} xml tree mismatches"

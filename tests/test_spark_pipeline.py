@@ -1,0 +1,158 @@
+"""Spark-layer tests: corpus synth, extraction, select, clean, dedup, ANN,
+multimodal plumbing, checkpoint/resume, streaming."""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _corpus(spark):
+    from jsoup_spark.sources.corpus import synthesize
+    return synthesize(_docs(spark))
+
+
+def test_extract_stage_matches_local_engine(spark):
+    """The distributed pipeline must equal a driver-side run of the same
+    engine on the same reassembled HTML."""
+    from jsoup_spark.extract.spans import extract_spans
+    from jsoup_spark.operators.pipeline import extract_stage
+    from jsoup_spark.parser.treebuilder import parse
+    from jsoup_spark.sources.corpus import assemble_html
+
+    corpus = _corpus(spark).limit(30).cache()
+    got = {r["doc_id"]: r for r in extract_stage(corpus).collect()}
+    local = assemble_html(corpus).collect()
+    assert len(got) == len(local)
+    for row in local:
+        doc = parse(row["html"], row["base_uri"])
+        expected = extract_spans(doc)
+        actual = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                  for s in got[row["doc_id"]]["spans"]]
+        # pipeline appends input media spans after the walk
+        assert actual[:len(expected)] == expected
+        assert all(k == "media" for k, *_ in actual[len(expected):])
+
+
+def test_extract_plan_is_catalyst_first(spark):
+    """Reassembly must stay in Catalyst (no Python) and scan only needed
+    columns; the only Python boundary is the single mapInPandas."""
+    from jsoup_spark.operators.pipeline import extract_stage
+    plan = extract_stage(_corpus(spark), bucket=True)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python udfs
+
+
+def test_bucketing_spreads_giants(spark):
+    from jsoup_spark.operators.pipeline import bucket_by_size
+    from jsoup_spark.sources.corpus import assemble_html
+    prepared = bucket_by_size(assemble_html(_corpus(spark)), partitions=8)
+    per_part = (prepared.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").agg(F.sum("html_len").alias("bytes"))
+                .collect())
+    sizes = [r["bytes"] for r in per_part]
+    assert len(sizes) > 1
+    # no partition should hold the entire corpus
+    assert max(sizes) < sum(sizes)
+
+
+def test_select_and_clean_stages(spark):
+    from jsoup_spark.operators.pipeline import clean_stage, select_stage
+    corpus = _corpus(spark).limit(20).cache()
+    sel = select_stage(corpus, "ul > li:nth-child(2)").collect()
+    docs = {str(r["doc_id"]): r for r in _docs(spark).limit(20).collect()}
+    for r in sel:
+        assert r["own_text"] == docs[r["doc_id"]]["lang"]
+    cl = clean_stage(corpus, "simpleText").collect()
+    for r in cl:
+        assert "<script" not in r["clean_html"]
+        assert r["num_discarded"] > 0
+
+
+def test_metrics_lineage(spark):
+    from jsoup_spark.operators.pipeline import extract_stage, partition_metrics
+    ext = extract_stage(_corpus(spark).limit(50))
+    m = partition_metrics(ext).agg(
+        F.sum("docs").alias("docs"),
+        F.sum("parse_errors").alias("errs")).collect()[0]
+    assert m["docs"] == 50
+    assert m["errs"] == 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from jsoup_spark.operators.pipeline import extract_stage
+    from jsoup_spark.sources import sinks
+    corpus = _corpus(spark).limit(40).cache()
+    ckpt = str(tmp_path / "ckpt")
+    # first run: half the corpus
+    first = extract_stage(corpus.filter(F.col("doc_id").cast("long") < 20))
+    sinks.checkpoint(first, ckpt)
+    # resume: only the unprocessed docs remain
+    todo = sinks.remaining(corpus, ckpt)
+    ids = {r["doc_id"] for r in todo.select("doc_id").collect()}
+    assert len(ids) == 20
+    assert all(int(i) >= 20 for i in ids)
+    sinks.checkpoint(extract_stage(todo), ckpt)
+    done = spark.read.parquet(ckpt)
+    assert done.select("doc_id").distinct().count() == 40
+
+
+def test_dedup_ops(spark):
+    from jsoup_spark.operators import dedup
+    docs = _docs(spark)
+    # exact dedup: all docs unique in the synthetic corpus
+    groups = dedup.exact_dedup(docs)
+    assert groups.count() == docs.count()
+    sig = dedup.minhash_signatures(docs).collect()
+    assert all(len(r["mh0"]) == 32 for r in sig)
+    sh = dedup.simhash(docs).collect()
+    assert all(0 <= r["simhash"] < (1 << 16) for r in sh)
+
+
+def test_ann(spark):
+    from jsoup_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    topk = similarity.brute_force_topk(emb, n_queries=2, k=5).collect()
+    assert len(topk) == 10
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["q_id"], []).append(r["cosine"])
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
+    ivf = similarity.ivf_topk(emb, n_queries=2, k=5).collect()
+    assert len(ivf) <= 10
+    # IVF results are a subset of brute-force candidates scores-wise
+    brute = {(r["q_id"], r["vec_id"]): r["cosine"] for r in topk}
+
+
+def test_multimodal_plumbing(spark):
+    import pytest
+    from jsoup_spark.operators import multimodal
+    corpus = _corpus(spark).limit(10)
+    media = multimodal.synthesize_media(corpus)
+    decoded = multimodal.decode_stage(media, fake=True).collect()
+    assert len(decoded) == 10
+    for r in decoded:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert len(r["feature"]) == 8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x", fake=False)
+
+
+def test_streaming_extraction(spark, tmp_path):
+    from jsoup_spark.streaming.stream import read_span_stream, run_to_parquet
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _corpus(spark).limit(25).write.parquet(src)
+    q = run_to_parquet(read_span_stream(spark, src), out, ck)
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    assert result.count() == 25
+    assert result.agg(F.sum("n_parse_errors")).collect()[0][0] == 0

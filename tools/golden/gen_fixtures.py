@@ -308,6 +308,36 @@ CLEAN_CASES = [
     ("<img src='//proto-relative/x.png'>", "basicWithImages"),
 ]
 
+XML_CASES = [
+    "<?xml version='1.0' encoding='UTF-8'?><root><a href='x'>one</a></root>",
+    "<root xmlns='http://ns1/'><child xmlns:p='http://p/'><p:item k='v'/></child></root>",
+    "<doc><![CDATA[raw <>& data]]></doc>",
+    "<a><b><c>deep</c></b></a>",
+    "<a><b>unclosed",
+    "<a/><b/>",
+    "<MixedCase Attr='V'/>",
+    "<!DOCTYPE root SYSTEM 'sys'><root/>",
+    "<root><!-- comment --><?pi target?></root>",
+    "<x>text &amp; entity &lt;</x>",
+    "<a><b></c></b></a>",
+    "<script>not rawtext in xml<b/></script>",
+    "<a b='1' B='2'/>",
+    "<r>pre</r>post",
+    "<select><option>keep structure</option></select>",
+]
+
+
+def xml_fuzz() -> list[str]:
+    rng = random.Random(66)
+    atoms = ["<a>", "</a>", "<b k='v'>", "</b>", "<c/>", "text",
+             "<?xml version='1.0'?>", "<![CDATA[cd]]>", "<!-- c -->",
+             "&amp;", "<NS:tag xmlns:NS='http://n/'>", "</NS:tag>",
+             "<!DOCTYPE r>", "<?pi x?>", "<d a='1' b=\"2\">", "</d>",
+             "<e xmlns='http://def/'>", "</e>", "&#65;", "<f", ">", "</", "<"]
+    return ["".join(rng.choice(atoms) for _ in range(rng.randint(2, 25)))
+            for _ in range(300)]
+
+
 FRAGMENT_CASES = [
     ("<li>one<li>two", "ul"),
     ("<td>cell</td>", "tr"),
@@ -348,6 +378,8 @@ def main() -> None:
     ops += [("clean", h, p) for h, p in CLEAN_CASES]
     ops += [("bodyhtml", h, "") for h in struct]
     ops += [("fragtree", h, ctx) for h, ctx in FRAGMENT_CASES]
+    xml_inputs = XML_CASES + xml_fuzz()
+    ops += [("xmltree", h, "") for h in xml_inputs]
 
     results = run_harness(cp, ops)
     i = 0
@@ -368,6 +400,7 @@ def main() -> None:
     clean_gold = take(len(CLEAN_CASES))
     bodyhtml_gold = take(len(struct))
     frag_gold = take(len(FRAGMENT_CASES))
+    xml_gold = take(len(xml_inputs))
     assert i == len(results)
 
     def dump(name, obj):
@@ -400,6 +433,8 @@ def main() -> None:
     dump("golden_fragment.json", [
         {"html": h, "context": c, "tree": g}
         for (h, c), g in zip(FRAGMENT_CASES, frag_gold)])
+    dump("golden_xml.json", [
+        {"xml": h, "tree": g} for h, g in zip(xml_inputs, xml_gold)])
 
     # wild corpus: hashes only (content stays in the reference tree)
     wild = []
