@@ -47,12 +47,30 @@ def _count(df) -> int:
     return df.count()
 
 
-def run_extraction(spark, sf_dir: str) -> tuple[float, int]:
-    """Headline: full parse+extract over the synthesized corpus."""
-    from jsoup_spark.operators.pipeline import extract_stage
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
+
+
+def amplified_corpus(spark, sf_dir: str, replicate: int = REPLICATE):
+    """Synthesize the span corpus, amplified `replicate`x with distinct
+    doc_ids (crossJoin with a range) so the benchmark measures sustained
+    parse throughput rather than session fixed costs."""
+    from pyspark.sql import functions as F
     from jsoup_spark.sources.corpus import synthesize
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus = synthesize(docs)
+    # the sf parquet is a single file = ONE scan task; spread generation
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") * replicate + F.col("_rep")).alias("doc_id"),
+            "text", "lang", "source", "n_chars")
+    return synthesize(docs)
+
+
+def run_extraction(spark, sf_dir: str, replicate: int = REPLICATE) -> tuple[float, int]:
+    """Headline: full parse+extract over the amplified synthesized corpus."""
+    from jsoup_spark.operators.pipeline import extract_stage
+    corpus = amplified_corpus(spark, sf_dir, replicate)
     t0 = time.time()
     n = extract_stage(corpus).count()
     return time.time() - t0, n
@@ -76,7 +94,7 @@ def main_bench() -> None:
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     # warm up the JVM + python workers on a small slice
-    run_extraction(spark, "/root/testdata/sf0.001")
+    run_extraction(spark, "/root/testdata/sf0.001", replicate=1)
     wall, n_docs = run_extraction(spark, SF_DIR)
     queries = run_queries(spark, SF_DIR)
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else None)
@@ -98,7 +116,7 @@ def child_throughput(cpus: str) -> dict:
         "import sys, json, time; sys.path.insert(0, %r);"
         "import bench;"
         "spark = bench.make_spark(%r); spark.sparkContext.setLogLevel('ERROR');"
-        "bench.run_extraction(spark, '/root/testdata/sf0.001');"
+        "bench.run_extraction(spark, '/root/testdata/sf0.001', replicate=1);"
         "w, n = bench.run_extraction(spark, %r);"
         "w2, _ = bench.run_extraction(spark, %r);"
         "print(json.dumps({'cpus': int(%r), 'docs': n,"

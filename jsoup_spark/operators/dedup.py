@@ -19,14 +19,21 @@ MINHASH_PERMS = 4          # seeds 0..3; min over md5(shingle:seed)
 LSH_BANDS = 2              # 2 bands x 2 rows
 
 
-def _shingles(text_col="text", n=3):
-    """3-word shingles as a Catalyst expression over space-split words."""
+def _shingles(text_col="text"):
+    """3-word shingles as a Catalyst expression over space-split words.
+
+    Built with zip_with over shifted slices, NOT element indexing —
+    `words[i]` inside a transform re-inlines the split() per element after
+    projection collapse, turning shingling O(n^2)."""
     words = F.split(F.col(text_col), " ")
-    k = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", words[i], words[i + 1], words[i + 2]))
-    return F.when(F.size(words) >= n, sh).otherwise(F.array(F.col(text_col)))
+    size = F.size(words)
+    w2 = F.slice(words, 2, size)
+    w3 = F.slice(words, 3, size)
+    tri = F.zip_with(
+        F.zip_with(words, w2, lambda a, b: F.concat_ws(" ", a, b)),
+        w3, lambda ab, c: F.concat_ws(" ", ab, c))
+    sh = F.slice(tri, 1, F.greatest(size - 2, F.lit(1)))
+    return F.when(size >= 3, sh).otherwise(F.array(F.col(text_col)))
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -45,30 +52,41 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame,
                        perms: int = MINHASH_PERMS) -> DataFrame:
-    """MinHash signature per doc: perm p = min(md5(shingle || ':p'))."""
-    sh = _shingles()
+    """MinHash signature per doc: perm p = min(md5(shingle || ':p')).
+
+    Shingles are projected once, then each permutation hashes that column —
+    one pass over the text, no repeated tokenization."""
+    shingled = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _shingles().alias("_sh"),
+    )
     cols = [
-        F.array_min(F.transform(sh, lambda s: F.md5(
+        F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(
             F.concat(s, F.lit(f":{p}"))))).alias(f"mh{p}")
         for p in range(perms)
     ]
-    return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"), *cols)
+    return shingled.select("doc_id", *cols)
 
 
 def minhash_lsh_buckets(documents: DataFrame) -> DataFrame:
     """Band docs by pairs of minhashes; emits bucket sizes per band key.
     Buckets with n_docs > 1 are near-dup candidates."""
     sig = minhash_signatures(documents)
+    # exchange boundary: materialize the signature columns once. Without it
+    # Catalyst's projection collapse inlines the (expensive) array_min/md5
+    # expressions into every consumer and recomputes them per band.
+    sig = sig.repartition("doc_id")
     bands = sig.select(
         "doc_id",
-        F.md5(F.concat_ws("|", "mh0", "mh1")).alias("band0"),
-        F.md5(F.concat_ws("|", "mh2", "mh3")).alias("band1"),
-    )
-    stacked = bands.select(
-        "doc_id", F.lit(0).alias("band"), F.col("band0").alias("band_key")
-    ).unionByName(bands.select(
-        "doc_id", F.lit(1).alias("band"), F.col("band1").alias("band_key")))
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     F.md5(F.concat_ws("|", "mh0", "mh1")).alias("band_key")),
+            F.struct(F.lit(1).alias("band"),
+                     F.md5(F.concat_ws("|", "mh2", "mh3")).alias("band_key")),
+        )).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"),
+             F.col("b.band_key").alias("band_key"))
+    stacked = bands
     return (
         stacked.groupBy("band", "band_key")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
@@ -82,13 +100,17 @@ def ngram_jaccard_pairs(documents: DataFrame,
 
     The candidate join is bucketed — never a full cross join.
     """
-    sh = documents.select(
+    shingled = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.array_distinct(_shingles()).alias("sh"),
+        _shingles().alias("_sh"),
+    )
+    sh = shingled.select(
+        "doc_id",
+        F.array_distinct(F.col("_sh")).alias("sh"),
         F.md5(F.concat_ws(
             "|",
-            F.array_min(F.transform(_shingles(), lambda s: F.md5(F.concat(s, F.lit(":0"))))),
-            F.array_min(F.transform(_shingles(), lambda s: F.md5(F.concat(s, F.lit(":1"))))),
+            F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(F.concat(s, F.lit(":0"))))),
+            F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(F.concat(s, F.lit(":1"))))),
         )).alias("band_key"),
     )
     a = sh.alias("a")

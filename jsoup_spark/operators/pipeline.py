@@ -36,7 +36,7 @@ from ..clean.serializer import inner_html
 from ..extract.spans import extract_spans
 from ..parser.treebuilder import HtmlTreeBuilder
 from ..select.selector import compile_query, select
-from ..sources.corpus import assemble_html
+from ..sources.corpus import BASE_URI, assemble_html
 
 # ---------------------------------------------------------------- bucketing
 
@@ -72,13 +72,26 @@ def extract_stage(docs: DataFrame, *, bucket: bool = True) -> DataFrame:
 
     Input: (doc_id, spans) per schemas.DOC_IN. Output: schemas.EXTRACT_OUT.
     """
-    # keep the input media spans (doc-level attachments) alongside the html
+    # html + input media spans in ONE projection — a join here would shuffle
+    # the whole corpus against itself
     media_in = F.array_sort(
         F.filter(F.col("spans"), lambda s: s["kind"] == "media"),
         lambda a, b: a["offset"] - b["offset"],
     )
-    prepared = assemble_html(docs).join(
-        docs.select("doc_id", media_in.alias("_media_in")), "doc_id"
+    html = F.array_join(
+        F.transform(
+            F.array_sort(F.filter(F.col("spans"), lambda s: s["kind"] == "html"),
+                         lambda a, b: a["offset"] - b["offset"]),
+            lambda s: s["text"],
+        ),
+        "",
+    )
+    prepared = docs.select(
+        "doc_id",
+        html.alias("html"),
+        F.length(html).alias("html_len"),
+        F.lit(BASE_URI).alias("base_uri"),
+        media_in.alias("_media_in"),
     )
     if bucket:
         prepared = bucket_by_size(prepared)

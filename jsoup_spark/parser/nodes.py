@@ -23,10 +23,24 @@ _WS_CHARS = frozenset(" \t\n\f\r\xa0")
 _INVISIBLE = frozenset((chr(8203), chr(173)))
 
 
+import re as _re
+
+# chars that force the slow normalization path: non-space whitespace,
+# nbsp, invisibles, or any double space
+_NORM_SLOW = _re.compile("[\t\n\f\r\xa0​\xad]|\x20\x20")
+
+
 def _append_normalised(accum: list[str], text: str) -> None:
     """StringUtil.appendNormalisedWhitespace with stripLeading =
     lastCharIsWhitespace(accum)."""
     strip_leading = bool(accum) and accum[-1].endswith(" ")
+    if _NORM_SLOW.search(text) is None:
+        # fast path: already normalized (only single plain spaces)
+        if strip_leading and text.startswith(" "):
+            text = text.lstrip(" ")
+        if text:
+            accum.append(text)
+        return
     last_white = False
     reached_non_white = False
     out = []
