@@ -55,7 +55,10 @@ def bucket_by_size(df: DataFrame, partitions: int | None = None) -> DataFrame:
     ).withColumn(
         "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
     )
-    out = salted.repartitionByRange(partitions, "_size_class", "_salt")
+    # hash partitioning, NOT repartitionByRange: range partitioning runs a
+    # sampling pass that executes the upstream twice. Hashing (size_class,
+    # salt) spreads each size class across partitions with one shuffle.
+    out = salted.repartition(partitions, "_size_class", "_salt")
     return out.drop("_size_class", "_salt")
 
 
@@ -67,10 +70,16 @@ def _parse_doc(html: str, base_uri: str):
     return doc
 
 
-def extract_stage(docs: DataFrame, *, bucket: bool = True) -> DataFrame:
+def extract_stage(docs: DataFrame, *, bucket: bool = False) -> DataFrame:
     """Interleaved span table -> extracted span table (+ per-doc metrics).
 
     Input: (doc_id, spans) per schemas.DOC_IN. Output: schemas.EXTRACT_OUT.
+
+    ``bucket=True`` adds the size-class/salt shuffle for corpora with a
+    heavy giant-document tail. Default off: for byte-balanced inputs
+    (e.g. size-partitioned Iceberg writes or uniform scrapes) the shuffle
+    of the full html payload costs more than the skew it prevents; turn it
+    on when a partition can end up owning multiple 100MB documents.
     """
     # html + input media spans in ONE projection — a join here would shuffle
     # the whole corpus against itself
