@@ -105,34 +105,55 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False) -> DataFrame:
     if bucket:
         prepared = bucket_by_size(prepared)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_ids, out_spans, out_n, out_err, out_bytes = [], [], [], [], []
-            for doc_id, html, base_uri, media_in_rows in zip(
-                    pdf["doc_id"], pdf["html"], pdf["base_uri"], pdf["_media_in"]):
+    import pyarrow as pa
+
+    span_type = pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("order", pa.int32())])
+    out_schema = pa.schema([
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(span_type)),
+        ("n_spans", pa.int32()),
+        ("n_parse_errors", pa.int32()),
+        ("bytes_tokenized", pa.int64()),
+    ])
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # mapInArrow, not mapInPandas: the output spans are nested structs
+        # and the pandas->arrow conversion of nested objects dominates the
+        # stage; building the RecordBatch directly halves the overhead
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            doc_ids = batch.column(idx["doc_id"]).to_pylist()
+            htmls = batch.column(idx["html"]).to_pylist()
+            base_uris = batch.column(idx["base_uri"]).to_pylist()
+            media_ins = batch.column(idx["_media_in"]).to_pylist()
+            out_spans, out_n, out_err, out_bytes = [], [], [], []
+            for html, base_uri, media_in_rows in zip(htmls, base_uris, media_ins):
                 doc = _parse_doc(html, base_uri)
-                spans = extract_spans(doc)
+                spans = [
+                    {"kind": k, "text": t, "media_ref": r, "order": o}
+                    for k, t, r, o in extract_spans(doc)
+                ]
                 order = len(spans)
-                extra = []
                 for m in media_in_rows:
-                    extra.append((
-                        "media", m["text"] or "", m["media_ref"] or "", order))
+                    spans.append({"kind": "media", "text": m["text"] or "",
+                                  "media_ref": m["media_ref"] or "",
+                                  "order": order})
                     order += 1
-                spans = spans + extra
-                out_ids.append(doc_id)
                 out_spans.append(spans)
                 out_n.append(len(spans))
                 out_err.append(len(doc.errors))
                 out_bytes.append(len(html))
-            yield pd.DataFrame({
-                "doc_id": out_ids,
-                "spans": out_spans,
-                "n_spans": pd.array(out_n, dtype="int32"),
-                "n_parse_errors": pd.array(out_err, dtype="int32"),
-                "bytes_tokenized": pd.array(out_bytes, dtype="int64"),
-            })
+            yield pa.RecordBatch.from_arrays([
+                pa.array(doc_ids, pa.string()),
+                pa.array(out_spans, pa.list_(span_type)),
+                pa.array(out_n, pa.int32()),
+                pa.array(out_err, pa.int32()),
+                pa.array(out_bytes, pa.int64()),
+            ], schema=out_schema)
 
-    return prepared.mapInPandas(run, schema=schemas.EXTRACT_OUT)
+    return prepared.mapInArrow(run, schema=schemas.EXTRACT_OUT)
 
 
 def partition_metrics(extracted: DataFrame) -> DataFrame:

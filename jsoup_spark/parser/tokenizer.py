@@ -58,16 +58,13 @@ class Doctype(Tok):
 
 
 class Tag(Tok):
-    __slots__ = ("name", "attrs", "self_closing")
+    __slots__ = ("name", "attrs", "self_closing", "normal")
 
     def __init__(self, name: str, attrs, self_closing: bool):
         self.name = name          # original case
         self.attrs = attrs        # list[(name, value-or-None)] or None
         self.self_closing = self_closing
-
-    @property
-    def normal(self) -> str:
-        return self.name.lower()
+        self.normal = name.lower()  # lc for case-insensitive tree build
 
 
 class StartTag(Tag):

@@ -45,7 +45,7 @@ def test_extract_plan_is_catalyst_first(spark):
     from jsoup_spark.operators.pipeline import extract_stage
     plan = extract_stage(_corpus(spark), bucket=True)._jdf \
         .queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") + plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time python udfs
 
 
