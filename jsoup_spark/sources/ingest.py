@@ -1,0 +1,103 @@
+"""Raw-bytes ingest: charset detection + decode for binary HTML payloads.
+
+Mirrors the reference's detection ladder (helper/DataUtil.java:47-50,
+223-320): BOM → caller-supplied charset → `<meta charset>` /
+`<meta http-equiv=content-type>` sniff of the head (first 5KB) →
+`<?xml encoding>` declaration → UTF-8 default. Exposed both as plain
+functions and as a Catalyst/pandas decode stage for `binaryFile` or
+binary-column sources (e.g. WARC payloads landed as bytes).
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from typing import Iterator
+
+FIRST_READ = 5 * 1024  # DataUtil firstReadBufferSize: sniff window
+
+_META_RE = re.compile(
+    rb"<meta[^>]+?(?:charset\s*=\s*['\"]?\s*([a-zA-Z0-9_\-]+)"
+    rb"|content\s*=\s*['\"][^'\"]*charset\s*=\s*([a-zA-Z0-9_\-]+))",
+    re.IGNORECASE)
+_XMLDECL_RE = re.compile(
+    rb"^\s*<\?xml[^>]*encoding\s*=\s*['\"]([a-zA-Z0-9_\-]+)['\"]",
+    re.IGNORECASE)
+
+_BOMS = (
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+)
+
+
+def _valid_charset(name: str | None) -> str | None:
+    if not name:
+        return None
+    try:
+        codecs.lookup(name)
+        return name
+    except LookupError:
+        return None
+
+
+def detect_charset(data: bytes, declared: str | None = None) -> str:
+    """Charset for an HTML byte payload (DataUtil.detectCharset ladder)."""
+    for bom, enc in _BOMS:
+        if data.startswith(bom):
+            return enc
+    got = _valid_charset(declared)
+    if got:
+        return got
+    head = data[:FIRST_READ]
+    m = _META_RE.search(head)
+    if m:
+        name = (m.group(1) or m.group(2)).decode("ascii", "replace")
+        got = _valid_charset(name)
+        if got:
+            return got
+    m = _XMLDECL_RE.match(head)
+    if m:
+        got = _valid_charset(m.group(1).decode("ascii", "replace"))
+        if got:
+            return got
+    return "utf-8"
+
+
+def decode_html_bytes(data: bytes, declared: str | None = None) -> str:
+    """Decode an HTML byte payload, stripping any BOM."""
+    enc = detect_charset(data, declared)
+    for bom, bom_enc in _BOMS:
+        if data.startswith(bom) and bom_enc == enc:
+            data = data[len(bom):]
+            break
+    return data.decode(enc, errors="replace")
+
+
+def decode_stage(df, bytes_col: str = "content", out_col: str = "html"):
+    """mapInPandas decode stage for a binary column (e.g. `binaryFile`
+    source): detect + decode per row, Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [f for f in df.schema.fields if f.name != bytes_col]
+    schema = T.StructType(fields + [T.StructField(out_col, T.StringType()),
+                                    T.StructField("charset", T.StringType())])
+    names = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {n: pdf[n] for n in names}
+            encs, texts = [], []
+            for payload in pdf[bytes_col]:
+                b = bytes(payload)
+                enc = detect_charset(b)
+                encs.append(enc)
+                texts.append(decode_html_bytes(b))
+            out[out_col] = texts
+            out["charset"] = encs
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)

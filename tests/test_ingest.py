@@ -1,0 +1,45 @@
+"""Charset detection / raw-bytes ingest tests, incl. the reference's
+meta-charset fixture files."""
+
+import glob
+import gzip
+
+from jsoup_spark.parser.treebuilder import parse
+from jsoup_spark.sources.ingest import decode_html_bytes, detect_charset
+
+
+def test_bom_detection():
+    assert detect_charset("﻿hi".encode("utf-8")) == "utf-8"
+    assert detect_charset("hi".encode("utf-16")) in ("utf-16-le", "utf-16-be")
+    assert decode_html_bytes("﻿<p>x</p>".encode("utf-8")) == "<p>x</p>"
+
+
+def test_meta_charset_sniff():
+    html = "<html><head><meta charset='ISO-8859-1'></head><body>caf\xe9</body>"
+    data = html.encode("iso-8859-1")
+    assert detect_charset(data).lower() == "iso-8859-1"
+    assert "café" in decode_html_bytes(data)
+    legacy = ("<head><meta http-equiv=Content-Type "
+              "content='text/html; charset=Shift_JIS'></head>")
+    assert detect_charset(legacy.encode()).lower() == "shift_jis"
+
+
+def test_xml_decl_and_default():
+    assert detect_charset(b"<?xml version='1.0' encoding='ISO-8859-1'?><r/>")\
+        .lower() == "iso-8859-1"
+    assert detect_charset(b"<p>plain</p>") == "utf-8"
+    assert detect_charset(b"<meta charset='not-a-charset'><p>") == "utf-8"
+
+
+def test_reference_charset_fixtures():
+    """The reference's meta-charset test files must decode to parseable
+    documents with non-empty text."""
+    files = sorted(
+        glob.glob("/root/reference/src/test/resources/htmltests/meta-charset-*.html"))
+    assert files
+    for f in files:
+        data = open(f, "rb").read()
+        text = decode_html_bytes(data)
+        doc = parse(text)
+        assert doc.body is not None
+        assert "가각갂갃간갅" in doc.body.text() or doc.body.text()
