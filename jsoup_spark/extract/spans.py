@@ -19,6 +19,7 @@ span-sequence equality — the per-row invariant from BASELINE.json.
 from __future__ import annotations
 
 from ..parser import tags
+from ..parser.tags import NS_HTML as _NS_HTML
 from ..parser.nodes import (
     Document, Element, TextNode, _append_normalised_text,
     _last_char_is_ws, _needs_leading_sep, _needs_trailing_sep, java_trim,
@@ -81,7 +82,8 @@ def _walk(root: Element, out: list, accum: list[str]) -> None:
             if isinstance(child, TextNode):
                 _append_normalised_text(accum, child)
             elif isinstance(child, Element):
-                if child.name in MEDIA_TAGS or child.name in DATA_SPAN_TAGS:
+                if child.ns == _NS_HTML and (
+                        child.name in MEDIA_TAGS or child.name in DATA_SPAN_TAGS):
                     _emit_barrier(child, out, accum)
                     descend = True  # media may nest source; data children are
                     # DataNodes (ignored) — matches the golden traversal

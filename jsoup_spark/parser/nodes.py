@@ -395,23 +395,33 @@ class Document(Element):
                 return el
         return None
 
+    def _html_el(self) -> Element | None:
+        for c in self.child_elements():
+            if c.name == "html":
+                return c
+        return None
+
     @property
     def head(self) -> Element | None:
-        html = self._first("html")
+        """Direct head child of html only (Document.java:117-140 semantics;
+        jsoup appends an empty one when missing — we return None)."""
+        html = self._html_el()
         if html is not None:
             for c in html.child_elements():
                 if c.name == "head":
                     return c
-        return self._first("head")
+        return None
 
     @property
     def body(self) -> Element | None:
-        html = self._first("html")
+        """Direct body/frameset child of html only (Document.java:155-164;
+        jsoup appends an empty body when missing — we return None)."""
+        html = self._html_el()
         if html is not None:
             for c in html.child_elements():
                 if c.name in ("body", "frameset"):
                     return c
-        return self._first("body")
+        return None
 
     def title(self) -> str:
         """First <title> within head, normalized (Document.java:198-202

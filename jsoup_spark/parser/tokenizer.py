@@ -242,7 +242,9 @@ class Tokeniser:
         if self.tag_attrs is None:
             self.tag_attrs = []
         if self.attr_name:
-            name = "".join(self.attr_name).replace(NULL, REPLACEMENT).strip()
+            # Java String.trim strips only chars <= U+0020 (keeps \xa0 etc.)
+            name = "".join(self.attr_name).replace(NULL, REPLACEMENT)
+            name = name.strip("".join(chr(c) for c in range(0x21)))
             if name and len(self.tag_attrs) < 512:
                 if self.attr_value is not None:
                     value = "".join(self.attr_value)

@@ -1607,7 +1607,11 @@ def _adoption_agency(tb, t):
             last_el = el
 
         common.append(last_el)
-        adoptor = Element(fmt_el.name, NS_HTML, dict(fmt_el.attrs))
+        # adoptor attrs copy coerces null values to "" (Attributes.addAll
+        # goes through Attribute.getValue; HtmlTreeBuilderState.java:934-936)
+        adoptor = Element(fmt_el.name, NS_HTML,
+                          {k: (v if v is not None else "")
+                           for k, v in fmt_el.attrs.items()})
         adoptor.tag_name_case = fmt_el.tag_name_case
         for child in list(furthest.children):
             adoptor.append(child)
@@ -2281,9 +2285,11 @@ def _foreign_content(tb, t):
             return _MODES[tb.state](tb, t)
         ns = tb.current_element().ns
         el = tb.insert_foreign_element(t, ns)
-        # browser behavior: svg script enters ScriptData; custom data tags
+        # browser behavior: svg script enters ScriptData; custom data tags.
+        # NOTE: applies even to self-closing foreign tags (the mode handler
+        # transitions unconditionally; HtmlTreeBuilderState.java:1778-1786)
         fl = tags.flags(name, ns)
-        if fl & tags.DATA and not t.self_closing:
+        if fl & tags.DATA:
             if name == "script":
                 tb.tok.state = tz.SCRIPT_DATA
             else:

@@ -22,6 +22,7 @@
 import org.jsoup.Jsoup;
 import org.jsoup.nodes.*;
 import org.jsoup.parser.Parser;
+import org.jsoup.parser.Tag;
 import org.jsoup.safety.Safelist;
 import org.jsoup.select.Elements;
 import org.jsoup.select.NodeTraversor;
@@ -151,6 +152,10 @@ public class Harness {
     }
 
     // ---- span emitter golden (engine spec; see jsoup_spark/extract/spans.py) ----
+    // barriers are HTML-namespace elements only; text separators use the
+    // element's actual tag flags (so foreign-content elements with HTML-like
+    // names do not get HTML semantics — matches Element.text())
+    static final String NS_HTML = "http://www.w3.org/1999/xhtml";
     static final Set<String> MEDIA = new HashSet<>(Arrays.asList(
         "img", "video", "audio", "source", "embed", "iframe", "track"));
     static final Set<String> DATA_TAGS = new HashSet<>(Arrays.asList("script", "style"));
@@ -168,13 +173,14 @@ public class Harness {
                 } else if (node instanceof org.jsoup.nodes.Element) {
                     org.jsoup.nodes.Element el = (org.jsoup.nodes.Element) node;
                     String name = el.tagName();
-                    if (MEDIA.contains(name)) {
+                    boolean htmlNs = el.tag().namespace().equals(NS_HTML);
+                    if (htmlNs && MEDIA.contains(name)) {
                         flush(out, accum);
                         String ref = el.hasAttr("src") ? el.absUrl("src") : "";
                         if (ref.isEmpty() && el.hasAttr("src")) ref = el.attr("src");
                         String alt = el.hasAttr("alt") ? el.attr("alt").trim() : "";
                         out.add(new String[]{"media", alt, ref});
-                    } else if (DATA_TAGS.contains(name)) {
+                    } else if (htmlNs && DATA_TAGS.contains(name)) {
                         flush(out, accum);
                         out.add(new String[]{"data", el.data(), ""});
                     } else {
@@ -215,13 +221,13 @@ public class Harness {
 
     static boolean needsLeadingSep(org.jsoup.nodes.Element el) {
         // mirror of Element.TextAccumulator.needsLeadingTextSeparator (Element.java:1589-1594)
-        return el.isBlock() || el.tagName().equals("br")
-            || (isTextBoundary(el) && el.childNodeSize() > 0 && el.hasText());
+        return el.isBlock() || el.nameIs("br")
+            || (el.tag().is(Tag.TextBoundary) && el.childNodeSize() > 0 && el.hasText());
     }
 
     static boolean needsTrailingSep(org.jsoup.nodes.Element el) {
         // mirror of needsTrailingTextSeparator (Element.java:1597-1601)
-        if (isTextBoundary(el) || el.isBlock()) return true;
+        if (el.tag().is(Tag.TextBoundary) || el.isBlock()) return true;
         for (int i = 0; i < el.childNodeSize(); i++) {
             Node c = el.childNode(i);
             if (c instanceof org.jsoup.nodes.Element && ((org.jsoup.nodes.Element) c).isBlock()) return true;
@@ -229,17 +235,11 @@ public class Harness {
         return false;
     }
 
-    static final Set<String> TEXT_BOUNDARY = new HashSet<>(Arrays.asList(
-        "button", "input", "select", "textarea", "option", "output", "progress", "meter",
-        "img", "picture", "audio", "video", "canvas", "object", "embed", "iframe"));
-    static boolean isTextBoundary(org.jsoup.nodes.Element el) { return TEXT_BOUNDARY.contains(el.tagName()); }
-
     static boolean preserveWS(Node node) {
         int i = 0;
         Node n = node;
         while (n instanceof org.jsoup.nodes.Element && i < 6) {
-            String t = ((org.jsoup.nodes.Element) n).tagName();
-            if (t.equals("pre") || t.equals("plaintext") || t.equals("title") || t.equals("textarea") || t.equals("script"))
+            if (((org.jsoup.nodes.Element) n).tag().preserveWhitespace())
                 return true;
             n = n.parent(); i++;
         }
