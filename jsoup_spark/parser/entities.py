@@ -42,8 +42,8 @@ quot raquo reg sect shy sup1 sup2 sup3 szlig thorn times uacute ucirc
 ugrave uml uuml yacute yen yuml
 """.split())
 
-# base names sorted longest-first for prefix fallback (Entities.java:147)
-_BASE_BY_LEN = sorted(BASE_NAMES, key=len, reverse=True)
+# longest base name is 6 chars; prefix fallback checks spans directly
+_BASE_MAX_LEN = max(len(n) for n in BASE_NAMES)
 
 # windows-1252 remap of numeric refs 0x80..0x9F (Tokeniser.java:20-28)
 WIN1252 = [
@@ -53,6 +53,9 @@ WIN1252 = [
     0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178,
 ]
 
+import re as _re
+
+_P_NAMEREF = _re.compile("[a-zA-Z]+[0-9]*")
 _HEX = "0123456789abcdefABCDEF"
 _DIGITS = "0123456789"
 _LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -63,9 +66,9 @@ _NOT_CHARREF = frozenset("\t\n\r\f <&")
 
 def find_base_prefix(name: str) -> str:
     """Longest base entity that is a prefix of `name` ('' if none)."""
-    for cand in _BASE_BY_LEN:
-        if name.startswith(cand):
-            return cand
+    for ln in range(min(_BASE_MAX_LEN, len(name)), 1, -1):
+        if name[:ln] in BASE_NAMES:
+            return name[:ln]
     return ""
 
 
@@ -115,13 +118,10 @@ def consume_charref(
         return chr(charval), j
 
     # named: letters then digits (CharacterReader.consumeLetterThenDigitSequence)
-    j = i
-    while j < n and s[j] in _LETTER_SET:
-        j += 1
-    while j < n and s[j] in _DIGIT_SET:
-        j += 1
-    if j == i:
+    m = _P_NAMEREF.match(s, i)
+    if m is None:
         return None, i
+    j = m.end()
     name = s[i:j]
     looks_legit = j < n and s[j] == ";"
     found = name in BASE_NAMES or (looks_legit and name in FULL)

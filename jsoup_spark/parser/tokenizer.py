@@ -28,6 +28,7 @@ from .entities import REPLACEMENT, consume_charref
 
 EOF = "￿"
 NULL = "\x00"
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
 
 # ---------------------------------------------------------------- tokens
 
@@ -244,7 +245,7 @@ class Tokeniser:
         if self.attr_name:
             # Java String.trim strips only chars <= U+0020 (keeps \xa0 etc.)
             name = "".join(self.attr_name).replace(NULL, REPLACEMENT)
-            name = name.strip("".join(chr(c) for c in range(0x21)))
+            name = name.strip(_JAVA_TRIM_CHARS)
             if name and len(self.tag_attrs) < 512:
                 if self.attr_value is not None:
                     value = "".join(self.attr_value)
