@@ -304,6 +304,124 @@ class Element(Node):
                 stack.extend(n.children)
         return False
 
+    # --- mutation API (Element.java DOM-edit surface) ---
+    def set_attr(self, key: str, value: str | None) -> "Element":
+        self.attrs[key] = value
+        return self
+
+    def remove_attr(self, key: str) -> "Element":
+        self.attrs.pop(key, None)
+        return self
+
+    def add_class(self, name: str) -> "Element":
+        names = self.class_names()
+        if name not in names:
+            names.append(name)
+            self.attrs["class"] = " ".join(names)
+        return self
+
+    def remove_class(self, name: str) -> "Element":
+        names = [c for c in self.class_names() if c.lower() != name.lower()]
+        self.attrs["class"] = " ".join(names)
+        return self
+
+    def toggle_class(self, name: str) -> "Element":
+        if self.has_class(name):
+            return self.remove_class(name)
+        return self.add_class(name)
+
+    def empty(self) -> "Element":
+        for c in self.children:
+            c.parent = None
+        self.children.clear()
+        return self
+
+    def set_text(self, text: str) -> "Element":
+        """Element.text(String): clears content; script/style get DataNodes."""
+        self.empty()
+        if self.flags & tags.DATA:
+            self.append(DataNode(text))
+        else:
+            self.append(TextNode(text))
+        return self
+
+    def before(self, node: "Node") -> "Element":
+        p = self.parent
+        if p is not None:
+            p.insert(p.children.index(self), node)
+        return self
+
+    def after(self, node: "Node") -> "Element":
+        p = self.parent
+        if p is not None:
+            p.insert(p.children.index(self) + 1, node)
+        return self
+
+    def replace_with(self, node: "Node") -> None:
+        p = self.parent
+        if p is not None:
+            idx = p.children.index(self)
+            self.remove()
+            p.insert(idx, node)
+
+    def wrap(self, wrapper: "Element") -> "Element":
+        """Wrap this element in the (deepest child of the) wrapper."""
+        deepest = wrapper
+        while True:
+            inner = next((c for c in deepest.children
+                          if isinstance(c, Element)), None)
+            if inner is None:
+                break
+            deepest = inner
+        self.replace_with(wrapper)
+        deepest.append(self)
+        return self
+
+    def unwrap(self) -> "Node | None":
+        """Replace this element with its own children (Cleaner's unwrap
+        shape); returns the first child, if any."""
+        p = self.parent
+        if p is None:
+            return None
+        idx = p.children.index(self)
+        kids = list(self.children)
+        self.remove()
+        for off, k in enumerate(kids):
+            p.insert(idx + off, k)
+        return kids[0] if kids else None
+
+    def shallow_clone(self) -> "Element":
+        el = Element(self.name, self.ns, dict(self.attrs))
+        el.tag_name_case = self.tag_name_case
+        el.flags = self.flags
+        return el
+
+    def clone(self) -> "Element":
+        out = self.shallow_clone()
+        for c in self.children:
+            if isinstance(c, Element):
+                out.append(c.clone())
+            elif isinstance(c, DoctypeNode):
+                out.append(DoctypeNode(c.value, c.public_id, c.system_id))
+            elif isinstance(c, XmlDeclNode):
+                out.append(XmlDeclNode(c.value, dict(c.attrs), c.is_declaration))
+            else:
+                out.append(type(c)(c.value))
+        return out
+
+    def append_html(self, html: str) -> "Element":
+        """Element.append(html): fragment-parse in this element's context."""
+        from .treebuilder import parse_fragment
+        for n in parse_fragment(html, self.name, self.base_uri()):
+            self.append(n)
+        return self
+
+    def prepend_html(self, html: str) -> "Element":
+        from .treebuilder import parse_fragment
+        for off, n in enumerate(parse_fragment(html, self.name, self.base_uri())):
+            self.insert(off, n)
+        return self
+
 
 def preserve_whitespace(node: Node | None) -> bool:
     """Element.preserveWhitespace: this element and five levels up."""
