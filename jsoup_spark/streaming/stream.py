@@ -62,3 +62,60 @@ def error_rate_monitor(extracted_stream: DataFrame):
             F.sum("n_parse_errors").alias("parse_errors"),
         )
     )
+
+
+def windowed_error_rates(extracted_stream: DataFrame,
+                         ts_col: str = "ingest_ts",
+                         watermark: str = "10 minutes",
+                         window: str = "5 minutes") -> DataFrame:
+    """Event-time windowed parse-error rates with a watermark for late
+    data (the north-rule streaming-aggregation shape). The input stream
+    must carry an event-time column (e.g. ingest timestamp)."""
+    return (
+        extracted_stream
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_parse_errors").alias("parse_errors"),
+            F.sum("bytes_tokenized").alias("bytes"),
+        )
+    )
+
+
+def running_totals_stateful(extracted_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per doc-id
+    prefix (a stand-in for source/tenant), maintain running totals of docs
+    and parse errors across triggers — the StreamParser-style progressive
+    accounting the reference keeps per parse, lifted to corpus scope."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("group_key", T.StringType()),
+        T.StructField("docs_total", T.LongType()),
+        T.StructField("errors_total", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("docs", T.LongType()),
+        T.StructField("errors", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        docs, errors = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            errors += int(pdf["n_parse_errors"].sum())
+        state.update((docs, errors))
+        yield pd.DataFrame({
+            "group_key": [key[0]],
+            "docs_total": [docs],
+            "errors_total": [errors],
+        })
+
+    keyed = extracted_stream.withColumn(
+        "group_key", F.substring(F.col("doc_id"), 1, 1))
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
