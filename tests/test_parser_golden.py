@@ -59,3 +59,19 @@ def test_xml_golden():
         if mine != case["tree"]:
             bad += 1
     assert bad == 0, f"{bad} xml tree mismatches"
+
+
+def test_fuzz_corpus_no_crash():
+    """The reference's OSS-Fuzz regression corpus must parse without
+    exceptions or pathological slowdown (ParserSoakIT-style bound)."""
+    import glob
+    import time
+    files = sorted(glob.glob(
+        "/root/reference/src/test/resources/fuzztests/*.gz"))
+    assert files
+    for f in files:
+        data = gzip.open(f, "rb").read().decode("utf-8", errors="replace")
+        t0 = time.time()
+        doc = parse(data)
+        assert doc is not None
+        assert time.time() - t0 < 20, f"pathological slowdown on {f}"
