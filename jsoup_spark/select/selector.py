@@ -517,7 +517,7 @@ class PreviousSibling(Ev):
 
 
 class Has(Ev):
-    __slots__ = ("inner", "check_siblings")
+    __slots__ = ("inner", "check_siblings", "_local", "_memo_root", "_memo")
     cost = 50
 
     def __init__(self, inner):
@@ -525,6 +525,13 @@ class Has(Ev):
         # sibling-form :has(~ p) / :has(+ p): the inner evaluator's leftmost
         # is a Root() anchored combinator (StructuralEvaluator.java:80-127)
         self.check_siblings = _has_sibling_form(inner)
+        # local predicates (no structural/root references) allow a one-pass
+        # ancestor-marking memo per select() root instead of re-scanning each
+        # candidate's subtree (the reference memoizes too,
+        # StructuralEvaluator.java:32-46) — O(n) instead of O(n^2)
+        self._local = not self.check_siblings and _is_local(inner)
+        self._memo_root = None  # (generation, root) of the cached marking
+        self._memo: set[int] | None = None
 
     def matches(self, root, el):
         if self.check_siblings:
@@ -534,10 +541,44 @@ class Has(Ev):
                     return True
                 sib = sib.next_sibling()
             return False
+        if self._local:
+            key = (_GENERATION[0], id(root))
+            if self._memo_root != key:
+                marked: set[int] = set()
+                inner = self.inner
+                for d in root.elements():
+                    if inner.matches(root, d):
+                        p = d.parent
+                        while isinstance(p, Element):
+                            pid = id(p)
+                            if pid in marked:
+                                break
+                            marked.add(pid)
+                            p = p.parent
+                self._memo_root = key
+                self._memo = marked
+            return id(el) in self._memo
         for d in el.elements():
             if self.inner.matches(el, d):
                 return True
         return False
+
+
+_LOCAL_EV_TYPES = (
+    AllElements, TagIs, TagStartsWith, TagEndsWith, IdIs, ClassIs, HasAttr,
+    AttrStarting, AttrEq, AttrNe, AttrStartsWith, AttrEndsWith, AttrContains,
+    AttrMatches,
+)
+
+
+def _is_local(ev) -> bool:
+    """True if the evaluator depends only on the element itself (no
+    ancestors/siblings/root/descendants), so :has can ancestor-mark."""
+    if isinstance(ev, _LOCAL_EV_TYPES):
+        return True
+    if isinstance(ev, (And, Or)):
+        return all(_is_local(e) for e in ev.evals)
+    return False
 
 
 def _has_sibling_form(inner) -> bool:
@@ -1212,6 +1253,10 @@ def _combine(left, combinator, right):
     raise SelectorParseError(f"unknown combinator {combinator!r}")
 
 
+# select()-call generation: scopes :has memos to one traversal so document
+# mutation between selects can never serve stale marks
+_GENERATION = [0]
+
 _QUERY_CACHE: dict[str, Ev] = {}
 
 
@@ -1228,6 +1273,7 @@ def select(root, query_or_ev) -> list[Element]:
     """All matching elements under (and including) root, document order."""
     ev = compile_query(query_or_ev) if isinstance(query_or_ev, str) \
         else query_or_ev
+    _GENERATION[0] += 1
     out = []
     if ev.matches(root, root):
         out.append(root)
@@ -1257,6 +1303,7 @@ def _promote_text_nodes(matched: list[Element]) -> list[Element]:
 def select_first(root, query_or_ev):
     ev = compile_query(query_or_ev) if isinstance(query_or_ev, str) \
         else query_or_ev
+    _GENERATION[0] += 1
     if ev.matches(root, root):
         return root
     for el in root.elements():
