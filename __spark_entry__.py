@@ -124,6 +124,18 @@ def q_select_has(spark, sf_dir):
     )
 
 
+def q_select_xpath(spark, sf_dir):
+    """XPath-subset select (reference Element.selectXpath,
+    nodes/Element.java:784-801): abbreviated paths, attribute predicate,
+    last()."""
+    sel = select_stage(_corpus(spark, sf_dir),
+                       "//div[@id='main']/ul/li[last()]", language="xpath")
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("own_text").alias("last_li"),
+    )
+
+
 def q_clean_basic(spark, sf_dir):
     cl = clean_stage(_corpus(spark, sf_dir), "basic")
     return cl.select(
@@ -215,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_by_class": q_select_by_class,
         "select_nth_li": q_select_nth_li,
         "select_has": q_select_has,
+        "select_xpath": q_select_xpath,
         "clean_basic": q_clean_basic,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -290,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang AS second_li FROM documents"),
         "select_has": (
             "SELECT doc_id, 'main' AS el_id FROM documents"),
+        "select_xpath": (
+            "SELECT doc_id, lang AS last_li FROM documents"),
         "clean_basic": (
             f"SELECT doc_id, {_BODY_SQL} || ' ' || source || ' ' || lang "
             "AS clean_text, 4 AS num_discarded FROM documents"),

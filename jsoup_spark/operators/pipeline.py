@@ -174,19 +174,28 @@ def partition_metrics(extracted: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- select
 
 def select_stage(docs: DataFrame, query: str, *, bucket: bool = False,
-                 first_only: bool = False) -> DataFrame:
-    """CSS-select over each document; one output row per match.
+                 first_only: bool = False, language: str = "css") -> DataFrame:
+    """CSS- or XPath-select over each document; one output row per match.
 
     The query is compiled once per executor batch (cost-ordered evaluator
-    tree, SURVEY §2.c) and evaluated over the per-doc DOM.
+    tree for CSS, SURVEY §2.c; XPath-subset AST for language='xpath',
+    reference Element.selectXpath, nodes/Element.java:784-801) and
+    evaluated over the per-doc DOM.
     """
-    compile_query(query)  # fail fast on driver for bad queries
+    if language == "css":
+        compiler, evaluate = compile_query, select
+    elif language == "xpath":
+        from ..select.xpath import compile_xpath, select_xpath
+        compiler, evaluate = compile_xpath, select_xpath
+    else:
+        raise ValueError(f"unknown query language {language!r}")
+    compiler(query)  # fail fast on driver for bad queries
     prepared = assemble_html(docs)
     if bucket:
         prepared = bucket_by_size(prepared)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ev = compile_query(query)
+        ev = compiler(query)
         for pdf in batches:
             rows = {k: [] for k in
                     ("doc_id", "match_idx", "tag", "el_id", "own_text",
@@ -194,7 +203,7 @@ def select_stage(docs: DataFrame, query: str, *, bucket: bool = False,
             for doc_id, html, base_uri in zip(
                     pdf["doc_id"], pdf["html"], pdf["base_uri"]):
                 doc = _parse_doc(html, base_uri)
-                matches = select(doc, ev)
+                matches = evaluate(doc, ev)
                 if first_only:
                     matches = matches[:1]
                 for i, el in enumerate(matches):

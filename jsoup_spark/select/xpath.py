@@ -1,0 +1,735 @@
+"""XPath 1.0 subset evaluator over the jsoup_spark DOM.
+
+Re-expresses the reference's `Element.selectXpath` surface
+(reference: nodes/Element.java:784-801, helper/W3CDom.java:56-71 — which
+delegates to javax.xml.xpath over a converted W3C DOM) as a direct
+evaluator over our node tree, with the same observable semantics the
+reference's test suite exercises (select/XpathTest.java):
+
+* location paths (absolute / relative), `//` abbreviation, unions
+* axes: child (default), self (`.`/self::), parent (`..`/parent::),
+  descendant, descendant-or-self, ancestor, ancestor-or-self,
+  following-sibling, preceding-sibling, attribute (in expressions)
+* node tests: name (matched against the LOCAL name, as the reference's
+  non-namespace-aware conversion does — XpathTest.java:204-236), `*`,
+  text(), node(), comment()
+* predicates: positional ([1], last(), position()), attribute
+  existence/value, contains / starts-with / not / name / local-name /
+  normalize-space / string / concat / count, and/or, XPath 1.0
+  comparison coercion rules
+* results in document order, deduplicated
+
+Raises SelectorParseError with the reference's message shape
+("Could not evaluate XPath query [q]: ...", XpathTest.java:66-80).
+"""
+from __future__ import annotations
+
+import math
+import re
+
+from jsoup_spark.parser.nodes import (
+    CommentNode,
+    Document,
+    Element,
+    Node,
+    TextNode,
+)
+from jsoup_spark.select.selector import SelectorParseError
+
+__all__ = ["select_xpath", "select_xpath_nodes", "compile_xpath"]
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<num>\d+(?:\.\d*)?|\.\d+)
+    | (?P<lit>"[^"]*"|'[^']*')
+    | (?P<dslash>//)
+    | (?P<dcolon>::)
+    | (?P<ddot>\.\.)
+    | (?P<op>!=|<=|>=|[=<>|/@\[\]().,*])
+    | (?P<name>[A-Za-z_][A-Za-z0-9_.-]*(?::[A-Za-z_][A-Za-z0-9_.-]*)?)
+    )""",
+    re.VERBOSE,
+)
+
+_AXES = {
+    "child",
+    "self",
+    "parent",
+    "descendant",
+    "descendant-or-self",
+    "ancestor",
+    "ancestor-or-self",
+    "following-sibling",
+    "preceding-sibling",
+    "attribute",
+}
+
+_REVERSE_AXES = {"ancestor", "ancestor-or-self", "preceding-sibling"}
+
+
+# ---------------------------------------------------------------------------
+# AST
+
+class _Step:
+    __slots__ = ("axis", "test", "predicates")
+
+    def __init__(self, axis: str, test: tuple, predicates: list):
+        self.axis = axis
+        self.test = test  # ('name', n) | ('*',) | ('text',) | ('node',) | ('comment',)
+        self.predicates = predicates
+
+
+class _Path:
+    __slots__ = ("absolute", "steps")
+
+    def __init__(self, absolute: bool, steps: list[_Step]):
+        self.absolute = absolute
+        self.steps = steps
+
+
+class _Union:
+    __slots__ = ("paths",)
+
+    def __init__(self, paths: list):
+        self.paths = paths
+
+
+class _Call:
+    __slots__ = ("name", "args")
+
+    def __init__(self, name: str, args: list):
+        self.name = name
+        self.args = args
+
+
+class _BinOp:
+    __slots__ = ("op", "left", "right")
+
+    def __init__(self, op: str, left, right):
+        self.op = op
+        self.left = left
+        self.right = right
+
+
+class _Num:
+    __slots__ = ("value",)
+
+    def __init__(self, value: float):
+        self.value = value
+
+
+class _Str:
+    __slots__ = ("value",)
+
+    def __init__(self, value: str):
+        self.value = value
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent over the token list)
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of query")
+        self.i += 1
+        return tok
+
+    def expect(self, text: str) -> None:
+        tok = self.next()
+        if tok[1] != text:
+            raise ValueError(f"expected {text!r}, got {tok[1]!r}")
+
+    def at(self, text: str) -> bool:
+        tok = self.peek()
+        return tok is not None and tok[1] == text
+
+    # expr := or_expr
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() is not None and self.peek()[1] == "or" and self.peek()[0] == "name":
+            self.next()
+            left = _BinOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_equality()
+        while self.peek() is not None and self.peek()[1] == "and" and self.peek()[0] == "name":
+            self.next()
+            left = _BinOp("and", left, self.parse_equality())
+        return left
+
+    def parse_equality(self):
+        left = self.parse_relational()
+        while self.peek() is not None and self.peek()[1] in ("=", "!="):
+            op = self.next()[1]
+            left = _BinOp(op, left, self.parse_relational())
+        return left
+
+    def parse_relational(self):
+        left = self.parse_union()
+        while self.peek() is not None and self.peek()[1] in ("<", "<=", ">", ">="):
+            op = self.next()[1]
+            left = _BinOp(op, left, self.parse_union())
+        return left
+
+    def parse_union(self):
+        left = self.parse_primary()
+        paths = [left]
+        while self.at("|"):
+            self.next()
+            paths.append(self.parse_primary())
+        if len(paths) == 1:
+            return left
+        return _Union(paths)
+
+    def parse_primary(self):
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of query")
+        kind, text = tok
+        if kind == "num":
+            self.next()
+            return _Num(float(text))
+        if kind == "lit":
+            self.next()
+            return _Str(text[1:-1])
+        if text == "(":
+            self.next()
+            inner = self.parse_expr()
+            self.expect(")")
+            return inner
+        # function call: name '(' but not a node-test name (text/node/comment
+        # followed by '(' inside a path position is handled by parse_path)
+        if kind == "name" and self._is_function_ahead():
+            name = self.next()[1]
+            self.expect("(")
+            args = []
+            if not self.at(")"):
+                args.append(self.parse_expr())
+                while self.at(","):
+                    self.next()
+                    args.append(self.parse_expr())
+            self.expect(")")
+            return _Call(name, args)
+        return self.parse_path()
+
+    _NODE_TESTS = {"text", "node", "comment"}
+
+    def _is_function_ahead(self) -> bool:
+        tok = self.peek()
+        if tok is None or tok[0] != "name":
+            return False
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if nxt is None or nxt[1] != "(":
+            return False
+        # text()/node()/comment() are node tests (a one-step relative path)
+        return tok[1] not in self._NODE_TESTS
+
+    def parse_path(self) -> _Path:
+        absolute = False
+        steps: list[_Step] = []
+        if self.at("/"):
+            absolute = True
+            self.next()
+            if self.peek() is None:
+                return _Path(True, [])
+        elif self.at("//"):
+            absolute = True
+            self.next()
+            steps.append(_Step("descendant-or-self", ("node",), []))
+        steps.append(self.parse_step())
+        while True:
+            if self.at("/"):
+                self.next()
+                steps.append(self.parse_step())
+            elif self.at("//"):
+                self.next()
+                steps.append(_Step("descendant-or-self", ("node",), []))
+                steps.append(self.parse_step())
+            else:
+                break
+        return _Path(absolute, steps)
+
+    def parse_step(self) -> _Step:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("location step expected")
+        kind, text = tok
+        if text == ".":
+            # '.' lexes as op via the num alternative? '.' alone: num regex
+            # requires digits; op list has '.'? It does not — handle ddot/'.'
+            self.next()
+            return _Step("self", ("node",), [])
+        if kind == "ddot":
+            self.next()
+            return _Step("parent", ("node",), [])
+        axis = "child"
+        if text == "@":
+            self.next()
+            axis = "attribute"
+        elif kind == "name":
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            if nxt is not None and nxt[0] == "dcolon":
+                if text not in _AXES:
+                    raise ValueError(f"unsupported axis {text!r}")
+                axis = text
+                self.next()
+                self.next()
+        test = self.parse_node_test(axis)
+        predicates = []
+        while self.at("["):
+            self.next()
+            predicates.append(self.parse_expr())
+            self.expect("]")
+        return _Step(axis, test, predicates)
+
+    def parse_node_test(self, axis: str) -> tuple:
+        tok = self.next()
+        kind, text = tok
+        if text == "*":
+            return ("*",)
+        if kind != "name":
+            raise ValueError(f"node test expected, got {text!r}")
+        if text in self._NODE_TESTS and self.at("("):
+            self.next()
+            self.expect(")")
+            return (text,)
+        # names match on local name (the reference's conversion is not
+        # namespace aware: XpathTest.java:204-236)
+        local = text.rsplit(":", 1)[-1]
+        return ("name", local)
+
+
+# '.' needs to lex: add to the op class — the op charclass above includes '.'
+# only via num; patch: treat a lone '.' as its own token kind.
+_DOT_RE = re.compile(r"\s*\.(?!\.|\d)")
+
+
+def _lex_full(query: str) -> list[tuple[str, str]]:
+    # two-pass: find lone dots first (the main regex's num alternative
+    # requires a digit after '.'), then the main lexer per segment
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    n = len(query)
+    while pos < n:
+        m = _DOT_RE.match(query, pos)
+        if m is not None:
+            tokens.append(("dot", "."))
+            pos = m.end()
+            continue
+        m = _TOKEN_RE.match(query, pos)
+        if m is None or m.end() == pos:
+            if query[pos:].strip() == "":
+                break
+            raise ValueError(f"unexpected token at offset {pos}: {query[pos:pos+10]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        tokens.append((kind, m.group(kind)))
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+
+def _doc_order(root: Node) -> dict[int, int]:
+    order: dict[int, int] = {}
+    stack = [root]
+    i = 0
+    while stack:
+        node = stack.pop()
+        order[id(node)] = i
+        i += 1
+        kids = getattr(node, "children", None)
+        if kids:
+            stack.extend(reversed(kids))
+    return order
+
+
+def _string_value(node: Node) -> str:
+    if isinstance(node, Element):
+        out: list[str] = []
+        stack = list(reversed(node.children))
+        while stack:
+            cur = stack.pop()
+            if isinstance(cur, TextNode):
+                out.append(cur.value)
+            elif isinstance(cur, Element):
+                stack.extend(reversed(cur.children))
+        return "".join(out)
+    return getattr(node, "value", "")
+
+
+def _to_num(v) -> float:
+    if isinstance(v, float):
+        return v
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, str):
+        try:
+            return float(v.strip())
+        except ValueError:
+            return math.nan
+    if isinstance(v, list):
+        return _to_num(_to_str(v))
+    return math.nan
+
+
+def _to_str(v) -> str:
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and not math.isinf(v):
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, list):
+        return _string_value(v[0]) if v else ""
+    return str(v)
+
+
+def _to_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return v != 0 and not math.isnan(v)
+    if isinstance(v, str):
+        return len(v) > 0
+    if isinstance(v, list):
+        return len(v) > 0
+    return bool(v)
+
+
+class _AttrValue(Node):
+    """Wrapper so attribute-axis results flow through nodeset machinery."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: str):
+        self.parent = None
+        self.value = value
+
+
+def _compare(op: str, left, right) -> bool:
+    lns = isinstance(left, list)
+    rns = isinstance(right, list)
+    if op in ("=", "!="):
+        if lns and rns:
+            lvals = [_string_value(n) for n in left]
+            rvals = [_string_value(n) for n in right]
+            if op == "=":
+                rset = set(rvals)
+                return any(v in rset for v in lvals)
+            return any(a != b for a in lvals for b in rvals)
+        if lns or rns:
+            ns, other = (left, right) if lns else (right, left)
+            if isinstance(other, bool):
+                return (_to_bool(ns) == other) == (op == "=")
+            if isinstance(other, float):
+                return any(((_to_num(_string_value(n)) == other) == (op == "=")) for n in ns)
+            return any(((_string_value(n) == other) == (op == "=")) for n in ns)
+        if isinstance(left, bool) or isinstance(right, bool):
+            return (_to_bool(left) == _to_bool(right)) == (op == "=")
+        if isinstance(left, float) or isinstance(right, float):
+            return (_to_num(left) == _to_num(right)) == (op == "=")
+        return (left == right) == (op == "=")
+    # relational: numeric comparison, nodesets existentially
+    def nums(v):
+        if isinstance(v, list):
+            return [_to_num(_string_value(n)) for n in v]
+        return [_to_num(v)]
+
+    cmp = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }[op]
+    return any(cmp(a, b) for a in nums(left) for b in nums(right))
+
+
+class _Ctx:
+    __slots__ = ("node", "position", "size", "doc", "order")
+
+    def __init__(self, node, position, size, doc, order):
+        self.node = node
+        self.position = position
+        self.size = size
+        self.doc = doc
+        self.order = order
+
+
+def _axis_nodes(node: Node, axis: str):
+    if axis == "child":
+        return list(getattr(node, "children", ()))
+    if axis == "self":
+        return [node]
+    if axis == "parent":
+        return [node.parent] if node.parent is not None else []
+    if axis == "descendant" or axis == "descendant-or-self":
+        out = [node] if axis == "descendant-or-self" else []
+        stack = list(reversed(getattr(node, "children", ())))
+        while stack:
+            cur = stack.pop()
+            out.append(cur)
+            kids = getattr(cur, "children", None)
+            if kids:
+                stack.extend(reversed(kids))
+        return out
+    if axis == "ancestor" or axis == "ancestor-or-self":
+        out = [node] if axis == "ancestor-or-self" else []
+        cur = node.parent
+        while cur is not None:
+            out.append(cur)
+            cur = cur.parent
+        return out  # reverse axis order: nearest first
+    if axis == "following-sibling" or axis == "preceding-sibling":
+        parent = node.parent
+        if parent is None:
+            return []
+        sibs = parent.children
+        idx = next((i for i, s in enumerate(sibs) if s is node), None)
+        if idx is None:
+            return []
+        if axis == "following-sibling":
+            return list(sibs[idx + 1 :])
+        return list(reversed(sibs[:idx]))  # reverse axis order
+    raise ValueError(f"unsupported axis {axis!r}")
+
+
+def _node_test(node: Node, test: tuple, axis: str) -> bool:
+    kind = test[0]
+    if kind == "node":
+        return True
+    if kind == "text":
+        return isinstance(node, TextNode)
+    if kind == "comment":
+        return isinstance(node, CommentNode)
+    if kind == "*":
+        return isinstance(node, Element) and not isinstance(node, Document)
+    # name test
+    if not isinstance(node, Element) or isinstance(node, Document):
+        return False
+    local = node.name.rsplit(":", 1)[-1]
+    return local == test[1]
+
+
+def _eval_step(step: _Step, ctx: _Ctx) -> list[Node]:
+    if step.axis == "attribute":
+        el = ctx.node
+        if not isinstance(el, Element):
+            return []
+        if step.test[0] == "*":
+            return [_AttrValue(v) for v in el.attrs.values()]
+        key = step.test[1]
+        # case-insensitive in HTML docs; our HTML parser lowercases keys
+        if key in el.attrs:
+            return [_AttrValue(el.attrs[key])]
+        low = key.lower()
+        if low != key and low in el.attrs:
+            return [_AttrValue(el.attrs[low])]
+        return []
+    candidates = [
+        n for n in _axis_nodes(ctx.node, step.axis) if _node_test(n, step.test, step.axis)
+    ]
+    for pred in step.predicates:
+        size = len(candidates)
+        kept = []
+        for pos, node in enumerate(candidates, start=1):
+            v = _eval_expr(pred, _Ctx(node, pos, size, ctx.doc, ctx.order))
+            if isinstance(v, float):
+                if pos == v:
+                    kept.append(node)
+            elif _to_bool(v):
+                kept.append(node)
+        candidates = kept
+    return candidates
+
+
+def _eval_path(path: _Path, ctx: _Ctx) -> list[Node]:
+    if path.absolute:
+        start: list[Node] = [ctx.doc]
+    else:
+        start = [ctx.node]
+    current = start
+    for step in path.steps:
+        seen: set[int] = set()
+        nxt: list[Node] = []
+        for node in current:
+            for res in _eval_step(step, _Ctx(node, 1, 1, ctx.doc, ctx.order)):
+                if id(res) not in seen:
+                    seen.add(id(res))
+                    nxt.append(res)
+        current = nxt
+    # results in document order (attribute values keep emission order)
+    if current and not isinstance(current[0], _AttrValue):
+        current.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
+    return current
+
+
+def _eval_call(call: _Call, ctx: _Ctx):
+    name = call.name
+    args = [_eval_expr(a, ctx) for a in call.args]
+    if name == "last":
+        return float(ctx.size)
+    if name == "position":
+        return float(ctx.position)
+    if name == "count":
+        return float(len(args[0])) if isinstance(args[0], list) else math.nan
+    if name == "contains":
+        return _to_str(args[0]).find(_to_str(args[1])) >= 0
+    if name == "starts-with":
+        return _to_str(args[0]).startswith(_to_str(args[1]))
+    if name == "not":
+        return not _to_bool(args[0])
+    if name == "true":
+        return True
+    if name == "false":
+        return False
+    if name == "normalize-space":
+        s = _to_str(args[0]) if args else _string_value(ctx.node)
+        return " ".join(s.split())
+    if name == "string":
+        return _to_str(args[0]) if args else _string_value(ctx.node)
+    if name == "concat":
+        return "".join(_to_str(a) for a in args)
+    if name == "string-length":
+        s = _to_str(args[0]) if args else _string_value(ctx.node)
+        return float(len(s))
+    if name == "number":
+        return _to_num(args[0]) if args else _to_num(_string_value(ctx.node))
+    if name == "boolean":
+        return _to_bool(args[0])
+    if name in ("name", "local-name"):
+        if args:
+            ns = args[0]
+            node = ns[0] if isinstance(ns, list) and ns else None
+        else:
+            node = ctx.node
+        if not isinstance(node, Element) or isinstance(node, Document):
+            return ""
+        if name == "local-name":
+            return node.name.rsplit(":", 1)[-1]
+        return node.name
+    raise ValueError(f"unsupported function {name}()")
+
+
+def _eval_expr(expr, ctx: _Ctx):
+    if isinstance(expr, _Num):
+        return expr.value
+    if isinstance(expr, _Str):
+        return expr.value
+    if isinstance(expr, _Path):
+        return _eval_path(expr, ctx)
+    if isinstance(expr, _Union):
+        seen: set[int] = set()
+        out: list[Node] = []
+        for p in expr.paths:
+            v = _eval_expr(p, ctx)
+            if not isinstance(v, list):
+                raise ValueError("union operand is not a node-set")
+            for n in v:
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    out.append(n)
+        out.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
+        return out
+    if isinstance(expr, _Call):
+        return _eval_call(expr, ctx)
+    if isinstance(expr, _BinOp):
+        if expr.op == "or":
+            return _to_bool(_eval_expr(expr.left, ctx)) or _to_bool(_eval_expr(expr.right, ctx))
+        if expr.op == "and":
+            return _to_bool(_eval_expr(expr.left, ctx)) and _to_bool(_eval_expr(expr.right, ctx))
+        return _compare(expr.op, _eval_expr(expr.left, ctx), _eval_expr(expr.right, ctx))
+    raise ValueError(f"unsupported expression {expr!r}")
+
+
+# ---------------------------------------------------------------------------
+# Public API
+
+class _Compiled:
+    __slots__ = ("query", "expr")
+
+    def __init__(self, query: str, expr):
+        self.query = query
+        self.expr = expr
+
+
+def compile_xpath(query: str) -> _Compiled:
+    try:
+        parser = _Parser(_lex_full(query))
+        # patch: treat 'dot' tokens like '.' ops for the parser
+        parser.toks = [("op", ".") if k == "dot" else (k, t) for k, t in parser.toks]
+        expr = parser.parse_expr()
+        if parser.i != len(parser.toks):
+            raise ValueError(f"trailing input: {parser.toks[parser.i:][:3]!r}")
+        return _Compiled(query, expr)
+    except ValueError as e:
+        raise SelectorParseError(
+            f"Could not evaluate XPath query [{query}]: {e}"
+        ) from e
+
+
+def _run(context: Node, query_or_compiled) -> list[Node]:
+    compiled = (
+        query_or_compiled
+        if isinstance(query_or_compiled, _Compiled)
+        else compile_xpath(query_or_compiled)
+    )
+    doc = context.owner_document() or context
+    order = _doc_order(doc)
+    ctx = _Ctx(context, 1, 1, doc, order)
+    try:
+        result = _eval_expr(compiled.expr, ctx)
+    except ValueError as e:
+        raise SelectorParseError(
+            f"Could not evaluate XPath query [{compiled.query}]: {e}"
+        ) from e
+    if not isinstance(result, list):
+        raise SelectorParseError(
+            f"Could not evaluate XPath query [{compiled.query}]: "
+            f"result is not a node-set"
+        )
+    return result
+
+
+def select_xpath(context: Node, query) -> list[Element]:
+    """Evaluate an XPath query, returning matched Elements in doc order.
+
+    Mirrors Element.selectXpath(String) (Element.java:784-793): non-element
+    results are dropped.
+    """
+    return [
+        n
+        for n in _run(context, query)
+        if isinstance(n, Element) and not isinstance(n, Document)
+    ]
+
+
+def select_xpath_nodes(context: Node, query) -> list[Node]:
+    """Evaluate an XPath query, returning all matched nodes (Element,
+    TextNode, CommentNode, ...) in document order.
+
+    Mirrors Element.selectXpath(String, Class<T>) (Element.java:795-801).
+    """
+    return [n for n in _run(context, query) if not isinstance(n, _AttrValue)]
