@@ -275,7 +275,9 @@ class Tokeniser:
         return "".join(self._tag_name_parts)
 
     def emit_tag(self) -> None:
-        self.new_attribute()
+        if (self.attr_name is not None or self.attr_value is not None
+                or self.attr_has_empty_value):
+            self.new_attribute()
         if self.tag_is_decl:
             self._emit_tok(XmlDecl(self.tag_name, self.tag_attrs,
                                    self.tag_self_closing, self.tag_decl_bang))
@@ -350,8 +352,9 @@ def _consume_to_re(t: Tokeniser, pattern) -> str:
         data = t.s[t.pos:]
         t.pos = t.n
     else:
-        data = t.s[t.pos:m.start()]
-        t.pos = m.start()
+        end = m.start()
+        data = t.s[t.pos:end]
+        t.pos = end
     return data
 
 
@@ -365,13 +368,30 @@ def _consume_letters(t: Tokeniser) -> str:
 
 @_state(DATA)
 def _data(t):
-    c = _cur(t)
+    pos = t.pos
+    c = t.s[pos] if pos < t.n else EOF
     if c == "&":
         t.pos += 1
         decoded = t.consume_charref_tokens(None, False)
         t._emit_str(decoded if decoded is not None else "&")
     elif c == "<":
+        # fused fast path for the overwhelmingly common <name / </name
+        # shapes: skips the TagOpen/EndTagOpen dispatch round-trips
+        # (semantics identical to TokeniserState.TagOpen/EndTagOpen)
         t.pos += 1
+        s = t.s
+        nxt = s[t.pos] if t.pos < t.n else ""
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
+            t.create_tag(True)
+            t.state = TAG_NAME
+            return _tag_name(t)
+        if nxt == "/":
+            n2 = s[t.pos + 1] if t.pos + 1 < t.n else ""
+            if "a" <= n2 <= "z" or "A" <= n2 <= "Z":
+                t.pos += 1
+                t.create_tag(False)
+                t.state = TAG_NAME
+                return _tag_name(t)
         t.state = TAG_OPEN
     elif c == NULL:
         t.error("null in data")
@@ -496,6 +516,7 @@ def _tag_name(t):
     c = _consume(t)
     if c in _WS:
         t.state = BEFORE_ATTR_NAME
+        return _before_attr_name(t)  # fused forward edge
     elif c == "/":
         t.state = SELF_CLOSING
     elif c == ">":
@@ -914,6 +935,7 @@ def _before_attr_name(t):
         t.new_attribute()
         t.pos -= 1
         t.state = ATTR_NAME
+        return _attr_name(t)  # fused forward edge
 
 
 @_state(ATTR_NAME)
@@ -928,6 +950,7 @@ def _attr_name(t):
         t.state = SELF_CLOSING
     elif c == "=":
         t.state = BEFORE_ATTR_VALUE
+        return _before_attr_value(t)  # fused forward edge
     elif c == ">":
         t.emit_tag()
         t.state = DATA
@@ -980,11 +1003,13 @@ def _before_attr_value(t):
         return
     if c == '"':
         t.state = ATTR_VALUE_DQ
+        return _attr_value_quoted(t, _P_ATTRVAL_DQ, '"')  # fused
     elif c == "&":
         t.pos -= 1
         t.state = ATTR_VALUE_UQ
     elif c == "'":
         t.state = ATTR_VALUE_SQ
+        return _attr_value_quoted(t, _P_ATTRVAL_SQ, "'")  # fused
     elif c == NULL:
         t.error("null")
         t.append_attr_value(REPLACEMENT)
