@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from jsoup_spark.operators import dedup, similarity, textstats
 from jsoup_spark.operators.pipeline import (
-    clean_stage, extract_stage, select_stage, spans_to_rows,
+    clean_stage, extract_stage, positions_stage, select_stage, spans_to_rows,
 )
 from jsoup_spark.sources.corpus import synthesize
 
@@ -136,6 +136,20 @@ def q_select_xpath(spark, sf_dir):
     )
 
 
+def q_positions_title(spark, sf_dir):
+    """Source-range tracking (Parser.setTrackPosition, nodes/Range.java):
+    the <title> element's open- and close-tag offsets are a closed-form
+    function of the synthetic corpus layout, so DuckDB can recompute them."""
+    pos = positions_stage(_corpus(spark, sf_dir), "title")
+    return pos.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("src_start").cast("int").alias("src_start"),
+        F.col("src_end").cast("int").alias("src_end"),
+        F.col("end_start").cast("int").alias("end_start"),
+        F.col("end_end").cast("int").alias("end_end"),
+    )
+
+
 def q_clean_basic(spark, sf_dir):
     cl = clean_stage(_corpus(spark, sf_dir), "basic")
     return cl.select(
@@ -228,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_nth_li": q_select_nth_li,
         "select_has": q_select_has,
         "select_xpath": q_select_xpath,
+        "positions_title": q_positions_title,
         "clean_basic": q_clean_basic,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -305,6 +320,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'main' AS el_id FROM documents"),
         "select_xpath": (
             "SELECT doc_id, lang AS last_li FROM documents"),
+        # '<html><head>'=12, '<title>' ends at 19. The end range starts at
+        # 12, not at '</title>': RCDATA end tags keep the OPEN tag's markup
+        # start (reference quirk — markupStartPos only updates on TagOpen
+        # transitions, Tokeniser.java:122-123; verified via Harness
+        # 'positions' op). end_end = 31 + len(doc_id) (after '</title>').
+        "positions_title": (
+            "SELECT doc_id, 12 AS src_start, 19 AS src_end, "
+            "12 AS end_start, "
+            "(31 + length(doc_id::VARCHAR))::INT AS end_end FROM documents"),
         "clean_basic": (
             f"SELECT doc_id, {_BODY_SQL} || ' ' || source || ' ' || lang "
             "AS clean_text, 4 AS num_discarded FROM documents"),

@@ -196,6 +196,9 @@ def _leaf_html(node: Node, settings: OutputSettings, out: list[str]) -> None:
             out.append(" SYSTEM")
         if node.system_id:
             out.append(' "%s"' % node.system_id)
+        if getattr(node, "internal_subset", None) is not None:
+            # xml parser only (DocumentType.java:105-106)
+            out.append(" [%s]" % node.internal_subset)
         out.append(">")
     elif isinstance(node, XmlDeclNode):
         out.append("<" + ("!" if node.is_declaration else "?"))
@@ -453,7 +456,15 @@ def inner_html(el: Element, settings: OutputSettings = DEFAULT) -> str:
     return java_trim(html) if settings.pretty else html
 
 
-def outer_html(node: Node, settings: OutputSettings = DEFAULT) -> str:
+def outer_html(node: Node, settings: OutputSettings | None = None) -> str:
+    if settings is None:
+        # XML-parsed documents serialize with xml syntax + no pretty-print
+        # (XmlTreeBuilder.initialiseParse, XmlTreeBuilder.java:49-52)
+        doc = node.owner_document()
+        if doc is not None and doc.parse_mode == "xml":
+            settings = OutputSettings(pretty=False, syntax="xml")
+        else:
+            settings = DEFAULT
     printer = _Pretty(node, settings) if settings.pretty else _Plain(node, settings)
     _traverse(printer, [node], settings)
     html = "".join(printer.out)

@@ -223,6 +223,45 @@ def select_stage(docs: DataFrame, query: str, *, bucket: bool = False,
     return prepared.mapInPandas(run, schema=schemas.SELECT_OUT)
 
 
+def positions_stage(docs: DataFrame, query: str) -> DataFrame:
+    """Source-position extraction: parse with range tracking
+    (Parser.setTrackPosition, nodes/Range.java) and emit the source ranges
+    of elements matched by a CSS query — one row per match with
+    (src_start, src_end) of the open tag and (end_start, end_end) of the
+    close tag (implicit ranges are zero-width, Range.isImplicit)."""
+    compile_query(query)
+    prepared = assemble_html(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..parser.treebuilder import HtmlTreeBuilder
+        ev = compile_query(query)
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "match_idx", "tag",
+                                    "src_start", "src_end",
+                                    "end_start", "end_end")}
+            for doc_id, html, base_uri in zip(
+                    pdf["doc_id"], pdf["html"], pdf["base_uri"]):
+                doc = HtmlTreeBuilder().parse(html, base_uri,
+                                              track_positions=True)
+                for i, el in enumerate(select(doc, ev)):
+                    src = el.source_range() or (-1, -1)
+                    end = el.end_source_range() or (-1, -1)
+                    rows["doc_id"].append(doc_id)
+                    rows["match_idx"].append(i)
+                    rows["tag"].append(el.name)
+                    rows["src_start"].append(src[0])
+                    rows["src_end"].append(src[1])
+                    rows["end_start"].append(end[0])
+                    rows["end_end"].append(end[1])
+            pdf_out = pd.DataFrame(rows)
+            for c in ("match_idx", "src_start", "src_end", "end_start",
+                      "end_end"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return prepared.mapInPandas(run, schema=schemas.POSITIONS_OUT)
+
+
 # ---------------------------------------------------------------- clean
 
 def clean_stage(docs: DataFrame, safelist_name: str = "basic",

@@ -63,8 +63,23 @@ def _last_char_is_ws(accum: list[str]) -> bool:
 
 
 class Node:
-    __slots__ = ("parent",)
+    # srcr/endr: parser-tracked source ranges (reference nodes/Range.java:16,
+    # Range.Spans) — (start,end) offset tuples set only when the parse ran
+    # with track_positions=True; endr only on Elements (end-tag range)
+    __slots__ = ("parent", "srcr", "endr")
     name = "#node"
+
+    def source_range(self):
+        """(start,end) source offsets of this node, or None if untracked
+        (Node.sourceRange, nodes/Node.java). Implicit if start == end."""
+        r = getattr(self, "srcr", None)
+        return None if r is None or r[0] < 0 else r
+
+    def end_source_range(self):
+        """(start,end) offsets of an element's end tag, or None
+        (Element.endSourceRange)."""
+        r = getattr(self, "endr", None)
+        return None if r is None or r[0] < 0 else r
 
     def owner_document(self):
         n = self
@@ -127,13 +142,17 @@ class CommentNode(LeafNode):
 
 
 class DoctypeNode(LeafNode):
-    __slots__ = ("public_id", "system_id")
+    __slots__ = ("public_id", "system_id", "internal_subset")
     name = "#doctype"
 
-    def __init__(self, name_: str, public_id: str, system_id: str):
+    def __init__(self, name_: str, public_id: str, system_id: str,
+                 internal_subset: str | None = None):
         super().__init__(name_)
         self.public_id = public_id
         self.system_id = system_id
+        # raw XML internal subset (DocumentType.setInternalSubset,
+        # nodes/DocumentType.java:49); XML parser only
+        self.internal_subset = internal_subset
 
 
 class XmlDeclNode(LeafNode):

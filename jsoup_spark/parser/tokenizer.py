@@ -43,25 +43,39 @@ T_XMLDECL = 7
 
 
 class Tok:
-    __slots__ = ()
+    # source offsets (Token.java:20 startPos/endPos); stamped by the
+    # Tokeniser at emit; -1 = unset (synthetic/virtual tokens)
+    __slots__ = ("start_pos", "end_pos")
+
+    def __init__(self):
+        self.start_pos = -1
+        self.end_pos = -1
 
 
 class Doctype(Tok):
-    __slots__ = ("name", "pub_sys_key", "public_id", "system_id", "force_quirks")
+    __slots__ = ("name", "pub_sys_key", "public_id", "system_id",
+                 "force_quirks", "internal_subset")
     type = T_DOCTYPE
 
     def __init__(self):
+        self.start_pos = -1
+        self.end_pos = -1
         self.name = ""
         self.pub_sys_key = None
         self.public_id = ""
         self.system_id = ""
         self.force_quirks = False
+        # raw XML internal subset text; non-None == subset was seen
+        # (Token.java:62 sawInternalSubset + internalSubset)
+        self.internal_subset = None
 
 
 class Tag(Tok):
     __slots__ = ("name", "attrs", "self_closing", "normal")
 
     def __init__(self, name: str, attrs, self_closing: bool):
+        self.start_pos = -1
+        self.end_pos = -1
         self.name = name          # original case
         self.attrs = attrs        # list[(name, value-or-None)] or None
         self.self_closing = self_closing
@@ -92,6 +106,8 @@ class Comment(Tok):
     type = T_COMMENT
 
     def __init__(self, data: str, bogus: bool = False):
+        self.start_pos = -1
+        self.end_pos = -1
         self.data = data
         self.bogus = bogus
 
@@ -101,6 +117,8 @@ class Character(Tok):
     type = T_CHAR
 
     def __init__(self, data: str):
+        self.start_pos = -1
+        self.end_pos = -1
         self.data = data
 
 
@@ -131,8 +149,8 @@ class EOFTok(Tok):
     AFTER_DT_NAME, AFTER_DT_PUBLIC_KW, BEFORE_DT_PUBLIC_ID, DT_PUBLIC_DQ,
     DT_PUBLIC_SQ, AFTER_DT_PUBLIC_ID, BETWEEN_DT_PUB_SYS, AFTER_DT_SYSTEM_KW,
     BEFORE_DT_SYSTEM_ID, DT_SYSTEM_DQ, DT_SYSTEM_SQ, AFTER_DT_SYSTEM_ID,
-    BOGUS_DOCTYPE, CDATA_SECTION,
-) = range(66)
+    BOGUS_DOCTYPE, CDATA_SECTION, DT_INTERNAL_SUBSET,
+) = range(67)
 
 _WS = "\t\n\r\f "
 
@@ -160,6 +178,7 @@ class Tokeniser:
         "tag_is_decl", "tag_decl_bang",
         "attr_name", "attr_value", "attr_has_empty_value", "attr_had_value",
         "comment", "comment_bogus", "doctype", "data_buf", "last_start",
+        "markup_start", "char_start", "char_run_start", "char_end",
     )
 
     def __init__(self, s: str, syntax: str = "html", errors: list | None = None):
@@ -167,6 +186,13 @@ class Tokeniser:
         self.s_lower = None  # lazily built for contains-scan
         self.pos = 0
         self.n = len(s)
+        # source-position tracking (Tokeniser.java:54 markupStartPos /
+        # charStartPos): markup start set on transition into TagOpen,
+        # char start on token emit
+        self.markup_start = 0
+        self.char_start = 0
+        self.char_run_start = 0
+        self.char_end = 0
         self.state = DATA
         self.syntax = syntax
         self.cdata_allowed = lambda: syntax == "xml"
@@ -196,9 +222,16 @@ class Tokeniser:
 
     # --- emit plumbing ---
     def _emit_str(self, data: str) -> None:
-        self._chars.append(data)
+        chars = self._chars
+        if not chars:
+            self.char_run_start = self.char_start
+        self.char_end = self.pos
+        chars.append(data)
 
     def _emit_tok(self, tok: Tok) -> None:
+        tok.start_pos = self.markup_start
+        tok.end_pos = self.pos
+        self.char_start = self.pos
         self._queue.append(tok)
         if tok.type == T_START:
             self.last_start = tok.normal
@@ -214,6 +247,8 @@ class Tokeniser:
             states[self.state](self)
         if chars:
             tok = Character("".join(chars))
+            tok.start_pos = self.char_run_start
+            tok.end_pos = self.char_end
             chars.clear()
             return tok
         return q.pop(0)
@@ -324,7 +359,7 @@ class Tokeniser:
 
 
 # state function registry
-_STATES: list = [None] * 66
+_STATES: list = [None] * 67
 
 
 def _state(idx):
@@ -339,11 +374,12 @@ def _cur(t: Tokeniser) -> str:
 
 
 def _consume(t: Tokeniser) -> str:
-    if t.pos >= t.n:
-        return EOF
-    c = t.s[t.pos]
-    t.pos += 1
-    return c
+    # advances even at EOF (CharacterReader.consume, CharacterReader.java:277-282
+    # bufPos++ unconditionally) — reader.pos() can exceed input length, which
+    # source-position tracking observes
+    pos = t.pos
+    t.pos = pos + 1
+    return t.s[pos] if pos < t.n else EOF
 
 
 def _consume_to_re(t: Tokeniser, pattern) -> str:
@@ -378,6 +414,7 @@ def _data(t):
         # fused fast path for the overwhelmingly common <name / </name
         # shapes: skips the TagOpen/EndTagOpen dispatch round-trips
         # (semantics identical to TokeniserState.TagOpen/EndTagOpen)
+        t.markup_start = pos  # transition(TagOpen), Tokeniser.java:122-123
         t.pos += 1
         s = t.s
         nxt = s[t.pos] if t.pos < t.n else ""
@@ -544,6 +581,7 @@ def _rcdata_lt(t):
         t._tag_name_parts = [t.appropriate_end()]
         t.emit_tag()
         t.state = TAG_OPEN
+        t.markup_start = t.pos  # transition(TagOpen) AFTER the emit
     else:
         t._emit_str("<")
         t.state = RCDATA
@@ -585,9 +623,10 @@ def _rcdata_end_name(t):
         t.emit_tag()
         t.state = DATA
     else:
-        if c != EOF:
-            t.pos -= 1
+        # emit BEFORE unconsume (RCDATAEndTagName anythingElse: emit,
+        # emit, r.unconsume()) — char-run end positions observe the order
         anything_else()
+        t.pos -= 1
 
 
 def _read_end_tag(t, a, b):
@@ -814,8 +853,7 @@ def _double_escape_tag(t, primary, fallback):
         t.state = primary if "".join(t.data_buf) == "script" else fallback
         t._emit_str(c)
     else:
-        if c != EOF:
-            t.pos -= 1
+        t.pos -= 1  # unconditional unconsume (ScriptDataDoubleEscape*)
         t.state = fallback
 
 
@@ -1128,7 +1166,9 @@ def _bogus_comment(t):
     end = t.s.find(">", t.pos)
     if end == -1:
         t.comment.append(t.s[t.pos:])
-        t.pos = t.n
+        # consume() past EOF like the reference (BogusComment: r.consume()
+        # on eof) — reader.pos() ends at n+1, observed by position tracking
+        t.pos = t.n + 1
     else:
         t.comment.append(t.s[t.pos:end])
         t.pos = end + 1
@@ -1389,9 +1429,16 @@ def _after_dt_name(t):
         t.pos += 1
         return
     if c == ">":
-        t.pos += 1
+        # emit BEFORE advancing (TokeniserState AfterDoctypeName:
+        # emitDoctypePending(); advanceTransition(Data)) — position
+        # tracking observes the order
         t.emit_doctype()
+        t.pos += 1
         t.state = DATA
+    elif c == "[" and t.syntax == "xml":
+        t.pos += 1
+        t.doctype.internal_subset = ""
+        t.state = DT_INTERNAL_SUBSET
     elif t.s[t.pos:t.pos + 6].upper() == "PUBLIC":
         t.pos += 6
         t.doctype.pub_sys_key = "PUBLIC"
@@ -1542,6 +1589,15 @@ def _between_dt_pub_sys(t):
         t.state = DT_SYSTEM_DQ
     elif c == "'":
         t.state = DT_SYSTEM_SQ
+    elif c == "[":
+        if t.syntax == "xml":
+            t.doctype.internal_subset = ""
+            t.state = DT_INTERNAL_SUBSET
+        else:
+            # error + force quirks, stay in state
+            # (BetweenDoctypePublicAndSystemIdentifiers '[')
+            t.error("unexpected [ in doctype")
+            t.doctype.force_quirks = True
     elif c == EOF:
         t.error("eof")
         t.doctype.force_quirks = True
@@ -1623,6 +1679,9 @@ def _after_dt_system_id(t):
     if c == ">":
         t.emit_doctype()
         t.state = DATA
+    elif c == "[" and t.syntax == "xml":
+        t.doctype.internal_subset = ""
+        t.state = DT_INTERNAL_SUBSET
     elif c == EOF:
         t.error("eof")
         t.doctype.force_quirks = True
@@ -1631,6 +1690,87 @@ def _after_dt_system_id(t):
     else:
         t.error("unexpected char")
         t.state = BOGUS_DOCTYPE  # NOT force quirks (spec)
+
+
+_P_DTIS = re.compile("['\"<\\-?\\]\x00]")
+_P_WS_RUN = re.compile("[ \t\n\f\r]+")
+
+
+@_state(DT_INTERNAL_SUBSET)
+def _dt_internal_subset(t):
+    """XML doctype internal subset: raw capture incl. quoted strings,
+    comments, and PIs; terminates at ']' ws* '>'
+    (readDoctypeInternalSubset, TokeniserState.java:1821-1896)."""
+    NONE, SQ, DQ, COM, PI = 0, 1, 2, 3, 4
+    ctx = NONE
+    parts = [t.doctype.internal_subset or ""]
+    s = t.s
+    while True:
+        run = _consume_to_re(t, _P_DTIS)
+        if run:
+            parts.append(run)
+        c = _consume(t)
+        if c == "'":
+            parts.append(c)
+            if ctx == NONE:
+                ctx = SQ
+            elif ctx == SQ:
+                ctx = NONE
+        elif c == '"':
+            parts.append(c)
+            if ctx == NONE:
+                ctx = DQ
+            elif ctx == DQ:
+                ctx = NONE
+        elif c == "<":
+            parts.append(c)
+            if ctx == NONE:
+                if s.startswith("!--", t.pos):
+                    t.pos += 3
+                    parts.append("!--")
+                    ctx = COM
+                elif s.startswith("?", t.pos):
+                    t.pos += 1
+                    parts.append("?")
+                    ctx = PI
+        elif c == "-":
+            parts.append(c)
+            if ctx == COM and s.startswith("->", t.pos):
+                t.pos += 2
+                parts.append("->")
+                ctx = NONE
+        elif c == "?":
+            parts.append(c)
+            if ctx == PI and t.pos < t.n and s[t.pos] == ">":
+                t.pos += 1
+                parts.append(">")
+                ctx = NONE
+        elif c == "]":
+            if ctx == NONE:
+                m = _P_WS_RUN.match(s, t.pos)
+                ws = m.group() if m else ""
+                t.pos += len(ws)
+                if t.pos < t.n and s[t.pos] == ">":
+                    t.pos += 1
+                    t.doctype.internal_subset = "".join(parts)
+                    t.emit_doctype()
+                    t.state = DATA
+                    return
+                parts.append(c)
+                parts.append(ws)
+            else:
+                parts.append(c)
+        elif c == NULL:
+            t.error("null in doctype internal subset")
+            parts.append(REPLACEMENT)
+        elif c == EOF:
+            t.error("eof in doctype internal subset")
+            t.doctype.internal_subset = "".join(parts)
+            t.emit_doctype()
+            t.state = DATA
+            return
+        else:
+            parts.append(c)
 
 
 @_state(BOGUS_DOCTYPE)

@@ -206,13 +206,24 @@ class HtmlTreeBuilder:
         self.noscript: _NoscriptState | None = None
         self.tok: tz.Tokeniser | None = None
         self.current_token = None
+        self.track = False  # source-range tracking (Parser.setTrackPosition)
 
     # ------------------------------------------------------------ entry
-    def parse(self, html: str, base_uri: str = "") -> Document:
+    def parse(self, html: str, base_uri: str = "",
+              track_positions: bool = False) -> Document:
         self.doc = Document(base_uri)
         self.base_uri = base_uri or ""
+        self.track = track_positions
         self.tok = tz.Tokeniser(html, "html", self.doc.errors)
         self.tok.cdata_allowed = self._cdata_allowed
+        if track_positions:
+            # virtual start token (TreeBuilder.java:62-65; Token.java:20 —
+            # startPos defaults 0, endPos Unset): doc sourceRange becomes
+            # implicit (0,0); closed at EOF drain
+            virt = tz.StartTag("", None, False)
+            virt.start_pos = 0
+            self.current_token = virt
+            self._track(self.doc, True)
         self._run()
         return self.doc
 
@@ -263,6 +274,40 @@ class HtmlTreeBuilder:
             self.process(token)
             if token.type == tz.T_EOF:
                 break
+        if self.track:
+            # EOF stack drain closes remaining elements + the doc
+            # (TreeBuilder.java:115-123)
+            while self.stack:
+                el = self.stack.pop()
+                self._track(el, False)
+            self._track(self.doc, False)
+
+    def _track(self, node, is_start: bool) -> None:
+        """TreeBuilder.trackNodePosition (TreeBuilder.java:324-355):
+        stamp node source ranges from the current token, marking
+        implicitly-opened/closed elements as zero-width ranges."""
+        tok = self.current_token
+        start = tok.start_pos
+        end = tok.end_pos
+        if isinstance(node, Element):
+            tt = tok.type
+            if tt == tz.T_EOF:
+                # /body and /html are left on stack until EOF; keep their
+                # explicitly-tracked close ranges
+                if getattr(node, "endr", None) is not None:
+                    return
+                start = end = self.tok.pos
+            elif is_start:
+                if tt != tz.T_START or node.name.lower() != tok.normal:
+                    end = start
+            else:
+                if not (node.flags & (tags.VOID | tags.SELF_CLOSE)):
+                    if tt != tz.T_END or node.name.lower() != tok.normal:
+                        end = start
+        if is_start:
+            node.srcr = (start, end)
+        elif isinstance(node, Element):
+            node.endr = (start, end)
 
     def _cdata_allowed(self) -> bool:
         return bool(self.stack) and self.stack[-1].ns != NS_HTML
@@ -404,6 +449,8 @@ class HtmlTreeBuilder:
         else:
             self.current_element().append(el)
         self.stack.append(el)
+        if self.track:
+            self._track(el, True)
 
     def _enforce_depth(self) -> None:
         while len(self.stack) >= MAX_DEPTH:
@@ -425,7 +472,10 @@ class HtmlTreeBuilder:
             self._restore_noscript()
 
     def insert_comment(self, token) -> None:
-        self.current_element().append(CommentNode(token.data))
+        node = CommentNode(token.data)
+        self.current_element().append(node)
+        if self.track:
+            self._track(node, True)
 
     def insert_character(self, token, replace_nulls: bool = False) -> None:
         data = token.data
@@ -445,6 +495,8 @@ class HtmlTreeBuilder:
         else:
             node = TextNode(data)
         el.append(node)
+        if self.track:
+            self._track(node, True)
 
     def insert_in_foster_parent(self, node) -> None:
         last_table = self.get_from_stack("table")
@@ -471,10 +523,15 @@ class HtmlTreeBuilder:
         return el.name == name and el.ns == NS_HTML
 
     def pop(self) -> Element:
-        return self.stack.pop()
+        el = self.stack.pop()
+        if self.track:
+            self._track(el, False)
+        return el
 
     def push(self, el: Element) -> None:
         self.stack.append(el)
+        if self.track:
+            self._track(el, True)
 
     def on_stack(self, el: Element) -> bool:
         s = self.stack
@@ -501,6 +558,8 @@ class HtmlTreeBuilder:
         for i in range(len(s) - 1, -1, -1):
             if s[i] is el:
                 del s[i]
+                if self.track:
+                    self._track(el, False)
                 return True
         return False
 
@@ -673,6 +732,12 @@ class HtmlTreeBuilder:
             skip = False
             new_el = Element(entry.name, entry.ns, dict(entry.attrs))
             new_el.tag_name_case = entry.tag_name_case
+            if self.track:
+                # ranges ride along with the attribute clone in the
+                # reference (HtmlTreeBuilder.java:1091, Range.Spans lives in
+                # Attributes); insert below overwrites srcr, endr survives
+                new_el.srcr = getattr(entry, "srcr", None)
+                new_el.endr = getattr(entry, "endr", None)
             self._do_insert(new_el)
             f[pos] = new_el
             if pos == size - 1:
@@ -948,6 +1013,8 @@ def _initial(tb, t):
     elif t.type == tz.T_DOCTYPE:
         node = DoctypeNode(t.name.lower(), t.public_id, t.system_id)
         tb.doc.append(node)
+        if tb.track:
+            tb._track(node, True)
         if (t.force_quirks or node.value != "html"
                 or node.public_id.lower() == "html"):
             tb.doc.quirks_mode = "quirks"
@@ -1269,7 +1336,12 @@ def _in_body_start(tb, t):
         tb.frameset_ok = False
     elif name == "image":
         if tb.get_from_stack("svg") is None:
-            return tb.process(tz.StartTag("img", t.attrs, t.self_closing))
+            # in-place rename: same token object stays current_token, so
+            # source positions carry over (HtmlTreeBuilderState.java:440
+            # startTag.name("img"))
+            t.name = "img"
+            t.normal = "img"
+            return tb.process(t)
         tb.insert_element(t)
     elif name == "textarea":
         tb.frameset_ok = False
@@ -1430,6 +1502,11 @@ def _in_body_end(tb, t):
             return False
         if tb.on_stack_not(C_END_OTHER_ERRORS):
             tb.error("unexpected open elements")
+        if tb.track:
+            # body stays on stack for trailers (HtmlTreeBuilderState.java:652)
+            body = tb.get_from_stack("body")
+            if body is not None:
+                tb._track(body, False)
         tb.state = AFTER_BODY
     elif name == "html":
         if not tb.on_stack_name("body"):
@@ -2159,6 +2236,9 @@ def _after_body(tb, t):
         if tb.fragment:
             tb.error("html end in fragment")
             return False
+        if tb.track and html is not None:
+            # html stays on stack for trailers (HtmlTreeBuilderState.java:1624)
+            tb._track(html, False)
         tb.state = AFTER_AFTER_BODY
     elif t.type == tz.T_EOF:
         pass
@@ -2331,9 +2411,14 @@ _MODES = [
 ]
 
 
-def parse(html: str, base_uri: str = "") -> Document:
-    """Parse an HTML document (Jsoup.parse equivalent)."""
-    return HtmlTreeBuilder().parse(html, base_uri)
+def parse(html: str, base_uri: str = "",
+          track_positions: bool = False) -> Document:
+    """Parse an HTML document (Jsoup.parse equivalent).
+
+    track_positions enables source-range tracking
+    (Parser.setTrackPosition, nodes/Range.java): nodes get
+    .source_range() / .end_source_range() offset tuples."""
+    return HtmlTreeBuilder().parse(html, base_uri, track_positions)
 
 
 def parse_fragment(html: str, context: str | None = None,

@@ -23,15 +23,25 @@ class XmlTreeBuilder:
         self.stack: list[Element] = []
         self.ns_stack: list[dict[str, str]] = [{"": NS_XML}]
         self.tok: tz.Tokeniser | None = None
+        self.track = False
+        self.current_token = None
 
-    def parse(self, xml: str, base_uri: str = "") -> Document:
+    def parse(self, xml: str, base_uri: str = "",
+              track_positions: bool = False) -> Document:
         self.doc = Document(base_uri)
         self.doc.parse_mode = "xml"
+        self.track = track_positions
         self.tok = tz.Tokeniser(xml, "xml", self.doc.errors)
         self.tok.cdata_allowed = lambda: True
+        if track_positions:
+            virt = tz.StartTag("", None, False)
+            virt.start_pos = 0  # Token.java:20 — startPos defaults 0
+            self.current_token = virt
+            self._track(self.doc, True)
         while True:
             token = self.tok.read()
             tt = token.type
+            self.current_token = token
             if tt == tz.T_EOF:
                 break
             if tt == tz.T_START:
@@ -39,17 +49,52 @@ class XmlTreeBuilder:
             elif tt == tz.T_END:
                 self._pop_to_close(token)
             elif tt == tz.T_COMMENT:
-                self._cur().append(CommentNode(token.data))
+                self._append_leaf(CommentNode(token.data))
             elif tt in (tz.T_CHAR, tz.T_CDATA):
                 self._insert_character(token)
             elif tt == tz.T_DOCTYPE:
-                self._cur().append(DoctypeNode(
-                    token.name, token.public_id, token.system_id))
+                self._append_leaf(DoctypeNode(
+                    token.name, token.public_id, token.system_id,
+                    token.internal_subset))
             elif tt == tz.T_XMLDECL:
                 attrs = self._finalize_attrs(token.attrs)
-                self._cur().append(XmlDeclNode(
+                self._append_leaf(XmlDeclNode(
                     token.name, attrs, token.is_declaration))
+        if self.track:
+            while self.stack:
+                el = self.stack[-1]
+                self._pop()
+                self._track(el, False)
+            self._track(self.doc, False)
         return self.doc
+
+    def _append_leaf(self, node) -> None:
+        self._cur().append(node)
+        if self.track:
+            self._track(node, True)
+
+    def _track(self, node, is_start: bool) -> None:
+        """TreeBuilder.trackNodePosition semantics, XML flavor (elements
+        carry no VOID/SELF_CLOSE flags)."""
+        tok = self.current_token
+        start = tok.start_pos
+        end = tok.end_pos
+        if isinstance(node, Element):
+            tt = tok.type
+            if tt == tz.T_EOF:
+                if getattr(node, "endr", None) is not None:
+                    return
+                start = end = self.tok.pos
+            elif is_start:
+                if tt != tz.T_START or node.name != tok.normal:
+                    end = start
+            else:
+                if tt != tz.T_END or node.name != tok.normal:
+                    end = start
+        if is_start:
+            node.srcr = (start, end)
+        elif isinstance(node, Element):
+            node.endr = (start, end)
 
     def _cur(self) -> Element:
         return self.stack[-1] if self.stack else self.doc
@@ -83,10 +128,14 @@ class XmlTreeBuilder:
         el.flags = 0
         self._cur().append(el)
         self.stack.append(el)
+        if self.track:
+            self._track(el, True)
         if start.self_closing:
             from . import tags as _t
             el.flags |= _t.SEEN_SELF_CLOSE
             self._pop()
+            if self.track:
+                self._track(el, False)
 
     def _pop(self) -> None:
         self.ns_stack.pop()
@@ -103,15 +152,19 @@ class XmlTreeBuilder:
         if target is None:
             return
         while len(self.stack) > target:
+            el = self.stack[-1]
             self._pop()
+            if self.track:
+                self._track(el, False)
 
     def _insert_character(self, token) -> None:
         if token.type == tz.T_CDATA:
             node = CDataNode(token.data)
         else:
             node = TextNode(token.data)
-        self._cur().append(node)
+        self._append_leaf(node)
 
 
-def parse_xml(xml: str, base_uri: str = "") -> Document:
-    return XmlTreeBuilder().parse(xml, base_uri)
+def parse_xml(xml: str, base_uri: str = "",
+              track_positions: bool = False) -> Document:
+    return XmlTreeBuilder().parse(xml, base_uri, track_positions)

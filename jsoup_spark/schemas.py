@@ -48,6 +48,16 @@ SELECT_OUT = T.StructType([
     T.StructField("attrs", T.MapType(T.StringType(), T.StringType()), True),
 ])
 
+POSITIONS_OUT = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("match_idx", T.IntegerType(), False),
+    T.StructField("tag", T.StringType(), False),
+    T.StructField("src_start", T.IntegerType(), False),
+    T.StructField("src_end", T.IntegerType(), False),
+    T.StructField("end_start", T.IntegerType(), False),
+    T.StructField("end_end", T.IntegerType(), False),
+])
+
 CLEAN_OUT = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("clean_html", T.StringType(), False),

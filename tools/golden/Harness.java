@@ -94,8 +94,32 @@ public class Harness {
                 return sb.toString();
             }
             case "spans": return spans(Jsoup.parse(a1, a2));
+            case "positions": return positions(Jsoup.parse(a1, Parser.htmlParser().setTrackPosition(true)));
+            case "posxml": return positions(Jsoup.parse(a1, "", Parser.xmlParser().setTrackPosition(true)));
             default: return "!ERROR: unknown op " + op;
         }
+    }
+
+    // ---- source-position golden: per node (DFS incl. doc):
+    // name \u0001 srcStart,srcEnd \u0001 endStart,endEnd  (\u0002-joined)
+    static String positions(Document doc) {
+        StringBuilder sb = new StringBuilder();
+        posNode(doc, sb);
+        return sb.toString();
+    }
+
+    static void posNode(Node n, StringBuilder sb) {
+        if (sb.length() > 0) sb.append('\u0002');
+        org.jsoup.nodes.Range src = n.sourceRange();
+        sb.append(n.nodeName()).append('\u0001')
+          .append(src.startPos()).append(',').append(src.endPos());
+        if (n instanceof org.jsoup.nodes.Element) {
+            org.jsoup.nodes.Range end = ((org.jsoup.nodes.Element) n).endSourceRange();
+            sb.append('\u0001').append(end.startPos()).append(',').append(end.endPos());
+        } else {
+            sb.append("\u0001-,-");
+        }
+        for (Node c : n.childNodes()) posNode(c, sb);
     }
 
     static Safelist safelist(String name) {

@@ -380,6 +380,12 @@ def main() -> None:
     ops += [("fragtree", h, ctx) for h, ctx in FRAGMENT_CASES]
     xml_inputs = XML_CASES + xml_fuzz()
     ops += [("xmltree", h, "") for h in xml_inputs]
+    # positions: Java offsets are UTF-16 units, ours are codepoints —
+    # restrict fixtures to BMP inputs (documented divergence, NOTES_r1)
+    pos_html = [h for h in tree_inputs if all(ord(c) < 0x10000 for c in h)]
+    pos_xml = [h for h in xml_inputs if all(ord(c) < 0x10000 for c in h)]
+    ops += [("positions", h) for h in pos_html]
+    ops += [("posxml", h) for h in pos_xml]
 
     results = run_harness(cp, ops)
     i = 0
@@ -401,6 +407,8 @@ def main() -> None:
     bodyhtml_gold = take(len(struct))
     frag_gold = take(len(FRAGMENT_CASES))
     xml_gold = take(len(xml_inputs))
+    pos_html_gold = take(len(pos_html))
+    pos_xml_gold = take(len(pos_xml))
     assert i == len(results)
 
     def dump(name, obj):
@@ -435,6 +443,10 @@ def main() -> None:
         for (h, c), g in zip(FRAGMENT_CASES, frag_gold)])
     dump("golden_xml.json", [
         {"xml": h, "tree": g} for h, g in zip(xml_inputs, xml_gold)])
+    dump("golden_positions.json", {
+        "html": [{"html": h, "out": g} for h, g in zip(pos_html, pos_html_gold)],
+        "xml": [{"xml": h, "out": g} for h, g in zip(pos_xml, pos_xml_gold)],
+    })
 
     # wild corpus: hashes only (content stays in the reference tree)
     wild = []

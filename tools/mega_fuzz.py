@@ -51,43 +51,48 @@ def rand_html(rng, n):
             parts.append(rng.choice(MARKERS))
     return "".join(parts)
 
-seed = int(sys.argv[1]) if len(sys.argv) > 1 else 9000
-N = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
-rng = random.Random(seed)
-cases = [rand_html(rng, rng.randint(3, 80)) for _ in range(N)]
+def main():
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 9000
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    rng = random.Random(seed)
+    cases = [rand_html(rng, rng.randint(3, 80)) for _ in range(N)]
 
-ops = []
-for h in cases:
-    ops.append(("tree", h, ""))
-for h in cases[:N//3]:
-    ops.append(("spans", h, "http://base.example/x/"))
-for h in cases[:N//3]:
-    ops.append(("bodyhtml", h, ""))
-for h in cases[:N//6]:
-    ops.append(("fragtree", h, rng.choice(["div","ul","tr","table","b","select","p"])))
+    ops = []
+    for h in cases:
+        ops.append(("tree", h, ""))
+    for h in cases[:N//3]:
+        ops.append(("spans", h, "http://base.example/x/"))
+    for h in cases[:N//3]:
+        ops.append(("bodyhtml", h, ""))
+    for h in cases[:N//6]:
+        ops.append(("fragtree", h, rng.choice(["div","ul","tr","table","b","select","p"])))
 
-inp = "\n".join("\t".join([op[0]] + [b64(a) for a in op[1:]]) for op in ops)
-r = subprocess.run(["java","-cp","/tmp/jsoupbuild/out","Harness"], input=inp,
-                   capture_output=True, text=True)
-lines = r.stdout.split("\n")[:-1]
-assert len(lines) == len(ops), (len(lines), len(ops))
-def fmt_spans(sp): return SEP2.join(f"{k}{SEP1}{t}{SEP1}{m}" for k,t,m,_ in sp)
-bad = 0
-for (op, h, a), line in zip(ops, lines):
-    golden = base64.b64decode(line).decode()
-    try:
-        if op == "tree": mine = canonical(parse(h))
-        elif op == "spans": mine = fmt_spans(extract_spans(parse(h, a)))
-        elif op == "bodyhtml":
-            doc = parse(h); mine = inner_html(doc.body) if doc.body is not None else ""
-        else: mine = canonical(parse_fragment(h, a))
-    except Exception as e:
-        mine = f"!EXC {type(e).__name__}: {e}"
-    if mine != golden:
-        bad += 1
-        if bad <= 6:
-            i = next((i for i,(x,y) in enumerate(itertools.zip_longest(golden,mine)) if x!=y), -1)
-            print(f"MISMATCH op={op} ctx={a!r} IN: {h[:140]!r}")
-            print("  GOLD:", repr(golden[max(0,i-70):i+90]))
-            print("  MINE:", repr(mine[max(0,i-70):i+90]))
-print(f"seed={seed}: {len(ops)-bad}/{len(ops)} match")
+    inp = "\n".join("\t".join([op[0]] + [b64(a) for a in op[1:]]) for op in ops)
+    r = subprocess.run(["java","-cp","/tmp/jsoupbuild/out","Harness"], input=inp,
+                       capture_output=True, text=True)
+    lines = r.stdout.split("\n")[:-1]
+    assert len(lines) == len(ops), (len(lines), len(ops))
+    def fmt_spans(sp): return SEP2.join(f"{k}{SEP1}{t}{SEP1}{m}" for k,t,m,_ in sp)
+    bad = 0
+    for (op, h, a), line in zip(ops, lines):
+        golden = base64.b64decode(line).decode()
+        try:
+            if op == "tree": mine = canonical(parse(h))
+            elif op == "spans": mine = fmt_spans(extract_spans(parse(h, a)))
+            elif op == "bodyhtml":
+                doc = parse(h); mine = inner_html(doc.body) if doc.body is not None else ""
+            else: mine = canonical(parse_fragment(h, a))
+        except Exception as e:
+            mine = f"!EXC {type(e).__name__}: {e}"
+        if mine != golden:
+            bad += 1
+            if bad <= 6:
+                i = next((i for i,(x,y) in enumerate(itertools.zip_longest(golden,mine)) if x!=y), -1)
+                print(f"MISMATCH op={op} ctx={a!r} IN: {h[:140]!r}")
+                print("  GOLD:", repr(golden[max(0,i-70):i+90]))
+                print("  MINE:", repr(mine[max(0,i-70):i+90]))
+    print(f"seed={seed}: {len(ops)-bad}/{len(ops)} match")
+
+
+if __name__ == "__main__":
+    main()
