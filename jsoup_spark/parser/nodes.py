@@ -178,7 +178,8 @@ class XmlDeclNode(LeafNode):
 
 
 class Element(Node):
-    __slots__ = ("name", "ns", "attrs", "children", "flags", "tag_name_case")
+    __slots__ = ("name", "ns", "attrs", "children", "flags", "tag_name_case",
+                 "attr_ranges")
 
     def __init__(self, name: str, ns: str = NS_HTML, attrs: dict | None = None):
         self.parent = None
@@ -237,6 +238,17 @@ class Element(Node):
         return bool(self.flags & tags.PRESERVE_WS)
 
     # --- attributes ---
+    def attr_source_range(self, key: str):
+        """((name_start, name_end), (val_start, val_end)) source offsets of
+        an attribute, or None if untracked (Attribute.sourceRange →
+        Attributes.sourceRange, nodes/Range.java AttributeRange). Valueless
+        attributes carry an implicit value range at the name end."""
+        ranges = getattr(self, "attr_ranges", None)
+        if not ranges or key not in ranges:
+            return None
+        ns, ne, vs, ve = ranges[key]
+        return ((ns, ne), (vs, ve))
+
     def attr(self, key: str) -> str:
         v = self.attrs.get(key)
         return v if v is not None else ("" if key in self.attrs else "")

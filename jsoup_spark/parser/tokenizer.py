@@ -71,7 +71,7 @@ class Doctype(Tok):
 
 
 class Tag(Tok):
-    __slots__ = ("name", "attrs", "self_closing", "normal")
+    __slots__ = ("name", "attrs", "self_closing", "normal", "attr_ranges")
 
     def __init__(self, name: str, attrs, self_closing: bool):
         self.start_pos = -1
@@ -80,6 +80,9 @@ class Tag(Tok):
         self.attrs = attrs        # list[(name, value-or-None)] or None
         self.self_closing = self_closing
         self.normal = name.lower()  # lc for case-insensitive tree build
+        # staged (name, name_start, name_end, val_start, val_end) tuples
+        # when position tracking is on (Token.java:131-133)
+        self.attr_ranges = None
 
 
 class StartTag(Tag):
@@ -179,6 +182,8 @@ class Tokeniser:
         "attr_name", "attr_value", "attr_has_empty_value", "attr_had_value",
         "comment", "comment_bogus", "doctype", "data_buf", "last_start",
         "markup_start", "char_start", "char_run_start", "char_end",
+        "track", "attr_ns", "attr_ne", "attr_vs", "attr_ve",
+        "tag_attr_ranges",
     )
 
     def __init__(self, s: str, syntax: str = "html", errors: list | None = None):
@@ -193,6 +198,14 @@ class Tokeniser:
         self.char_start = 0
         self.char_run_start = 0
         self.char_end = 0
+        # attribute source-range capture (Token.java:130,324-365) —
+        # only populated when track is set by the tree builder
+        self.track = False
+        self.attr_ns = -1
+        self.attr_ne = -1
+        self.attr_vs = -1
+        self.attr_ve = -1
+        self.tag_attr_ranges = None
         self.state = DATA
         self.syntax = syntax
         self.cdata_allowed = lambda: syntax == "xml"
@@ -263,6 +276,9 @@ class Tokeniser:
         self.attr_name = None
         self.attr_value = None
         self.attr_has_empty_value = False
+        if self.track:
+            self.attr_ns = self.attr_ne = self.attr_vs = self.attr_ve = -1
+            self.tag_attr_ranges = None
 
     def create_xmldecl(self, declaration: bool) -> None:
         self.create_tag(True)
@@ -289,21 +305,46 @@ class Tokeniser:
                 else:
                     value = None
                 self.tag_attrs.append((name, value))
+                if self.track and self.tag_start:
+                    # stage the range (Token.trackAttributeRange,
+                    # Token.java:194-200): valueless attrs (boolean OR
+                    # empty-quoted) get an implicit range at name end
+                    vs, ve = self.attr_vs, self.attr_ve
+                    if self.attr_value is None:
+                        vs = ve = self.attr_ne
+                    if self.tag_attr_ranges is None:
+                        self.tag_attr_ranges = []
+                    self.tag_attr_ranges.append(
+                        (name, self.attr_ns, self.attr_ne, vs, ve))
         self.attr_name = None
         self.attr_value = None
         self.attr_has_empty_value = False
+        if self.track:
+            self.attr_ns = self.attr_ne = self.attr_vs = self.attr_ve = -1
 
-    def append_attr_name(self, s: str) -> None:
+    def append_attr_name(self, s: str, start: int = -1, end: int = -1) -> None:
         if self.attr_name is None:
             self.attr_name = [s]
         else:
             self.attr_name.append(s)
+        if self.track:
+            # default: the chunk was just consumed, source == text length
+            # (Token.attrNamePos: start latches to first, end updates)
+            e = self.pos if end < 0 else end
+            if self.attr_ns < 0:
+                self.attr_ns = (e - len(s)) if start < 0 else start
+            self.attr_ne = e
 
-    def append_attr_value(self, s: str) -> None:
+    def append_attr_value(self, s: str, start: int = -1, end: int = -1) -> None:
         if self.attr_value is None:
             self.attr_value = [s]
         else:
             self.attr_value.append(s)
+        if self.track:
+            e = self.pos if end < 0 else end
+            if self.attr_vs < 0:
+                self.attr_vs = (e - len(s)) if start < 0 else start
+            self.attr_ve = e
 
     @property
     def tag_name(self) -> str:
@@ -314,12 +355,16 @@ class Tokeniser:
                 or self.attr_has_empty_value):
             self.new_attribute()
         if self.tag_is_decl:
-            self._emit_tok(XmlDecl(self.tag_name, self.tag_attrs,
-                                   self.tag_self_closing, self.tag_decl_bang))
+            tok = XmlDecl(self.tag_name, self.tag_attrs,
+                          self.tag_self_closing, self.tag_decl_bang)
         elif self.tag_start:
-            self._emit_tok(StartTag(self.tag_name, self.tag_attrs, self.tag_self_closing))
+            tok = StartTag(self.tag_name, self.tag_attrs, self.tag_self_closing)
         else:
-            self._emit_tok(EndTag(self.tag_name, self.tag_attrs, self.tag_self_closing))
+            tok = EndTag(self.tag_name, self.tag_attrs, self.tag_self_closing)
+        if self.tag_attr_ranges is not None:
+            tok.attr_ranges = self.tag_attr_ranges
+            self.tag_attr_ranges = None
+        self._emit_tok(tok)
 
     def create_comment(self, bogus: bool = False) -> None:
         self.comment = []
@@ -1079,8 +1124,11 @@ def _attr_value_quoted(t, pattern, quote):
     if c == quote:
         t.state = AFTER_ATTR_VALUE_Q
     elif c == "&":
+        amp = t.pos - 1
         decoded = t.consume_charref_tokens(quote, True)
-        t.append_attr_value(decoded if decoded is not None else "&")
+        # decoded text length != source length: pass explicit range
+        t.append_attr_value(decoded if decoded is not None else "&",
+                            amp, t.pos)
     elif c == NULL:
         t.error("null in attr value")
         t.append_attr_value(REPLACEMENT)
@@ -1108,8 +1156,10 @@ def _attr_value_uq(t):
     if c in _WS:
         t.state = BEFORE_ATTR_NAME
     elif c == "&":
+        amp = t.pos - 1
         decoded = t.consume_charref_tokens(">", True)
-        t.append_attr_value(decoded if decoded is not None else "&")
+        t.append_attr_value(decoded if decoded is not None else "&",
+                            amp, t.pos)
     elif c == ">":
         t.emit_tag()
         t.state = DATA

@@ -216,6 +216,7 @@ class HtmlTreeBuilder:
         self.track = track_positions
         self.tok = tz.Tokeniser(html, "html", self.doc.errors)
         self.tok.cdata_allowed = self._cdata_allowed
+        self.tok.track = track_positions
         if track_positions:
             # virtual start token (TreeBuilder.java:62-65; Token.java:20 —
             # startPos defaults 0, endPos Unset): doc sourceRange becomes
@@ -391,6 +392,15 @@ class HtmlTreeBuilder:
         el.tag_name_case = name
         if ns != NS_HTML:
             el.flags = tags.flags(start.normal, ns)
+        if self.track and getattr(start, "attr_ranges", None):
+            # first-wins per normalized name, only for kept attributes
+            # (Token.finaliseAttributeRanges, Token.java:240-268)
+            out = {}
+            for nm, ans, ane, avs, ave in start.attr_ranges:
+                key = nm if preserve_case else nm.lower()
+                if key not in out and key in attrs:
+                    out[key] = (ans, ane, avs, ave)
+            el.attr_ranges = out
         return el
 
     def insert_element(self, start) -> Element:
@@ -735,9 +745,13 @@ class HtmlTreeBuilder:
             if self.track:
                 # ranges ride along with the attribute clone in the
                 # reference (HtmlTreeBuilder.java:1091, Range.Spans lives in
-                # Attributes); insert below overwrites srcr, endr survives
+                # Attributes); insert below overwrites srcr, endr survives;
+                # attribute ranges are cloned too
                 new_el.srcr = getattr(entry, "srcr", None)
                 new_el.endr = getattr(entry, "endr", None)
+                er = getattr(entry, "attr_ranges", None)
+                if er:
+                    new_el.attr_ranges = dict(er)
             self._do_insert(new_el)
             f[pos] = new_el
             if pos == size - 1:
@@ -981,9 +995,29 @@ def _merge_attributes(start, dest: Element) -> None:
     # (HtmlTreeBuilderState.java:1872-1884)
     if not start.attrs:
         return
+    added = []
     for k, v in start.attrs:
         if k not in dest.attrs:
             dest.attrs[k] = v
+            added.append(k)
+    tok_ranges = getattr(start, "attr_ranges", None)
+    if tok_ranges and added:
+        # the reference finalizes staged ranges under NORMALIZED names but
+        # merges attributes under their RAW keys, so only attrs whose raw
+        # key equals the normalized name carry a range
+        # (mergeAttributes, HtmlTreeBuilderState.java:1838-1849)
+        finalized = {}
+        for nm, ans, ane, avs, ave in tok_ranges:
+            key = nm.lower()
+            if key not in finalized:
+                finalized[key] = (ans, ane, avs, ave)
+        ranges = getattr(dest, "attr_ranges", None)
+        if ranges is None:
+            ranges = {}
+            dest.attr_ranges = ranges
+        for k in added:
+            if k in finalized and k not in ranges:
+                ranges[k] = finalized[k]
 
 
 def _handle_text_state(start, tb: HtmlTreeBuilder, text_state) -> None:

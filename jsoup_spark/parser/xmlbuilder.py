@@ -33,6 +33,7 @@ class XmlTreeBuilder:
         self.track = track_positions
         self.tok = tz.Tokeniser(xml, "xml", self.doc.errors)
         self.tok.cdata_allowed = lambda: True
+        self.tok.track = track_positions
         if track_positions:
             virt = tz.StartTag("", None, False)
             virt.start_pos = 0  # Token.java:20 — startPos defaults 0
@@ -126,6 +127,12 @@ class XmlTreeBuilder:
         el = Element(name.lower(), ns, attrs)
         el.tag_name_case = name
         el.flags = 0
+        if self.track and getattr(start, "attr_ranges", None):
+            rng = {}
+            for nm, ans, ane, avs, ave in start.attr_ranges:
+                if nm not in rng and nm in attrs:
+                    rng[nm] = (ans, ane, avs, ave)
+            el.attr_ranges = rng
         self._cur().append(el)
         self.stack.append(el)
         if self.track:

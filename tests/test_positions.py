@@ -42,6 +42,13 @@ def canonical_positions(doc):
         s = f"{_name(n)}{SEP1}{_fmt(getattr(n, 'srcr', None))}"
         if isinstance(n, Element):
             s += f"{SEP1}{_fmt(getattr(n, 'endr', None))}"
+            ranges = getattr(n, "attr_ranges", None) or {}
+            for k in n.attrs:
+                r = ranges.get(k)
+                if r is None:
+                    s += f"{SEP1}{k}=-1,-1,-1,-1"
+                else:
+                    s += f"{SEP1}{k}={r[0]},{r[1]},{r[2]},{r[3]}"
         else:
             s += f"{SEP1}-,-"
         parts.append(s)

@@ -27,6 +27,13 @@ def mine_positions(doc):
         from jsoup_spark.parser.nodes import Element
         if isinstance(n, Element):
             s += f"{SEP1}{fmt(getattr(n, 'endr', None))}"
+            ranges = getattr(n, "attr_ranges", None) or {}
+            for k in n.attrs:
+                r = ranges.get(k)
+                if r is None:
+                    s += f"{SEP1}{k}=-1,-1,-1,-1"
+                else:
+                    s += f"{SEP1}{k}={r[0]},{r[1]},{r[2]},{r[3]}"
         else:
             s += f"{SEP1}-,-"
         parts.append(s)

@@ -114,8 +114,15 @@ public class Harness {
         sb.append(n.nodeName()).append('\u0001')
           .append(src.startPos()).append(',').append(src.endPos());
         if (n instanceof org.jsoup.nodes.Element) {
-            org.jsoup.nodes.Range end = ((org.jsoup.nodes.Element) n).endSourceRange();
+            org.jsoup.nodes.Element el = (org.jsoup.nodes.Element) n;
+            org.jsoup.nodes.Range end = el.endSourceRange();
             sb.append('\u0001').append(end.startPos()).append(',').append(end.endPos());
+            for (Attribute a : el.attributes()) {
+                org.jsoup.nodes.Range.AttributeRange ar = a.sourceRange();
+                sb.append('\u0001').append(a.getKey()).append('=')
+                  .append(ar.nameRange().startPos()).append(',').append(ar.nameRange().endPos())
+                  .append(',').append(ar.valueRange().startPos()).append(',').append(ar.valueRange().endPos());
+            }
         } else {
             sb.append("\u0001-,-");
         }
