@@ -529,7 +529,7 @@ def _tail(node: Node, accum: list[str], nxt: Node | None) -> None:
 
 
 class Document(Element):
-    __slots__ = ("base", "quirks_mode", "errors", "parse_mode")
+    __slots__ = ("base", "quirks_mode", "errors", "parse_mode", "line_map")
 
     def __init__(self, base_uri: str = ""):
         super().__init__("#root", NS_HTML)
@@ -537,6 +537,8 @@ class Document(Element):
         self.quirks_mode = "noQuirks"
         self.errors: list[str] = []
         self.parse_mode = "html"
+        # LineMap for offset->line/col when parsed with track_positions
+        self.line_map = None
 
     def _first(self, name: str) -> Element | None:
         for el in self.elements():

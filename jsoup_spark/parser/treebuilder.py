@@ -218,6 +218,8 @@ class HtmlTreeBuilder:
         self.tok.cdata_allowed = self._cdata_allowed
         self.tok.track = track_positions
         if track_positions:
+            from .positions import LineMap
+            self.doc.line_map = LineMap(html)
             # virtual start token (TreeBuilder.java:62-65; Token.java:20 —
             # startPos defaults 0, endPos Unset): doc sourceRange becomes
             # implicit (0,0); closed at EOF drain

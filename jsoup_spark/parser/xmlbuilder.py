@@ -35,6 +35,8 @@ class XmlTreeBuilder:
         self.tok.cdata_allowed = lambda: True
         self.tok.track = track_positions
         if track_positions:
+            from .positions import LineMap
+            self.doc.line_map = LineMap(xml)
             virt = tz.StartTag("", None, False)
             virt.start_pos = 0  # Token.java:20 — startPos defaults 0
             self.current_token = virt

@@ -124,6 +124,24 @@ def test_implicit_ranges_and_untracked():
     assert p.source_range() is None and p.end_source_range() is None
 
 
+def test_line_col_format():
+    # PositionTest.tracksMarkup line,col:pos strings (PositionTest.java:313-325)
+    html = "<!doctype\nhtml>\n<title>jsoup &copy;\n2022</title><body>\n<![CDATA[\n<jsoup>\n]]>"
+    doc = parse(html, track_positions=True)
+    lm = doc.line_map
+    doctype = doc.children[0]
+    assert lm.format_range(doctype.srcr) == "1,1:0-2,6:15"
+    title = next(e for e in doc.elements() if e.name == "title")
+    assert lm.format_range(title.srcr) == "3,1:16-3,8:23"
+    assert lm.format_range(title.children[0].srcr) == "3,8:23-4,5:40"
+    comment = doc.body.children[1]
+    assert lm.format_range(comment.srcr) == "5,1:55-6,8:72"
+    tail = doc.body.children[2]
+    assert lm.format_range(tail.srcr) == "6,8:72-7,4:76"
+    # untracked
+    assert lm.line_number(-1) == -1 and lm.column_number(-1) == -1
+
+
 def test_xml_internal_subset():
     # XmlTreeBuilderTest.java:412-418 — subset kept verbatim incl. quoted ]>
     from jsoup_spark.clean.serializer import outer_html
