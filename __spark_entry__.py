@@ -464,6 +464,14 @@ def oracle_sql() -> dict[str, str]:
                          AS rank
               FROM scored)
             SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10""",
-        # simhash: Spark's conv(hex) has no exact portable DuckDB twin in
-        # this container; driver records a rows-only check.
+        # simhash: DuckDB 1.0 parses hex via ('0x'||h)::INT, so the exact
+        # per-bit majority vote is expressible. Spark's word hash is
+        # conv(substr(md5(w),1,8),16,10); bits 0..15 of that 32-bit value
+        # are exactly int(substr(md5(w),5,4),16).
+        "simhash": "SELECT doc_id, (" + " + ".join(
+            f"(CASE WHEN list_sum(list_transform(string_split(text,' '), "
+            f"w -> (((('0x'||substr(md5(w),5,4))::INT >> {j}) & 1)*2 - 1)"
+            f")) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        ) + ")::BIGINT AS simhash FROM documents",
     }
