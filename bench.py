@@ -137,7 +137,8 @@ def child_throughput(cpus: str) -> dict:
         "walls = [w for w, _ in runs]; n = runs[0][1];"
         "wall = statistics.median(walls);"
         "print(json.dumps({'cpus': int(%r), 'docs': n, 'walls': walls,"
-        " 'wall': wall, 'docs_per_sec': n / wall}))"
+        " 'wall': wall, 'docs_per_sec': n / wall,"
+        " 'docs_per_sec_min_wall': n / min(walls)}))"
     ) % (REPO, cpus, SF_DIR, SF_DIR, SF_DIR, cpus)
     argv = [sys.executable, "-c", code]
     if _has_taskset():
@@ -159,9 +160,14 @@ def main_scaling() -> None:
     lo = child_throughput(str(n))
     hi = child_throughput(str(4 * n))
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    # min-wall variant: robust when the host steals CPU from the VM
+    # (identical runs have shown 3x+ spread under external load; the min
+    # is the closest observation to true capability)
+    eff_min = (hi["docs_per_sec_min_wall"] / lo["docs_per_sec_min_wall"]) / 4.0
     print(json.dumps({
         "metric": f"scaling_efficiency_{n}_to_{4 * n}",
         "value": round(eff, 3),
+        "value_min_wall": round(eff_min, 3),
         "unit": "ratio",
         "low": lo,
         "high": hi,
