@@ -231,13 +231,23 @@ class HtmlTreeBuilder:
         return self.doc
 
     def parse_fragment(self, html: str, context_name: str | None,
-                       base_uri: str = "") -> list:
+                       base_uri: str = "",
+                       track_positions: bool = False) -> list:
         """Parser.parseFragment semantics (HtmlTreeBuilder.java:88-143)."""
         self.doc = Document(base_uri)
         self.base_uri = base_uri or ""
         self.fragment = True
+        self.track = track_positions
         self.tok = tz.Tokeniser(html, "html", self.doc.errors)
         self.tok.cdata_allowed = self._cdata_allowed
+        self.tok.track = track_positions
+        if track_positions:
+            from .positions import LineMap
+            self.doc.line_map = LineMap(html)
+            virt = tz.StartTag("", None, False)
+            virt.start_pos = 0
+            self.current_token = virt
+            self._track(self.doc, True)
         if context_name:
             name = context_name.lower()
             ctx = Element(name, NS_HTML)
@@ -2458,9 +2468,11 @@ def parse(html: str, base_uri: str = "",
 
 
 def parse_fragment(html: str, context: str | None = None,
-                   base_uri: str = "") -> list:
+                   base_uri: str = "",
+                   track_positions: bool = False) -> list:
     """Parse an HTML fragment in an optional context element."""
-    return HtmlTreeBuilder().parse_fragment(html, context, base_uri)
+    return HtmlTreeBuilder().parse_fragment(html, context, base_uri,
+                                            track_positions)
 
 
 def parse_body_fragment(html: str, base_uri: str = "") -> Document:

@@ -142,6 +142,40 @@ def test_line_col_format():
     assert lm.line_number(-1) == -1 and lm.column_number(-1) == -1
 
 
+def test_tracks_fragment():
+    # PositionTest.tracksFrag (PositionTest.java:642-658, jhy/jsoup#2068):
+    # "h1:0-9~12-17; id:4-6=7-8; #text:9-12; #text:17-18; h2:18-27~30-35;
+    #  id:22-24=25-26; #text:27-30; h10:35-40~43-49; #text:40-43; "
+    from jsoup_spark.parser.treebuilder import parse_fragment
+
+    html = "<h1 id=1>One</h1>\n<h2 id=2>Two</h2><h10>Ten</h10>"
+    nodes = parse_fragment(html, "body", track_positions=True)
+    track = []
+
+    def walk(n):
+        src = getattr(n, "srcr", None)
+        if isinstance(n, Element):
+            end = getattr(n, "endr", None)
+            track.append(f"{n.name}:{src[0]}-{src[1]}~{end[0]}-{end[1]}")
+            for k in n.attrs:
+                ar = n.attr_source_range(k)
+                if ar:
+                    (ns, ne), (vs, ve) = ar
+                    track.append(f"{k}:{ns}-{ne}={vs}-{ve}")
+        else:
+            track.append(f"#text:{src[0]}-{src[1]}")
+        for c in getattr(n, "children", ()):
+            walk(c)
+
+    for n in nodes:
+        walk(n)
+    assert track == [
+        "h1:0-9~12-17", "id:4-6=7-8", "#text:9-12", "#text:17-18",
+        "h2:18-27~30-35", "id:22-24=25-26", "#text:27-30",
+        "h10:35-40~43-49", "#text:40-43",
+    ]
+
+
 def test_xml_internal_subset():
     # XmlTreeBuilderTest.java:412-418 — subset kept verbatim incl. quoted ]>
     from jsoup_spark.clean.serializer import outer_html
