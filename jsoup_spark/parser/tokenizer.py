@@ -1826,7 +1826,12 @@ def _dt_internal_subset(t):
 @_state(BOGUS_DOCTYPE)
 def _bogus_doctype(t):
     end = t.s.find(">", t.pos)
-    t.pos = t.n if end == -1 else end + 1
+    if end == -1:
+        # consume() past EOF like the reference's per-char loop
+        # (BogusDoctype: case eof reached via r.consume())
+        t.pos = t.n + 1
+    else:
+        t.pos = end + 1
     t.emit_doctype()
     t.state = DATA
 
