@@ -24,16 +24,23 @@ def _shingles(text_col="text"):
 
     Built with zip_with over shifted slices, NOT element indexing —
     `words[i]` inside a transform re-inlines the split() per element after
-    projection collapse, turning shingling O(n^2)."""
-    words = F.split(F.col(text_col), " ")
-    size = F.size(words)
-    w2 = F.slice(words, 2, size)
-    w3 = F.slice(words, 3, size)
-    tri = F.zip_with(
-        F.zip_with(words, w2, lambda a, b: F.concat_ws(" ", a, b)),
-        w3, lambda ab, c: F.concat_ws(" ", ab, c))
-    sh = F.slice(tri, 1, F.greatest(size - 2, F.lit(1)))
-    return F.when(size >= 3, sh).otherwise(F.array(F.col(text_col)))
+    projection collapse, turning shingling O(n^2).
+
+    The whole chain is built inside a transform lambda so `words` is a
+    BOUND value: it is referenced seven times (zip_with input, two slices,
+    three size() calls, the guard) but the split() regex runs exactly once
+    per row — inlining the split Column expression directly would embed
+    seven copies of it in the expression tree."""
+    def _tri(words):
+        size = F.size(words)
+        w2 = F.slice(words, 2, size)
+        w3 = F.slice(words, 3, size)
+        tri = F.zip_with(
+            F.zip_with(words, w2, lambda a, b: F.concat_ws(" ", a, b)),
+            w3, lambda ab, c: F.concat_ws(" ", ab, c))
+        sh = F.slice(tri, 1, F.greatest(size - 2, F.lit(1)))
+        return F.when(size >= 3, sh).otherwise(F.array(F.col(text_col)))
+    return F.transform(F.array(F.split(F.col(text_col), " ")), _tri)[0]
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -101,17 +108,24 @@ def ngram_jaccard_pairs(documents: DataFrame,
 
     The candidate join is bucketed — never a full cross join.
     """
+    # Materialize the shingle array through a Generate (explode of a
+    # 1-element array): `sh` becomes a plain attribute downstream, so the
+    # split/zip_with chain runs exactly once per row no matter how many
+    # consumers reference it (projection collapse would otherwise re-inline
+    # it into array_distinct + both band minhash transforms = 3x per row).
+    # array_min over the distinct set equals array_min over the raw set, so
+    # the band key is computed from the deduped array — one array, not two.
     shingled = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        _shingles().alias("_sh"),
+        F.explode(F.array(F.array_distinct(_shingles()))).alias("sh"),
     )
     sh = shingled.select(
         "doc_id",
-        F.array_distinct(F.col("_sh")).alias("sh"),
+        "sh",
         F.md5(F.concat_ws(
             "|",
-            F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(F.concat(s, F.lit(":0"))))),
-            F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(F.concat(s, F.lit(":1"))))),
+            F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(":0"))))),
+            F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(":1"))))),
         )).alias("band_key"),
     )
     a = sh.alias("a")
@@ -133,25 +147,35 @@ def ngram_jaccard_pairs(documents: DataFrame,
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over word features: bit j set iff sum over words of
-    (bit j of md5-high-32(word)) majority-votes positive."""
+    (bit j of md5-high-32(word)) majority-votes positive.
+
+    Each word is md5-hashed exactly ONCE into an array<long> that is
+    materialized through a Generate (explode of a 1-element array), so the
+    per-bit aggregates below are cheap shift/add passes over bound longs —
+    not 16 re-inlined md5 chains (the round-1 projection-collapse trap)."""
     words = F.split(F.col("text"), " ")
-    word_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    word_hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    hashed = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array(word_hashes)).alias("wh"),
+    )
+    def _contrib(j):
+        # closure, not a default arg: a 2-param lambda would be read by
+        # pyspark as the (element, index) higher-order form
+        return F.transform(
+            F.col("wh"), lambda h: (F.shiftright(h, j) % 2) * 2 - 1)
+
     bit_exprs = []
     for j in range(bits):
-        contrib = F.transform(
-            words,
-            lambda w: (F.shiftright(word_hash(w), j) % 2) * 2 - 1,
-        )
+        contrib = _contrib(j)
         bit_exprs.append(
             (F.aggregate(contrib, F.lit(0).cast("long"),
                          lambda acc, x: acc + x) > 0).cast("long") * (1 << j))
     sim = bit_exprs[0]
     for e in bit_exprs[1:]:
         sim = sim + e
-    return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        sim.alias("simhash"),
-    )
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def embedding_near_dup(embeddings: DataFrame,
