@@ -15,7 +15,7 @@ import re
 from ..parser import tags
 from ..parser.nodes import (
     CDataNode, CommentNode, DataNode, DoctypeNode, Document, Element, Node,
-    TextNode, XmlDeclNode, java_trim,
+    PseudoTextElement, TextNode, XmlDeclNode, java_trim,
 )
 from ..parser.tags import NS_HTML
 
@@ -329,6 +329,8 @@ class _Pretty:
 
     # --- emission ---
     def add_head(self, el: Element, depth: int) -> None:
+        if isinstance(el, PseudoTextElement):
+            return  # serializes invisibly (PseudoTextElement.java:19-25)
         if self.should_indent(el):
             self.indent(depth)
         _el_head(el, self.settings, self.out)
@@ -336,6 +338,8 @@ class _Pretty:
             self.preserve = True
 
     def add_tail(self, el: Element, depth: int) -> None:
+        if isinstance(el, PseudoTextElement):
+            return
         first = el.children[0] if el.children else None
         if self.should_indent(_next_nonblank(first)):
             self.indent(depth)
@@ -435,9 +439,13 @@ class _Plain(_Pretty):
         escape_entities(node.value, FOR_TEXT, self.settings, self.out)
 
     def add_head(self, el: Element, depth: int) -> None:
+        if isinstance(el, PseudoTextElement):
+            return
         _el_head(el, self.settings, self.out)
 
     def add_tail(self, el: Element, depth: int) -> None:
+        if isinstance(el, PseudoTextElement):
+            return
         _el_tail(el, self.settings, self.out)
 
     def add_node(self, node, depth: int) -> None:

@@ -528,6 +528,14 @@ def _tail(node: Node, accum: list[str], nxt: Node | None) -> None:
             accum.append(" ")
 
 
+class PseudoTextElement(Element):
+    """Synthetic element wrapping a TextNode for the deprecated :matchText
+    selector (nodes/PseudoTextElement.java:13-26). Carries the originating
+    element's tag name and attributes; serializes invisibly (outerHtmlHead/
+    Tail emit nothing), so wrapping leaves doc.html() unchanged."""
+    __slots__ = ()
+
+
 class Document(Element):
     __slots__ = ("base", "quirks_mode", "errors", "parse_mode", "line_map")
 

@@ -22,7 +22,7 @@ import re
 
 from ..parser.nodes import (
     CDataNode, CommentNode, DataNode, Document, Element, LeafNode, Node,
-    TextNode,
+    PseudoTextElement, TextNode,
 )
 
 
@@ -877,23 +877,31 @@ class MatchesWholeOwnText(Ev):
 
 
 class MatchText(Ev):
-    """Deprecated :matchText — marker evaluator; select() promotes each text
-    node child of the otherwise-matched elements into a synthetic
-    PseudoTextElement (Evaluator.java:1052, nodes/PseudoTextElement.java)."""
+    """Deprecated :matchText (Evaluator.java:1051-1090). cost -1 forces
+    first evaluation inside And: matching any real element WRAPS each of
+    its direct TextNode children in a PseudoTextElement bearing the
+    element's tag name and attributes (in place — tree mutation persists,
+    as in the reference), then returns False; only PseudoTextElements
+    match. The lazy select() traversal then visits the new pseudo
+    elements, where the rest of the evaluator chain (tag/class/structural
+    pseudos/sibling combinators) applies to them."""
     __slots__ = ()
+    cost = -1  # "forces first evaluation, which prepares the DOM"
 
     def matches(self, root, el):
-        return True
-
-
-def _contains_match_text(ev) -> bool:
-    if isinstance(ev, MatchText):
-        return True
-    if isinstance(ev, (And, Or)):
-        return any(_contains_match_text(e) for e in ev.evals)
-    if isinstance(ev, ImmediateParentRun):
-        return any(_contains_match_text(e) for e in ev.evals)
-    return False
+        if isinstance(el, PseudoTextElement):
+            return True
+        kids = el.children
+        for i, c in enumerate(kids):
+            # CDataNode extends TextNode, matching Element.textNodes()
+            if isinstance(c, TextNode):
+                pel = PseudoTextElement(el.name, el.ns, dict(el.attrs))
+                pel.tag_name_case = el.tag_name_case
+                pel.parent = el
+                kids[i] = pel
+                c.parent = pel
+                pel.children.append(c)
+        return False
 
 
 # --- node evaluators (::text etc; select_nodes API) ---
@@ -1280,24 +1288,38 @@ def select(root, query_or_ev) -> list[Element]:
     for el in root.elements():
         if ev.matches(root, el):
             out.append(el)
-    if _contains_match_text(ev):
-        out = _promote_text_nodes(out)
     return out
 
 
-def _promote_text_nodes(matched: list[Element]) -> list[Element]:
-    """PseudoTextElement promotion for :matchText."""
-    from ..parser.nodes import java_trim, _append_normalised
-    out = []
-    for el in matched:
-        for c in el.children:
-            if isinstance(c, TextNode):
-                pseudo = Element(el.name, el.ns, dict(el.attrs))
-                pseudo.tag_name_case = el.tag_name_case
-                pseudo.parent = el.parent
-                pseudo.append(TextNode(c.value))
-                out.append(pseudo)
+def select_multi(query_or_ev, roots) -> list[Element]:
+    """Selector.select(query, roots) (Selector.java:180-194): matches
+    across multiple roots, deduplicated by identity (overlapping
+    hierarchies yield each element once), per-root document order."""
+    ev = compile_query(query_or_ev) if isinstance(query_or_ev, str) \
+        else query_or_ev
+    seen: set[int] = set()
+    out: list[Element] = []
+    for root in roots:
+        for el in select(root, ev):
+            if id(el) not in seen:
+                seen.add(id(el))
+                out.append(el)
     return out
+
+
+def filter_out(elements, outs) -> list[Element]:
+    """Selector.filterOut (Selector.java:197-211): elements minus outs,
+    identity equality, input order preserved."""
+    out_ids = {id(o) for o in outs}
+    return [el for el in elements if id(el) not in out_ids]
+
+
+def elements_not(elements, query: str) -> list[Element]:
+    """Elements.not(query) (Elements.java:482-485): remove from this list
+    any element matching the query when evaluated across the list's
+    elements as roots."""
+    matched = select_multi(query, elements)
+    return filter_out(elements, matched)
 
 
 def select_first(root, query_or_ev):

@@ -66,8 +66,32 @@ def detect_charset(data: bytes, declared: str | None = None) -> str:
     return "utf-8"
 
 
+def _inflate(data: bytes) -> bytes:
+    """Transparently inflate gzip / zlib payloads by magic-byte sniff,
+    before charset detection (reference: DataUtil.openStream sniffs
+    0x1f 0x8b on .gz/.z files and wraps in GZIPInputStream,
+    helper/DataUtil.java:153-165; WARC-style sources land payloads
+    gzipped). Non-compressed or truncated payloads pass through."""
+    if len(data) >= 2 and data[0] == 0x1F and data[1] == 0x8B:
+        import gzip
+        try:
+            return gzip.decompress(data)
+        except (OSError, EOFError):
+            return data
+    # zlib stream: 0x78 CMF with a valid FCHECK byte (0x9c most common)
+    if len(data) >= 2 and data[0] == 0x78 and (data[0] * 256 + data[1]) % 31 == 0:
+        import zlib
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return data
+    return data
+
+
 def decode_html_bytes(data: bytes, declared: str | None = None) -> str:
-    """Decode an HTML byte payload, stripping any BOM."""
+    """Decode an HTML byte payload, inflating gzip/zlib and stripping
+    any BOM."""
+    data = _inflate(data)
     enc = detect_charset(data, declared)
     for bom, bom_enc in _BOMS:
         if data.startswith(bom) and bom_enc == enc:
@@ -92,7 +116,7 @@ def decode_stage(df, bytes_col: str = "content", out_col: str = "html"):
             out = {n: pdf[n] for n in names}
             encs, texts = [], []
             for payload in pdf[bytes_col]:
-                b = bytes(payload)
+                b = _inflate(bytes(payload))
                 enc = detect_charset(b)
                 encs.append(enc)
                 texts.append(decode_html_bytes(b))

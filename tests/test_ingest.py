@@ -31,6 +31,29 @@ def test_xml_decl_and_default():
     assert detect_charset(b"<meta charset='not-a-charset'><p>") == "utf-8"
 
 
+def test_gzip_inflation():
+    """Gzipped payloads must decode byte-identically to their plain form
+    (DataUtil.openStream magic-byte sniff, helper/DataUtil.java:153-165),
+    including a gzipped non-UTF-8 page whose charset is sniffed AFTER
+    inflation."""
+    import zlib
+    wild = sorted(glob.glob(
+        "/root/reference/src/test/resources/htmltests/*.html"))[:3]
+    assert wild
+    for f in wild:
+        plain = open(f, "rb").read()
+        assert decode_html_bytes(gzip.compress(plain)) == \
+            decode_html_bytes(plain)
+        assert decode_html_bytes(zlib.compress(plain)) == \
+            decode_html_bytes(plain)
+    latin = "<meta charset='ISO-8859-1'><p>caf\xe9".encode("iso-8859-1")
+    assert "café" in decode_html_bytes(gzip.compress(latin))
+    # non-gzip data starting with 0x1f alone passes through
+    assert decode_html_bytes(b"\x1f<p>x</p>") == "\x1f<p>x</p>"
+    # truncated gzip: passthrough (decoded with replacement), no raise
+    decode_html_bytes(gzip.compress(b"<p>hello</p>")[:6])
+
+
 def test_reference_charset_fixtures():
     """The reference's meta-charset test files must decode to parseable
     documents with non-empty text."""

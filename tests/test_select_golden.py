@@ -15,8 +15,11 @@ def _fmt(els):
 
 def test_select_curated():
     fx = load_fixture("golden_select.json")
-    doc = parse(fx["doc"])
     for case in fx["queries"]:
+        # fresh parse per query, like the Java harness (Harness.java:78) —
+        # :matchText mutates the tree (pseudo text wrapping), so a shared
+        # doc would leak pseudo elements into later queries
+        doc = parse(fx["doc"])
         golden = case["out"]
         try:
             mine = _fmt(select(doc, case["q"]))
