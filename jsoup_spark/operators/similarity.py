@@ -58,25 +58,92 @@ def _bucket_expr(col, nbits: int = 6):
         (col[i] >= 0).cast("int").cast("string") for i in range(nbits)])
 
 
+def suggest_nbits(n_vectors: int, target_bucket: int = 4096) -> int:
+    """Coarse-quantizer width scaled to corpus size: ~target_bucket vectors
+    per bucket, clamped to [4, 20]. At 10^9 vectors this yields ~2^18
+    buckets instead of the fixed 64 a small-corpus default would give."""
+    import math
+    if n_vectors <= target_bucket:
+        return 4
+    return max(4, min(20, int(math.ceil(math.log2(n_vectors / target_bucket)))))
+
+
+def _table_bucket(col, table: int, nbits: int):
+    # table t hashes the sign pattern of dims [t*nbits, (t+1)*nbits) —
+    # disjoint axis-aligned hyperplane sets per table. Requires
+    # n_tables * nbits <= embedding dim.
+    lo = table * nbits
+    return F.concat_ws("", *[
+        (col[lo + i] >= 0).cast("int").cast("string") for i in range(nbits)])
+
+
+def _probe_set(bucket_col, nbits: int, probe_hamming: int):
+    """Own bucket (+ every 1-bit flip when probe_hamming >= 1)."""
+    if probe_hamming < 1:
+        return F.array(bucket_col)
+    flips = [
+        F.concat(F.substring(bucket_col, 1, i),
+                 F.when(F.substring(bucket_col, i + 1, 1) == "0", F.lit("1"))
+                  .otherwise(F.lit("0")),
+                 F.substring(bucket_col, i + 2, nbits - i - 1))
+        for i in range(nbits)
+    ]
+    return F.array(bucket_col, *flips)
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
-             nbits: int = 6) -> DataFrame:
-    """IVF/LSH-bucketed ANN: queries only scan their own coarse bucket.
-    Approximate — recall depends on bucket granularity."""
-    base = embeddings.select(
+             nbits: int | None = 6, probe_hamming: int = 0,
+             n_tables: int = 1) -> DataFrame:
+    """IVF/LSH-bucketed ANN.
+
+    Recall knobs (all exact-score the candidate set, so precision is 1 —
+    only recall is approximate):
+    * nbits — coarse-quantizer width; None scales to corpus size via
+      suggest_nbits so buckets stay ~constant-sized at any scale;
+    * probe_hamming=1 — multi-probe: each query also probes every bucket
+      at Hamming distance 1 (quantization-boundary neighbors);
+    * n_tables=L — OR-amplified independent tables over disjoint
+      hyperplane sets; a candidate needs to collide in ANY table.
+      Requires n_tables * nbits <= embedding dim.
+
+    Plan shape at scale: the big side is scanned once per table (a
+    Generate, no shuffle), the query side is broadcast with its probe set
+    exploded, and the only exchanges are the candidate-dedup/top-k
+    shuffles on q_id — never an all-pairs join.
+    """
+    if nbits is None:
+        nbits = suggest_nbits(embeddings.count())
+    base0 = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("embedding"),
-        _bucket_expr(F.col("embedding"), nbits).alias("bucket"))
+        F.col("embedding"))
+    base = base0.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _table_bucket(F.col("embedding"), t, nbits)
+                     .alias("bucket"))
+            for t in range(n_tables)])).alias("tb"),
+    ).select("vec_id", "embedding",
+             F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"))
-    joined = base.join(F.broadcast(queries),
-                       F.col("bucket") == F.col("q_bucket")).filter(
+        F.col("tbl").alias("q_tbl"),
+        F.explode(_probe_set(F.col("bucket"), nbits, probe_hamming))
+        .alias("q_bucket"))
+    joined = base.join(
+        F.broadcast(queries),
+        (F.col("tbl") == F.col("q_tbl"))
+        & (F.col("bucket") == F.col("q_bucket"))).filter(
         F.col("vec_id") != F.col("q_id"))
     scored = joined.select(
         "q_id", "vec_id",
         F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
     )
+    if n_tables > 1:
+        # a candidate colliding in several tables appears once per table;
+        # cosine is deterministic so the duplicate rows are identical
+        scored = scored.distinct()
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     return (
