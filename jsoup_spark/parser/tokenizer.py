@@ -157,6 +157,67 @@ class EOFTok(Tok):
 
 _WS = "\t\n\r\f "
 
+# ---- whole-tag fast path (DATA state only) ----
+# One regex matches the overwhelmingly common well-formed tag shapes and
+# the token is built directly, skipping the per-state dispatch round-trips
+# (TagName -> BeforeAttributeName -> AttributeName -> ... at ~8-12 Python
+# calls/tag). The pattern is a strict SUBSET of inputs on which the WHATWG
+# state machine emits no parse error, no NULL replacement, and no
+# whitespace ambiguity:
+# * tag/attr whitespace is the explicit [\t\n\r\f ] set (NOT \s — Python's
+#   \s matches \x0b/\x85/\xa0, which WHATWG treats as name characters);
+# * attr names exclude the AttributeName error chars (" ' <) and all
+#   controls <= 0x20 (java-trim region), so no trim/replace is needed;
+# * unquoted values exclude the error chars (" ' < = `) and &;
+# * quoted values may contain & — decoded after capture by the same
+#   consume_charref on absolute positions, so error strings match;
+# * each attr unit is atomic ((?>...)) and the attr loop possessive (*+):
+#   a failing tag exits in linear time instead of exponential backtracking
+#   through ws-vs-value ambiguity.
+# Anything else — NULLs, error chars, '=' without value, '/' separators,
+# bare '&' values — fails the match and falls through to the exact state
+# machine. Position-tracked parses always take the slow path (attr source
+# ranges). Semantics mirror TokeniserState TagName..AfterAttributeValue.
+_A_NAME = r"[a-zA-Z][a-zA-Z0-9:._-]*"
+_A_ATTR = r"[^\x00-\x20/=>\"'<]+"
+_A_VD = r'"[^"\x00]*"'
+_A_VS = r"'[^'\x00]*'"
+_A_VU = r"[^\x00\t\n\r\f >\"'<=`&]+"
+_A_UNIT = (r"(?>[\t\n\r\f ]+" + _A_ATTR +
+           r"(?:[\t\n\r\f ]*=[\t\n\r\f ]*(?:" + _A_VD + "|" + _A_VS + "|"
+           + _A_VU + r"))?)")
+_P_FAST_START = re.compile(
+    "<(" + _A_NAME + ")((?:" + _A_UNIT + r")*+)[\t\n\r\f ]*(/?)>")
+_P_FAST_END = re.compile("</(" + _A_NAME + r")[\t\n\r\f ]*>")
+_P_FAST_ATTR = re.compile(
+    "[\t\n\r\f ]+(" + _A_ATTR + r")(?:[\t\n\r\f ]*=[\t\n\r\f ]*("
+    + _A_VD + "|" + _A_VS + "|" + _A_VU + r"))?")
+
+
+def _decode_attr_value(s: str, start: int, end: int, errors: list) -> str:
+    """Attribute-mode charref decode of s[start:end], position-exact: the
+    same consume_charref the state machine calls, on the same absolute
+    offsets. The captured span cannot contain the closing quote, so the
+    additional-allowed char of the quoted-value states can never trigger
+    inside it (it would have ended the capture)."""
+    out = []
+    i = start
+    find = s.find
+    while True:
+        amp = find("&", i, end)
+        if amp < 0:
+            out.append(s[i:end])
+            return "".join(out)
+        out.append(s[i:amp])
+        decoded, newpos = consume_charref(s, amp + 1, None, True, errors)
+        if decoded is None:
+            out.append("&")
+            i = amp + 1
+        else:
+            out.append(decoded)
+            i = newpos
+
+
 _P_DATA = re.compile("[&<\x00]")
 _P_RAW = re.compile("[<\x00]")
 _P_PLAIN = re.compile("\x00")
@@ -456,13 +517,50 @@ def _data(t):
         decoded = t.consume_charref_tokens(None, False)
         t._emit_str(decoded if decoded is not None else "&")
     elif c == "<":
-        # fused fast path for the overwhelmingly common <name / </name
-        # shapes: skips the TagOpen/EndTagOpen dispatch round-trips
-        # (semantics identical to TokeniserState.TagOpen/EndTagOpen)
+        s = t.s
+        nxt = s[pos + 1] if pos + 1 < t.n else ""
+        if ("a" <= nxt <= "z" or "A" <= nxt <= "Z") and not t.track:
+            # whole-tag fast path: build the StartTag straight from one
+            # regex match (see _P_FAST_START above for the safety proof)
+            m = _P_FAST_START.match(s, pos)
+            if m is not None:
+                attrs = None
+                if m.end(2) != m.start(2):
+                    attrs = []
+                    for am in _P_FAST_ATTR.finditer(s, m.start(2), m.end(2)):
+                        if len(attrs) >= 512:
+                            break
+                        v = am.group(2)
+                        if v is None:
+                            val = None
+                        else:
+                            q = v[0]
+                            if q == '"' or q == "'":
+                                if "&" in v:
+                                    val = _decode_attr_value(
+                                        s, am.start(2) + 1, am.end(2) - 1,
+                                        t.errors)
+                                else:
+                                    val = v[1:-1]
+                            else:
+                                val = v  # unquoted capture excludes &
+                        attrs.append((am.group(1), val))
+                t.markup_start = pos
+                t.pos = m.end()
+                t._emit_tok(StartTag(m.group(1), attrs, m.group(3) == "/"))
+                return
+        elif nxt == "/" and not t.track:
+            m = _P_FAST_END.match(s, pos)
+            if m is not None:
+                t.markup_start = pos
+                t.pos = m.end()
+                t._emit_tok(EndTag(m.group(1), None, False))
+                return
+        # fused fast path for the remaining <name / </name shapes: skips
+        # the TagOpen/EndTagOpen dispatch round-trips (semantics identical
+        # to TokeniserState.TagOpen/EndTagOpen)
         t.markup_start = pos  # transition(TagOpen), Tokeniser.java:122-123
         t.pos += 1
-        s = t.s
-        nxt = s[t.pos] if t.pos < t.n else ""
         if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
             t.create_tag(True)
             t.state = TAG_NAME
