@@ -23,6 +23,7 @@ Notable reference behaviors preserved:
 from __future__ import annotations
 
 import re
+import sys
 
 from .entities import REPLACEMENT, consume_charref
 
@@ -70,6 +71,13 @@ class Doctype(Tok):
         self.internal_subset = None
 
 
+# raw tag name -> interned lowercase form. Interning means every
+# downstream name comparison and frozenset/dict probe in the tree builder
+# hits the pointer-equality / cached-hash fast path (the reference's
+# CharacterReader string cache plays the same role, CharacterReader.java:22)
+_NORMAL_CACHE: dict = {}
+
+
 class Tag(Tok):
     __slots__ = ("name", "attrs", "self_closing", "normal", "attr_ranges")
 
@@ -79,7 +87,12 @@ class Tag(Tok):
         self.name = name          # original case
         self.attrs = attrs        # list[(name, value-or-None)] or None
         self.self_closing = self_closing
-        self.normal = name.lower()  # lc for case-insensitive tree build
+        normal = _NORMAL_CACHE.get(name)
+        if normal is None:
+            normal = sys.intern(name.lower())
+            if len(_NORMAL_CACHE) < 8192:
+                _NORMAL_CACHE[name] = normal
+        self.normal = normal      # lc for case-insensitive tree build
         # staged (name, name_start, name_end, val_start, val_end) tuples
         # when position tracking is on (Token.java:131-133)
         self.attr_ranges = None
@@ -192,6 +205,12 @@ _P_FAST_END = re.compile("</(" + _A_NAME + r")[\t\n\r\f ]*>")
 _P_FAST_ATTR = re.compile(
     "[\t\n\r\f ]+(" + _A_ATTR + r")(?:[\t\n\r\f ]*=[\t\n\r\f ]*("
     + _A_VD + "|" + _A_VS + "|" + _A_VU + r"))?")
+# attr-less start tag (the most common shape): one cheap probe
+_P_FAST_SIMPLE = re.compile("<(" + _A_NAME + r")[\t\n\r\f ]*(/?)>")
+# tag-open for the incremental attr loop
+_P_FAST_OPEN = re.compile("<(" + _A_NAME + ")")
+# tag close after the incremental attr loop
+_P_FAST_TAIL = re.compile(r"[\t\n\r\f ]*(/?)>")
 
 
 def _decode_attr_value(s: str, start: int, end: int, errors: list) -> str:
@@ -513,48 +532,101 @@ def _data(t):
     pos = t.pos
     c = t.s[pos] if pos < t.n else EOF
     if c == "&":
-        t.pos += 1
-        decoded = t.consume_charref_tokens(None, False)
-        t._emit_str(decoded if decoded is not None else "&")
+        # fused entity/text run: keep consuming charrefs and plain text in
+        # this one state call until hitting < / NUL / EOF — identical emit
+        # sequence to re-entering Data per charref, minus the dispatch
+        s = t.s
+        n = t.n
+        errors = t.errors
+        emit = t._emit_str
+        while True:
+            decoded, newpos = consume_charref(s, t.pos + 1, None, False,
+                                              errors)
+            if decoded is None:
+                t.pos += 1
+                emit("&")
+            else:
+                t.pos = newpos
+                emit(decoded)
+            m = _P_DATA.search(s, t.pos)
+            end = m.start() if m is not None else n
+            if end > t.pos:
+                data = s[t.pos:end]
+                t.pos = end  # advance BEFORE emit: char_end latches t.pos
+                emit(data)
+            if end >= n or s[end] != "&":
+                return
     elif c == "<":
         s = t.s
         nxt = s[pos + 1] if pos + 1 < t.n else ""
         if ("a" <= nxt <= "z" or "A" <= nxt <= "Z") and not t.track:
-            # whole-tag fast path: build the StartTag straight from one
-            # regex match (see _P_FAST_START above for the safety proof)
-            m = _P_FAST_START.match(s, pos)
+            # whole-tag fast path (see the _A_* pattern block above for the
+            # safety proof). Attr-less tags hit one cheap probe; tags with
+            # attributes are parsed by an incremental per-attr loop that
+            # accepts exactly the language of _P_FAST_START in one scan
+            # (the attr unit regex is atomic, so greedy-incremental
+            # matching and the possessive whole-tag regex agree).
+            m = _P_FAST_SIMPLE.match(s, pos)
             if m is not None:
-                attrs = None
-                if m.end(2) != m.start(2):
-                    attrs = []
-                    for am in _P_FAST_ATTR.finditer(s, m.start(2), m.end(2)):
-                        if len(attrs) >= 512:
-                            break
-                        v = am.group(2)
-                        if v is None:
-                            val = None
-                        else:
-                            q = v[0]
-                            if q == '"' or q == "'":
-                                if "&" in v:
-                                    val = _decode_attr_value(
-                                        s, am.start(2) + 1, am.end(2) - 1,
-                                        t.errors)
-                                else:
-                                    val = v[1:-1]
-                            else:
-                                val = v  # unquoted capture excludes &
-                        attrs.append((am.group(1), val))
+                tok = StartTag(m.group(1), None, m.group(2) == "/")
                 t.markup_start = pos
-                t.pos = m.end()
-                t._emit_tok(StartTag(m.group(1), attrs, m.group(3) == "/"))
+                t.pos = tok.end_pos = m.end()
+                tok.start_pos = pos
+                t.char_start = t.pos
+                t._queue.append(tok)
+                t.last_start = tok.normal
                 return
+            m = _P_FAST_OPEN.match(s, pos)
+            if m is not None:
+                name = m.group(1)
+                raw = []  # (attr_name, raw_value, value_start) — decoded
+                p = m.end()  # only AFTER the tail confirms the tag, so a
+                attr_match = _P_FAST_ATTR.match  # bail emits no errors
+                while True:
+                    am = attr_match(s, p)
+                    if am is None:
+                        tail = _P_FAST_TAIL.match(s, p)
+                        if tail is None:
+                            break  # not a fast tag: slow path from pos
+                        attrs = None
+                        if raw:
+                            attrs = []
+                            for aname, v, vstart in raw:
+                                if v is None:
+                                    val = None
+                                else:
+                                    q = v[0]
+                                    if q == '"' or q == "'":
+                                        if "&" in v:
+                                            val = _decode_attr_value(
+                                                s, vstart + 1,
+                                                vstart + len(v) - 1,
+                                                t.errors)
+                                        else:
+                                            val = v[1:-1]
+                                    else:
+                                        val = v  # unquoted excludes &
+                                attrs.append((aname, val))
+                        tok = StartTag(name, attrs, tail.group(1) == "/")
+                        t.markup_start = pos
+                        t.pos = tok.end_pos = tail.end()
+                        tok.start_pos = pos
+                        t.char_start = t.pos
+                        t._queue.append(tok)
+                        t.last_start = tok.normal
+                        return
+                    p = am.end()
+                    if len(raw) < 512:
+                        raw.append((am.group(1), am.group(2), am.start(2)))
         elif nxt == "/" and not t.track:
             m = _P_FAST_END.match(s, pos)
             if m is not None:
+                tok = EndTag(m.group(1), None, False)
                 t.markup_start = pos
-                t.pos = m.end()
-                t._emit_tok(EndTag(m.group(1), None, False))
+                t.pos = tok.end_pos = m.end()
+                tok.start_pos = pos
+                t.char_start = t.pos
+                t._queue.append(tok)
                 return
         # fused fast path for the remaining <name / </name shapes: skips
         # the TagOpen/EndTagOpen dispatch round-trips (semantics identical

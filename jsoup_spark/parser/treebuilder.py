@@ -137,6 +137,10 @@ C_END_OTHER_ERRORS = frozenset(
     "body dd dt html li optgroup option p rb rp rt rtc tbody td tfoot th thead tr".split())
 C_ADOPTION_FORMATTERS = frozenset(
     "a b big code em font i nobr s small strike strong tt u".split())
+# hot-hoist sets for _in_body_start (same members as the inline branches)
+C_FORMATTING_12 = frozenset(
+    "b big code em font i s small strike strong tt u".split())
+C_SIMPLE_VOIDS = frozenset("area br embed img keygen wbr".split())
 C_TABLE_TO_BODY = frozenset(("tbody", "tfoot", "thead"))
 C_TABLE_ADD_BODY = frozenset(("td", "th", "tr"))
 C_TABLE_TO_HEAD = frozenset(("script", "style", "template"))
@@ -333,11 +337,16 @@ class HtmlTreeBuilder:
 
     # ------------------------------------------------------------ dispatch
     def process(self, token) -> bool:
-        if self.noscript is not None and self.state != TEXT:
-            return self._process_noscript(token)
-        if self._use_current_insert(token):
-            return _MODES[self.state](self, token)
-        return _foreign_content(self, token)
+        if self.noscript is None or self.state == TEXT:
+            # common case inlined from _use_current_insert: empty stack or
+            # an HTML-namespace current element always uses the current
+            # insertion mode
+            stack = self.stack
+            if not stack or stack[-1].ns == NS_HTML \
+                    or self._use_current_insert(token):
+                return _MODES[self.state](self, token)
+            return _foreign_content(self, token)
+        return self._process_noscript(token)
 
     def process_in(self, token, mode: int) -> bool:
         return _MODES[mode](self, token)
@@ -1277,6 +1286,25 @@ def _in_body(tb, t):
 
 def _in_body_start(tb, t):
     name = t.normal
+    # hot hoists: these branches are duplicated from their positions below
+    # (p-closer block tags, the 12 formatting tags, simple voids) — every
+    # branch in this chain tests disjoint name sets, so ordering is purely
+    # a dispatch-cost choice; these three cover ~70% of body start tags
+    if name in C_P_CLOSERS:
+        if tb.in_button_scope("p"):
+            tb.process_end("p")
+        tb.insert_element(t)
+        return True
+    if name in C_FORMATTING_12:
+        tb.reconstruct_formatting()
+        el = tb.insert_element(t)
+        tb.push_formatting(el)
+        return True
+    if name in C_SIMPLE_VOIDS:
+        tb.reconstruct_formatting()
+        tb.insert_empty_element(t)
+        tb.frameset_ok = False
+        return True
     if name == "a":
         if tb.get_formatting("a") is not None:
             tb.error("nested a")
@@ -1530,6 +1558,19 @@ def _any_other_end_tag(tb, t):
 
 def _in_body_end(tb, t):
     name = t.normal
+    # hot hoists (duplicates of the branches below; all name sets in this
+    # chain are disjoint so order is a dispatch-cost choice)
+    if name in C_END_CLOSERS:
+        if not tb.in_scope(name):
+            tb.error("not in scope")
+            return False
+        tb.generate_implied_end()
+        if not tb.current_is(name):
+            tb.error("unexpected open elements")
+        tb.pop_to_close(name)
+        return True
+    if name in C_ADOPTION_FORMATTERS:
+        return _adoption_agency(tb, t)
     if name == "template":
         _in_head(tb, t)
     elif name in ("sarcasm", "span"):
