@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 import sys
+from collections import deque
 
 from .entities import REPLACEMENT, consume_charref
 
@@ -237,6 +238,62 @@ def _decode_attr_value(s: str, start: int, end: int, errors: list) -> str:
             i = newpos
 
 
+# tags after which the tree builder may switch the tokeniser state
+# (rcdata/rawtext/script/plaintext elements + noscript); batching must
+# stop so the raw content is not tokenised as markup. Self-closing tags
+# also stop the batch (customized self-closable tags make insert_element
+# queue a synthetic end tag, which must directly follow its start tag).
+_BATCH_STOP = frozenset(
+    "title textarea iframe noembed noframes script style xmp plaintext "
+    "noscript pre listing".split())  # pre/listing: the tree builder
+# consumes the leading newline off the READER (treebuilder skip-first-LF),
+# which requires the following text to still be untokenised
+
+
+def _fast_attr_tag(t, s: str, at: int):
+    """Incremental fast parse of a start tag with attributes at s[at] —
+    accepts exactly the language of _P_FAST_START in one scan (the attr
+    unit regex is atomic, so greedy-incremental matching and the
+    possessive whole-tag regex agree). Returns (StartTag, end) or None.
+    Attr values are decoded only after the tail confirms the tag, so a
+    bail emits no errors."""
+    m = _P_FAST_OPEN.match(s, at)
+    if m is None:
+        return None
+    raw = []  # (attr_name, raw_value, value_start)
+    p = m.end()
+    attr_match = _P_FAST_ATTR.match
+    while True:
+        am = attr_match(s, p)
+        if am is None:
+            tail = _P_FAST_TAIL.match(s, p)
+            if tail is None:
+                return None
+            attrs = None
+            if raw:
+                attrs = []
+                for aname, v, vstart in raw:
+                    if v is None:
+                        val = None
+                    else:
+                        quote = v[0]
+                        if quote == '"' or quote == "'":
+                            if "&" in v:
+                                val = _decode_attr_value(
+                                    s, vstart + 1, vstart + len(v) - 1,
+                                    t.errors)
+                            else:
+                                val = v[1:-1]
+                        else:
+                            val = v  # unquoted capture excludes &
+                    attrs.append((aname, val))
+            return (StartTag(m.group(1), attrs, tail.group(1) == "/"),
+                    tail.end())
+        p = am.end()
+        if len(raw) < 512:
+            raw.append((am.group(1), am.group(2), am.start(2)))
+
+
 _P_DATA = re.compile("[&<\x00]")
 _P_RAW = re.compile("[<\x00]")
 _P_PLAIN = re.compile("\x00")
@@ -290,7 +347,7 @@ class Tokeniser:
         self.syntax = syntax
         self.cdata_allowed = lambda: syntax == "xml"
         self.errors = errors if errors is not None else []
-        self._queue: list[Tok] = []
+        self._queue: deque = deque()
         self._chars: list[str] = []
         self.tag_start = True
         self._tag_name_parts = []
@@ -344,7 +401,7 @@ class Tokeniser:
             tok.end_pos = self.char_end
             chars.clear()
             return tok
-        return q.pop(0)
+        return q.popleft()
 
     # --- pending tag helpers ---
     def create_tag(self, start: bool) -> None:
@@ -558,79 +615,78 @@ def _data(t):
                 return
     elif c == "<":
         s = t.s
-        nxt = s[pos + 1] if pos + 1 < t.n else ""
-        if ("a" <= nxt <= "z" or "A" <= nxt <= "Z") and not t.track:
-            # whole-tag fast path (see the _A_* pattern block above for the
-            # safety proof). Attr-less tags hit one cheap probe; tags with
-            # attributes are parsed by an incremental per-attr loop that
-            # accepts exactly the language of _P_FAST_START in one scan
-            # (the attr unit regex is atomic, so greedy-incremental
-            # matching and the possessive whole-tag regex agree).
-            m = _P_FAST_SIMPLE.match(s, pos)
-            if m is not None:
-                tok = StartTag(m.group(1), None, m.group(2) == "/")
-                t.markup_start = pos
-                t.pos = tok.end_pos = m.end()
-                tok.start_pos = pos
-                t.char_start = t.pos
-                t._queue.append(tok)
-                t.last_start = tok.normal
-                return
-            m = _P_FAST_OPEN.match(s, pos)
-            if m is not None:
-                name = m.group(1)
-                raw = []  # (attr_name, raw_value, value_start) — decoded
-                p = m.end()  # only AFTER the tail confirms the tag, so a
-                attr_match = _P_FAST_ATTR.match  # bail emits no errors
-                while True:
-                    am = attr_match(s, p)
-                    if am is None:
-                        tail = _P_FAST_TAIL.match(s, p)
-                        if tail is None:
-                            break  # not a fast tag: slow path from pos
-                        attrs = None
-                        if raw:
-                            attrs = []
-                            for aname, v, vstart in raw:
-                                if v is None:
-                                    val = None
-                                else:
-                                    q = v[0]
-                                    if q == '"' or q == "'":
-                                        if "&" in v:
-                                            val = _decode_attr_value(
-                                                s, vstart + 1,
-                                                vstart + len(v) - 1,
-                                                t.errors)
-                                        else:
-                                            val = v[1:-1]
-                                    else:
-                                        val = v  # unquoted excludes &
-                                attrs.append((aname, val))
-                        tok = StartTag(name, attrs, tail.group(1) == "/")
-                        t.markup_start = pos
-                        t.pos = tok.end_pos = tail.end()
-                        tok.start_pos = pos
-                        t.char_start = t.pos
-                        t._queue.append(tok)
-                        t.last_start = tok.normal
+        n = t.n
+        if not t.track:
+            # whole-tag fast path + token batching (see the _A_* pattern
+            # block above for the safety proof). Each committed iteration
+            # queues [pending text as one coalesced Character][fast tag];
+            # text is consumed ONLY when the tag that follows it is fast,
+            # so a bail always leaves the stream exactly where the state
+            # machine expects it and char-run coalescing is unbroken.
+            # Batching stops after any tag that can change the tokeniser
+            # state (rawtext/rcdata/plaintext elements, self-closing) and
+            # caps the queue length.
+            q = t._queue
+            chars = t._chars
+            count = 0
+            end2 = pos
+            p2 = pos
+            while True:
+                nxt = s[end2 + 1] if end2 + 1 < n else ""
+                tok = None
+                if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
+                    m = _P_FAST_SIMPLE.match(s, end2)
+                    if m is not None:
+                        tok = StartTag(m.group(1), None, m.group(2) == "/")
+                        tend = m.end()
+                    else:
+                        pair = _fast_attr_tag(t, s, end2)
+                        if pair is not None:
+                            tok, tend = pair
+                elif nxt == "/":
+                    m = _P_FAST_END.match(s, end2)
+                    if m is not None:
+                        tok = EndTag(m.group(1), None, False)
+                        tend = m.end()
+                if tok is None:
+                    if count == 0:
+                        break  # slow dispatch handles the '<' at pos
+                    return  # text since p2 left unconsumed
+                # commit: text segment [p2, end2) then the tag
+                if end2 > p2:
+                    if not chars:
+                        t.char_run_start = t.char_start
+                    t.char_end = end2
+                    chars.append(s[p2:end2])
+                if chars:
+                    ct = Character("".join(chars))
+                    ct.start_pos = t.char_run_start
+                    ct.end_pos = t.char_end
+                    chars.clear()
+                    q.append(ct)
+                t.markup_start = end2
+                t.pos = tok.end_pos = tend
+                tok.start_pos = end2
+                t.char_start = tend
+                q.append(tok)
+                count += 1
+                if tok.type == T_START:
+                    t.last_start = tok.normal
+                    if tok.self_closing or tok.normal in _BATCH_STOP:
                         return
-                    p = am.end()
-                    if len(raw) < 512:
-                        raw.append((am.group(1), am.group(2), am.start(2)))
-        elif nxt == "/" and not t.track:
-            m = _P_FAST_END.match(s, pos)
-            if m is not None:
-                tok = EndTag(m.group(1), None, False)
-                t.markup_start = pos
-                t.pos = tok.end_pos = m.end()
-                tok.start_pos = pos
-                t.char_start = t.pos
-                t._queue.append(tok)
-                return
+                if count >= 48:
+                    return
+                # find the next '<'; any other special (& NUL EOF) ends
+                # the batch with the trailing text unconsumed
+                p2 = tend
+                m = _P_DATA.search(s, p2)
+                end2 = m.start() if m is not None else n
+                if end2 >= n or s[end2] != "<":
+                    return
         # fused fast path for the remaining <name / </name shapes: skips
         # the TagOpen/EndTagOpen dispatch round-trips (semantics identical
         # to TokeniserState.TagOpen/EndTagOpen)
+        nxt = s[pos + 1] if pos + 1 < n else ""
         t.markup_start = pos  # transition(TagOpen), Tokeniser.java:122-123
         t.pos += 1
         if "a" <= nxt <= "z" or "A" <= nxt <= "Z":

@@ -470,16 +470,18 @@ class HtmlTreeBuilder:
         return el
 
     def _do_insert(self, el: Element) -> None:
-        self._enforce_depth()
-        if (self.form_el is not None and el.ns == NS_HTML
-                and el.name in C_FORM_LISTED):
-            pass  # form-control association tracked implicitly via tree
-        if self.foster_inserts and self.stack and \
-                self.stack[-1].name in C_TABLE_FOSTER:
+        stack = self.stack
+        if len(stack) >= MAX_DEPTH:
+            self._enforce_depth()
+            stack = self.stack
+        if self.foster_inserts and stack and stack[-1].name in C_TABLE_FOSTER:
             self.insert_in_foster_parent(el)
         else:
-            self.current_element().append(el)
-        self.stack.append(el)
+            # el is freshly created (parent None): append without unlink
+            parent = stack[-1] if stack else self.doc
+            el.parent = parent
+            parent.children.append(el)
+        stack.append(el)
         if self.track:
             self._track(el, True)
 
@@ -525,7 +527,8 @@ class HtmlTreeBuilder:
             node = DataNode(data)
         else:
             node = TextNode(data)
-        el.append(node)
+        node.parent = el  # fresh node: append without unlink
+        el.children.append(node)
         if self.track:
             self._track(node, True)
 
