@@ -284,12 +284,29 @@ class HtmlTreeBuilder:
         return list(self.doc.children)
 
     def _run(self) -> None:
+        # tok.read() inlined (token-coalescing semantics identical,
+        # Tokeniser.java:101-108): one loop, no per-token call round-trip
         tok = self.tok
+        q = tok._queue
+        chars = tok._chars
+        states = tz._STATES
+        popleft = q.popleft
+        process = self.process
+        T_EOF = tz.T_EOF
+        Character = tz.Character
         while True:
-            token = tok.read()
+            while not q:
+                states[tok.state](tok)
+            if chars:
+                token = Character("".join(chars))
+                token.start_pos = tok.char_run_start
+                token.end_pos = tok.char_end
+                chars.clear()
+            else:
+                token = popleft()
             self.current_token = token
-            self.process(token)
-            if token.type == tz.T_EOF:
+            process(token)
+            if token.type == T_EOF:
                 break
         if self.track:
             # EOF stack drain closes remaining elements + the doc
@@ -1263,22 +1280,22 @@ def _after_head(tb, t):
 
 def _in_body(tb, t):
     tt = t.type
-    if tt in (tz.T_CHAR, tz.T_CDATA):
+    if tt == tz.T_CHAR or tt == tz.T_CDATA:
         tb.reconstruct_formatting()
         tb.insert_character(t)
         if not (tb.frameset_ok and _is_ws_token(t)):
             tb.frameset_ok = False
         return True
+    if tt == tz.T_START:
+        return _in_body_start(tb, t)
+    if tt == tz.T_END:
+        return _in_body_end(tb, t)
     if tt == tz.T_COMMENT:
         tb.insert_comment(t)
         return True
     if tt == tz.T_DOCTYPE:
         tb.error("doctype in body")
         return False
-    if tt == tz.T_START:
-        return _in_body_start(tb, t)
-    if tt == tz.T_END:
-        return _in_body_end(tb, t)
     if tt == tz.T_EOF:
         if tb.tmpl_modes:
             return _in_template(tb, t)
