@@ -1704,6 +1704,18 @@ def _adoption_agency(tb, t):
     if cur.name == subject and not tb.in_formatting(cur):
         tb.pop()
         return True
+    # well-nested fast path: the current element is both the top of stack
+    # and the last active-formatting entry with the subject name, so the
+    # general algorithm below provably collapses to pop + remove (fmt_el
+    # selection picks cur; it is on-stack, in scope, current; no special
+    # element sits above it, so furthestBlock is null)
+    f = tb.formatting
+    stack = tb.stack
+    if f and stack and f[-1] is cur and stack[-1] is cur \
+            and cur.name == subject:
+        tb.pop()
+        f.pop()
+        return True
     outer = 0
     while True:
         if outer >= 8:
