@@ -2588,13 +2588,23 @@ _MODES = [
 
 
 def parse(html: str, base_uri: str = "",
-          track_positions: bool = False) -> Document:
+          track_positions: bool = False,
+          utf16_offsets: bool = False) -> Document:
     """Parse an HTML document (Jsoup.parse equivalent).
 
     track_positions enables source-range tracking
     (Parser.setTrackPosition, nodes/Range.java): nodes get
-    .source_range() / .end_source_range() offset tuples."""
-    return HtmlTreeBuilder().parse(html, base_uri, track_positions)
+    .source_range() / .end_source_range() offset tuples.
+
+    utf16_offsets (opt-in) reports every tracked offset in UTF-16 code
+    units — the unit the reference's Java reader counts — instead of
+    Unicode codepoints, making ranges reference-exact on astral-plane
+    inputs (post-pass; see positions.convert_ranges_utf16)."""
+    doc = HtmlTreeBuilder().parse(html, base_uri, track_positions)
+    if track_positions and utf16_offsets:
+        from .positions import convert_ranges_utf16
+        convert_ranges_utf16(doc, html)
+    return doc
 
 
 def parse_fragment(html: str, context: str | None = None,

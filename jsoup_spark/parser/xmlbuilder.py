@@ -175,5 +175,10 @@ class XmlTreeBuilder:
 
 
 def parse_xml(xml: str, base_uri: str = "",
-              track_positions: bool = False) -> Document:
-    return XmlTreeBuilder().parse(xml, base_uri, track_positions)
+              track_positions: bool = False,
+              utf16_offsets: bool = False) -> Document:
+    doc = XmlTreeBuilder().parse(xml, base_uri, track_positions)
+    if track_positions and utf16_offsets:
+        from .positions import convert_ranges_utf16
+        convert_ranges_utf16(doc, xml)
+    return doc

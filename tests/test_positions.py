@@ -188,3 +188,23 @@ def test_xml_internal_subset():
     doc2 = parse_xml('<!DOCTYPE root [<!ENTITY x "unterminated]><root/>')
     assert doc2.children[0].internal_subset == '<!ENTITY x "unterminated]><root/>'
     assert len(doc2.children) == 1
+
+
+def test_utf16_offset_mode():
+    """utf16_offsets=True reports UTF-16 code units (Java char offsets):
+    each astral char shifts later offsets by one extra unit."""
+    h = "\U0001F600<p id=x>hi</p>"  # emoji = 2 UTF-16 units
+    d_cp = parse(h, track_positions=True)
+    d_16 = parse(h, track_positions=True, utf16_offsets=True)
+    p_cp = [e for e in d_cp.elements() if e.name == "p"][0]
+    p_16 = [e for e in d_16.elements() if e.name == "p"][0]
+    assert p_cp.srcr == (1, 9) and p_cp.endr == (11, 15)
+    assert p_16.srcr == (2, 10) and p_16.endr == (12, 16)
+    a, b, c, dd = p_16.attr_ranges["id"]
+    assert (a, b, c, dd) == tuple(v + 1 for v in p_cp.attr_ranges["id"])
+    # columns count UTF-16 units too
+    assert d_16.line_map.format_pos(p_16.srcr[0]) == "1,3:2"
+    # no astral chars -> identical to codepoint mode
+    d = parse("<p>x</p>", track_positions=True, utf16_offsets=True)
+    p = [e for e in d.elements() if e.name == "p"][0]
+    assert p.srcr == (0, 3)

@@ -76,9 +76,8 @@ def main():
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     rng = random.Random(seed)
     cases = [rand_html(rng, rng.randint(3, 60)) for _ in range(N)]
-    # Java positions are UTF-16 code-unit offsets; ours are codepoint
-    # offsets. Skip astral-plane inputs (documented divergence, NOTES_r1).
-    cases = [h for h in cases if all(ord(c) < 0x10000 for c in h)]
+    # astral inputs run unfiltered: utf16_offsets=True converts our
+    # codepoint offsets to the UTF-16 code units Java reports
     ops = [("positions", h) for h in cases] + [("posxml", h) for h in cases[: N // 2]]
     inp = "\n".join(f"{op}\t{b64(h)}" for op, h in ops)
     r = subprocess.run(["java", "-cp", "/tmp/jsoupbuild/out", "Harness"],
@@ -89,8 +88,9 @@ def main():
     for (op, h), line in zip(ops, lines):
         golden = base64.b64decode(line).decode()
         try:
-            doc = parse(h, track_positions=True) if op == "positions" \
-                else parse_xml(h, track_positions=True)
+            doc = parse(h, track_positions=True, utf16_offsets=True) \
+                if op == "positions" \
+                else parse_xml(h, track_positions=True, utf16_offsets=True)
             mine = mine_positions(doc)
         except Exception as e:
             mine = f"!EXC {type(e).__name__}: {e}"
