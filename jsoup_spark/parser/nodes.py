@@ -30,9 +30,21 @@ import re as _re
 _NORM_SLOW = _re.compile("[\t\n\f\r\xa0​\xad]|\x20\x20")
 
 
+_WS_RUN = _re.compile("[ \t\n\f\r\xa0]+")
+_NORM_BAD = _re.compile("[\t\n\f\r\xa0]")
+_INVIS_TABLE = {0x200B: None, 0xAD: None}
+
+
 def _append_normalised(accum: list[str], text: str) -> None:
     """StringUtil.appendNormalisedWhitespace with stripLeading =
-    lastCharIsWhitespace(accum)."""
+    lastCharIsWhitespace(accum).
+
+    Bulk implementation (regex/translate, C-speed): equivalent to the
+    reference's per-char loop because invisibles (U+200B, U+00AD) are
+    transparent to both the run-collapsing state and the leading-strip
+    state — deleting them first commutes with collapsing — and a leading
+    whitespace run collapses to one space that stripLeading then drops.
+    (The per-char predecessor was 72% of worker wall on text-heavy docs.)"""
     strip_leading = bool(accum) and accum[-1].endswith(" ")
     if _NORM_SLOW.search(text) is None:
         # fast path: already normalized (only single plain spaces)
@@ -41,21 +53,21 @@ def _append_normalised(accum: list[str], text: str) -> None:
         if text:
             accum.append(text)
         return
-    last_white = False
-    reached_non_white = False
-    out = []
-    for ch in text:
-        if ch in _WS_CHARS:
-            if (strip_leading and not reached_non_white) or last_white:
-                continue
-            out.append(" ")
-            last_white = True
-        elif ch not in _INVISIBLE:
-            out.append(ch)
-            last_white = False
-            reached_non_white = True
-    if out:
-        accum.append("".join(out))
+    if "​" in text or "\xad" in text:
+        text = text.translate(_INVIS_TABLE)
+    if _NORM_BAD.search(text) is None:
+        # only plain spaces with some doubles: str.replace halves the run
+        # length per pass (C-speed, few passes) — cheaper than a regex sub
+        # that rewrites around every single space
+        t = text
+        while "  " in t:
+            t = t.replace("  ", " ")
+    else:
+        t = _WS_RUN.sub(" ", text)
+    if strip_leading and t.startswith(" "):
+        t = t[1:]
+    if t:
+        accum.append(t)
 
 
 def _last_char_is_ws(accum: list[str]) -> bool:
