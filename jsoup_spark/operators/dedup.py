@@ -183,18 +183,38 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def embedding_near_dup(embeddings: DataFrame,
-                       threshold: float = 0.9) -> DataFrame:
+                       threshold: float = 0.9,
+                       probe_hamming: int = 0) -> DataFrame:
     """Embedding-cosine near-dup candidates, LSH-bucketed by the sign
-    pattern of the first 8 dimensions (random-hyperplane style)."""
+    pattern of the first 8 dimensions (random-hyperplane style).
+
+    probe_hamming=1 (multi-probe) also pairs vectors whose buckets differ
+    in exactly one bit — near-dups sitting just across a quantization
+    boundary. One side explodes into its probe set (keys only, 9 small
+    rows per vector), the other keeps one row; true near-dups have
+    cosine ~1 so almost all lie within Hamming distance 1."""
     v = F.col("embedding")
+    nbits = 8
     bucket = F.concat_ws("", *[
-        (v[i] >= 0).cast("int").cast("string") for i in range(8)])
+        (v[i] >= 0).cast("int").cast("string") for i in range(nbits)])
     e = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         v.alias("embedding"),
         bucket.alias("bucket"),
     )
     a, b = e.alias("a"), e.alias("b")
+    if probe_hamming >= 1:
+        bk = F.col("bucket")
+        flips = [
+            F.concat(F.substring(bk, 1, i),
+                     F.when(F.substring(bk, i + 1, 1) == "0", F.lit("1"))
+                      .otherwise(F.lit("0")),
+                     F.substring(bk, i + 2, nbits - i - 1))
+            for i in range(nbits)
+        ]
+        a = e.select(
+            "vec_id", "embedding",
+            F.explode(F.array(bk, *flips)).alias("bucket")).alias("a")
     pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))

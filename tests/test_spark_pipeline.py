@@ -233,3 +233,17 @@ def test_windowed_error_rates(spark, tmp_path):
     q.awaitTermination(180)
     # append mode emits only closed windows; just assert the query ran
     assert q.lastProgress is not None
+
+
+def test_embed_neardup_multiprobe(spark):
+    """probe_hamming=1 is a superset of single-probe pairs and finds
+    boundary-crossing near-dups (Hamming-1 buckets)."""
+    from jsoup_spark.operators import dedup
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = {(r["vec_a"], r["vec_b"])
+            for r in dedup.embedding_near_dup(emb, threshold=-1.0).collect()}
+    multi = {(r["vec_a"], r["vec_b"])
+             for r in dedup.embedding_near_dup(
+                 emb, threshold=-1.0, probe_hamming=1).collect()}
+    assert base <= multi
+    assert len(multi) > len(base)
