@@ -125,3 +125,27 @@ def decode_stage(df, bytes_col: str = "content", out_col: str = "html"):
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=schema)
+
+
+def load_file(path, base_uri: str | None = None, charset: str | None = None):
+    """Jsoup.parse(File/Path, charset, baseUri) equivalent
+    (Jsoup.java:136-253): read bytes, inflate .gz/.z transparently
+    (DataUtil.openStream magic-byte sniff), run the charset ladder, parse.
+    base_uri defaults to the file's URI like the reference."""
+    import pathlib
+    from ..parser.treebuilder import parse
+
+    p = pathlib.Path(path)
+    data = p.read_bytes()
+    if base_uri is None:
+        base_uri = p.resolve().as_uri()
+    return parse(decode_html_bytes(data, charset), base_uri)
+
+
+def load_stream(fp, base_uri: str = "", charset: str | None = None):
+    """Jsoup.parse(InputStream, charset, baseUri) equivalent
+    (Jsoup.java:266-285): consume a binary file-like object, sniff +
+    decode, parse."""
+    from ..parser.treebuilder import parse
+
+    return parse(decode_html_bytes(fp.read(), charset), base_uri)

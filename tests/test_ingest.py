@@ -66,3 +66,20 @@ def test_reference_charset_fixtures():
         doc = parse(text)
         assert doc.body is not None
         assert "가각갂갃간갅" in doc.body.text() or doc.body.text()
+
+
+def test_load_file_and_stream(tmp_path):
+    import io
+    from jsoup_spark.sources.ingest import load_file, load_stream
+    html = "<meta charset='ISO-8859-1'><p>caf\xe9</p>"
+    plain = tmp_path / "page.html"
+    plain.write_bytes(html.encode("iso-8859-1"))
+    doc = load_file(plain)
+    assert "café" in doc.body.text()
+    assert doc.base.startswith("file://")
+    gz = tmp_path / "page.html.gz"
+    gz.write_bytes(gzip.compress(html.encode("iso-8859-1")))
+    assert load_file(gz, base_uri="http://x/").body.text() == \
+        doc.body.text()
+    doc2 = load_stream(io.BytesIO(html.encode("iso-8859-1")), "http://x/")
+    assert "café" in doc2.body.text()
