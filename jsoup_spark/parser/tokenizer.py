@@ -294,6 +294,12 @@ def _fast_attr_tag(t, s: str, at: int):
             raw.append((am.group(1), am.group(2), am.start(2)))
 
 
+# exact tag-span -> (cls, name, normal, attrs, self_closing). attrs lists
+# are shared across the tokens built from one entry and are read-only
+# downstream (the tree builder copies into per-element dicts). Bounded:
+# spans <= 257 chars, <= 8192 entries (~2 MB).
+_TAG_CACHE: dict = {}
+
 _P_DATA = re.compile("[&<\x00]")
 _P_RAW = re.compile("[<\x00]")
 _P_PLAIN = re.compile("\x00")
@@ -628,13 +634,32 @@ def _data(t):
             # caps the queue length.
             q = t._queue
             chars = t._chars
+            tag_cache = _TAG_CACHE
             count = 0
             end2 = pos
             p2 = pos
             while True:
                 nxt = s[end2 + 1] if end2 + 1 < n else ""
                 tok = None
-                if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
+                if "a" <= nxt <= "z" or "A" <= nxt <= "Z" or nxt == "/":
+                    # exact-span tag cache: corpora repeat identical tag
+                    # bytes; key = substring to the FIRST '>'. Safe: if
+                    # that '>' sits inside a quoted value, the prefix has
+                    # an unterminated quote, which can never fast-parse,
+                    # so it is never stored — prefix keys always miss.
+                    gt = s.find(">", end2 + 2, end2 + 258)
+                    if gt != -1:
+                        hit = tag_cache.get(s[end2:gt + 1])
+                        if hit is not None:
+                            cls, nm, normal, attrs, sc = hit
+                            tok = cls.__new__(cls)
+                            tok.name = nm
+                            tok.normal = normal
+                            tok.attrs = attrs  # read-only downstream
+                            tok.self_closing = sc
+                            tok.attr_ranges = None
+                            tend = gt + 1
+                if tok is None and ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
                     m = _P_FAST_SIMPLE.match(s, end2)
                     if m is not None:
                         tok = StartTag(m.group(1), None, m.group(2) == "/")
@@ -643,11 +668,19 @@ def _data(t):
                         pair = _fast_attr_tag(t, s, end2)
                         if pair is not None:
                             tok, tend = pair
-                elif nxt == "/":
+                    if tok is not None and tend - end2 <= 257 \
+                            and len(tag_cache) < 8192:
+                        tag_cache[s[end2:tend]] = (
+                            StartTag, tok.name, tok.normal, tok.attrs,
+                            tok.self_closing)
+                elif tok is None and nxt == "/":
                     m = _P_FAST_END.match(s, end2)
                     if m is not None:
                         tok = EndTag(m.group(1), None, False)
                         tend = m.end()
+                        if tend - end2 <= 257 and len(tag_cache) < 8192:
+                            tag_cache[s[end2:tend]] = (
+                                EndTag, tok.name, tok.normal, None, False)
                 if tok is None:
                     if count == 0:
                         break  # slow dispatch handles the '<' at pos
