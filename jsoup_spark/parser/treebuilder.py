@@ -288,6 +288,7 @@ class HtmlTreeBuilder:
         self.on_close = None
         while self.stack:  # EOF drain: implicit closes, innermost first
             yield self.stack.pop()
+        yield self.doc  # the reference emits #root last (canStream order)
 
     def parse_fragment(self, html: str, context_name: str | None,
                        base_uri: str = "",

@@ -8,6 +8,7 @@ import textwrap
 from jsoup_spark.extract.spans import extract_spans, stream_spans
 from jsoup_spark.parser.streamparser import StreamParser
 from jsoup_spark.parser.treebuilder import parse
+from jsoup_spark.select.selector import select
 
 
 def test_iterates_completed_elements():
@@ -19,7 +20,7 @@ def test_iterates_completed_elements():
     seen = [el.name for el in sp]
     assert seen[0] == "title"
     assert seen.index("p") < seen.index("div")
-    assert seen[-2:] == ["body", "html"]
+    assert seen[-3:] == ["body", "html", "#root"]
     # children complete on emitted elements
     doc = sp.document()
     assert doc.title() == "Test"
@@ -106,3 +107,69 @@ def test_stream_spans_bounded_memory():
     # be >25x that in Python node objects. Budget: pruned parse stays
     # under 600MB peak RSS where an unpruned DOM measures >1.5GB.
     assert peak_mb < 600, peak_mb
+
+
+def _track_seen(els):
+    out = []
+    for el in els:
+        s = el.name if el.name != "#root" else "#root"
+        i = el.attr("id") if hasattr(el, "attr") else ""
+        if i:
+            s += "#" + i
+        t = el.own_text() if hasattr(el, "own_text") else ""
+        if t:
+            s += f"[{t}]"
+        out.append(s)
+    return ";".join(out)
+
+
+def test_can_stream_order():
+    # StreamParserTest.canStream emission order (StreamParserTest.java:39-50;
+    # '+' next-sibling markers omitted: this engine emits at pop time, one
+    # event earlier than the reference's held-back iterator)
+    html = ("<title>Test</title></head><div id=1>D1</div><div id=2>D2"
+            "<p id=3><span>P One</p><p id=4>P Two</p></div><div id=5>D3"
+            "<p id=6>P three</p>")
+    sp = StreamParser().parse(html, "")
+    assert _track_seen(sp) == ("title[Test];head;div#1[D1];span[P One];"
+                               "p#3;p#4[P Two];div#2[D2];p#6[P three];"
+                               "div#5[D3];body;html;#root")
+
+
+def test_can_reuse():
+    # StreamParserTest.canReuse
+    sp = StreamParser()
+    sp.parse("<p>One<p>Two", "")
+    assert _track_seen(sp) == "head;p[One];p[Two];body;html;#root"
+    sp.parse("<div>Three<div>Four</div></div>", "")
+    assert _track_seen(sp) == "head;div[Four];div[Three];body;html;#root"
+    # re-run without a new parse is empty
+    assert _track_seen(sp) == ""
+
+
+def test_can_remove_from_dom():
+    # StreamParserTest.canRemoveFromDom
+    html = "<div>One</div><div>DESTROY</div><div>Two</div>"
+    sp = StreamParser().parse(html, "")
+    for el in sp:
+        if getattr(el, "own_text", lambda: "")() == "DESTROY":
+            el.remove()
+    doc = sp.document()
+    divs = select(doc, "div")
+    assert len(divs) == 2
+    assert " ".join(d.text() for d in divs) == "One Two"
+
+
+def test_select_reuses_earlier_elements():
+    # StreamParserTest.select: re-selecting an earlier element after later
+    # ones were emitted returns the same object
+    html = "<title>One</title><p id=1>P One</p><p id=2>P Two</p>"
+    sp = StreamParser().parse(html, "")
+    title = sp.select_first("title")
+    assert title.text() == "One"
+    p1 = sp.select_next("p")
+    assert p1.text() == "P One"
+    p2 = sp.select_next("p")
+    assert p2.text() == "P Two"
+    assert sp.select_first("#1") is p1
+    assert sp.select_next("p") is None
