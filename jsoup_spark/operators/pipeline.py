@@ -132,11 +132,18 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
         # stage; building the RecordBatch directly halves the overhead
         for batch in batches:
             idx = {n: i for i, n in enumerate(batch.schema.names)}
-            doc_ids = batch.column(idx["doc_id"]).to_pylist()
+            doc_ids = batch.column(idx["doc_id"])
             htmls = batch.column(idx["html"]).to_pylist()
             base_uris = batch.column(idx["base_uri"]).to_pylist()
             media_ins = batch.column(idx["_media_in"]).to_pylist()
-            out_spans, out_n, out_err, out_bytes = [], [], [], []
+            # column-wise span assembly: flat field lists + offsets beat
+            # pa.array() over per-span python dicts by a wide margin
+            kinds: list = []
+            texts: list = []
+            refs: list = []
+            orders: list = []
+            offsets = [0]
+            out_n, out_err, out_bytes = [], [], []
             for html, base_uri, media_in_rows in zip(htmls, base_uris, media_ins):
                 if stream_threshold >= 0 and len(html) > stream_threshold:
                     errs: list = []
@@ -146,23 +153,33 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
                     doc = _parse_doc(html, base_uri)
                     tuples = extract_spans(doc)
                     n_errors = len(doc.errors)
-                spans = [
-                    {"kind": k, "text": t, "media_ref": r, "order": o}
-                    for k, t, r, o in tuples
-                ]
-                order = len(spans)
+                order = 0
+                for k, t, r, order in tuples:
+                    kinds.append(k)
+                    texts.append(t)
+                    refs.append(r)
+                order = len(tuples)
+                orders.extend(range(order))
                 for m in media_in_rows:
-                    spans.append({"kind": "media", "text": m["text"] or "",
-                                  "media_ref": m["media_ref"] or "",
-                                  "order": order})
+                    kinds.append("media")
+                    texts.append(m["text"] or "")
+                    refs.append(m["media_ref"] or "")
+                    orders.append(order)
                     order += 1
-                out_spans.append(spans)
-                out_n.append(len(spans))
+                offsets.append(offsets[-1] + order)
+                out_n.append(order)
                 out_err.append(n_errors)
                 out_bytes.append(len(html))
+            struct = pa.StructArray.from_arrays(
+                [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+                 pa.array(refs, pa.string()), pa.array(orders, pa.int32())],
+                fields=list(span_type))
+            spans_col = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), struct)
             yield pa.RecordBatch.from_arrays([
-                pa.array(doc_ids, pa.string()),
-                pa.array(out_spans, pa.list_(span_type)),
+                doc_ids.cast(pa.string()) if doc_ids.type != pa.string()
+                else doc_ids,
+                spans_col,
                 pa.array(out_n, pa.int32()),
                 pa.array(out_err, pa.int32()),
                 pa.array(out_bytes, pa.int64()),
