@@ -239,6 +239,19 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(_embeddings(spark, sf_dir))
 
 
+def q_ann_ivf_mp(spark, sf_dir):
+    """Multi-probe IVF (Hamming-1 bucket probes; VERDICT r1 item 9) —
+    oracle joins on per-position bucket disagreement count <= 1."""
+    return similarity.ivf_topk(_embeddings(spark, sf_dir), probe_hamming=1)
+
+
+def q_embed_neardup_mp(spark, sf_dir):
+    """Multi-probe hyperplane near-dup: pairs within Hamming distance 1
+    of each other's sign buckets."""
+    return dedup.embedding_near_dup(_embeddings(spark, sf_dir),
+                                    threshold=-1.0, probe_hamming=1)
+
+
 # ------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -273,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_mp": q_ann_ivf_mp,
+        "embed_neardup_mp": q_embed_neardup_mp,
     }
 
 
@@ -441,6 +456,47 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                            * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
                   >= -1.0""",
+
+        "ann_ivf_mp": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding[1:6],
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                         'string_agg', '') AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+                  FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     round(list_inner_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+                           / (sqrt(list_inner_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+                              * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+                         AS cosine
+              FROM e JOIN q
+                ON ((CASE WHEN substr(e.bucket, 1, 1) != substr(q.q_bucket, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(e.bucket, 2, 1) != substr(q.q_bucket, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(e.bucket, 3, 1) != substr(q.q_bucket, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(e.bucket, 4, 1) != substr(q.q_bucket, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(e.bucket, 5, 1) != substr(q.q_bucket, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(e.bucket, 6, 1) != substr(q.q_bucket, 6, 1) THEN 1 ELSE 0 END)) <= 1
+              WHERE e.vec_id != q.q_id),
+            ranked AS (
+              SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, vec_id ASC)
+                         AS rank
+              FROM scored)
+            SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10""",
+        "embed_neardup_mp": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding[1:8],
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                         'string_agg', '') AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                       AS cosine
+            FROM e a JOIN e b
+              ON ((CASE WHEN substr(a.bucket, 1, 1) != substr(b.bucket, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 2, 1) != substr(b.bucket, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 3, 1) != substr(b.bucket, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 4, 1) != substr(b.bucket, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 5, 1) != substr(b.bucket, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 6, 1) != substr(b.bucket, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 7, 1) != substr(b.bucket, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 8, 1) != substr(b.bucket, 8, 1) THEN 1 ELSE 0 END)) <= 1
+             AND a.vec_id < b.vec_id""",
         "ann_brute": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
                        FROM embeddings WHERE vec_id < 5),
