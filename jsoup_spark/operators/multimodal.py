@@ -87,3 +87,104 @@ def decode_stage(media: DataFrame, *, fake: bool = True) -> DataFrame:
             })
 
     return media.mapInPandas(run, schema=DECODED)
+
+
+def decode_audio(payload: bytes, *, fake: bool = False):
+    """Decode an audio payload -> (sample_rate, n_samples). STUB: real
+    decoding requires an audio library not present in this container;
+    `fake=True` derives deterministic values from the payload hash."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library (soundfile/ffmpeg); "
+            "install on the cluster and replace this stub")
+    h = hashlib.sha256(payload).digest()
+    sample_rate = (8000, 16000, 22050, 44100)[h[2] % 4]
+    n_samples = sample_rate * (1 + h[3] % 30)
+    return sample_rate, n_samples
+
+
+def decode_video(payload: bytes, *, fake: bool = False):
+    """Decode video metadata -> (width, height, n_frames, fps). STUB, as
+    above; deterministic fake for plumbing tests."""
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires ffmpeg/pyav; install on the cluster "
+            "and replace this stub")
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, 24 * (1 + h[4] % 120), 24
+
+
+RESIZED = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+
+def resize_stage(media: DataFrame, max_side: int = 128, *,
+                 fake: bool = True) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage: aspect-
+    preserving clamp of the longer side to `max_side`. The geometry is
+    real; the pixel resample is the stubbed codec (fake mode re-hashes
+    the payload to a size-proportional deterministic blob)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h = decode_image(b, fake=fake)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                blob = hashlib.sha256(b).digest() * (1 + nw * nh // 32)
+                ids.append(doc_id)
+                ws.append(nw)
+                hs.append(nh)
+                outs.append(blob[: max(1, nw * nh // 8)])
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "payload": outs,
+            })
+
+    return media.mapInPandas(run, schema=RESIZED)
+
+
+FRAMES = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_sec", T.DoubleType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+])
+
+
+def frame_sample_stage(media: DataFrame, n_frames: int = 4, *,
+                       fake: bool = True) -> DataFrame:
+    """Video frame sampling: emit n_frames evenly-spaced frames per
+    payload (one row per frame — the fan-out shape a training pipeline
+    feeds to a vision encoder). Frame decode is the stubbed codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, total, fps = decode_video(b, fake=fake)
+                step = max(1, total // n_frames)
+                for i in range(min(n_frames, total)):
+                    fi = i * step
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    tss.append(fi / fps)
+                    frames.append(hashlib.sha256(
+                        b + fi.to_bytes(4, "big")).digest())
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "ts_sec": pd.array(tss, dtype="float64"),
+                "frame": frames,
+            })
+
+    return media.mapInPandas(run, schema=FRAMES)

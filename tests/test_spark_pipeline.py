@@ -247,3 +247,28 @@ def test_embed_neardup_multiprobe(spark):
                  emb, threshold=-1.0, probe_hamming=1).collect()}
     assert base <= multi
     assert len(multi) > len(base)
+
+
+def test_multimodal_resize_and_frames(spark):
+    import pytest
+    from jsoup_spark.operators import multimodal
+    media = multimodal.synthesize_media(_corpus(spark).limit(6))
+    rs = multimodal.resize_stage(media, max_side=100).collect()
+    assert len(rs) == 6
+    for r in rs:
+        assert max(r["width"], r["height"]) <= 100
+        assert len(r["payload"]) >= 1
+    fr = multimodal.frame_sample_stage(media, n_frames=3).collect()
+    assert len(fr) == 18
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(r["frame"]) == 32
+        assert r["ts_sec"] == r["frame_idx"] / 24
+    assert all(len(v) == 3 for v in by_doc.values())
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"x", fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"x", fake=False)
+    sr, ns = multimodal.decode_audio(b"x", fake=True)
+    assert sr in (8000, 16000, 22050, 44100) and ns % sr == 0
