@@ -465,6 +465,13 @@ def inner_html(el: Element, settings: OutputSettings = DEFAULT) -> str:
 
 
 def outer_html(node: Node, settings: OutputSettings | None = None) -> str:
+    if isinstance(node, Document):
+        # Document.outerHtml() == html(): the synthetic #root container
+        # never serializes (nodes/Document.java outerHtml -> html())
+        if settings is None:
+            settings = OutputSettings(pretty=False, syntax="xml") \
+                if node.parse_mode == "xml" else DEFAULT
+        return document_html(node, settings)
     if settings is None:
         # XML-parsed documents serialize with xml syntax + no pretty-print
         # (XmlTreeBuilder.initialiseParse, XmlTreeBuilder.java:49-52)
