@@ -63,7 +63,7 @@ def test_positions_golden_html():
     fixture = load_fixture("golden_positions.json")
     bad = []
     for case in fixture["html"]:
-        doc = parse(case["html"], track_positions=True)
+        doc = parse(case["html"], track_positions=True, utf16_offsets=True)
         if canonical_positions(doc) != case["out"]:
             bad.append(case["html"][:90])
     assert not bad, f"{len(bad)} html position mismatches; first: {bad[:3]}"
@@ -73,7 +73,7 @@ def test_positions_golden_xml():
     fixture = load_fixture("golden_positions.json")
     bad = []
     for case in fixture["xml"]:
-        doc = parse_xml(case["xml"], track_positions=True)
+        doc = parse_xml(case["xml"], track_positions=True, utf16_offsets=True)
         if canonical_positions(doc) != case["out"]:
             bad.append(case["xml"][:90])
     assert not bad, f"{len(bad)} xml position mismatches; first: {bad[:3]}"

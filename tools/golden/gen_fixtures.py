@@ -380,10 +380,21 @@ def main() -> None:
     ops += [("fragtree", h, ctx) for h, ctx in FRAGMENT_CASES]
     xml_inputs = XML_CASES + xml_fuzz()
     ops += [("xmltree", h, "") for h in xml_inputs]
-    # positions: Java offsets are UTF-16 units, ours are codepoints —
-    # restrict fixtures to BMP inputs (documented divergence, NOTES_r1)
-    pos_html = [h for h in tree_inputs if all(ord(c) < 0x10000 for c in h)]
-    pos_xml = [h for h in xml_inputs if all(ord(c) < 0x10000 for c in h)]
+    # positions: Java offsets are UTF-16 units; the engine's
+    # utf16_offsets=True mode converts, so astral inputs run UNFILTERED
+    # (tests parse with utf16_offsets=True)
+    pos_html = list(tree_inputs) + [
+        # astral-plane cases: exercise the UTF-16 code-unit offset mode
+        "\U0001F600<p id=x>hi</p>",
+        "<p>a\U0001F600b</p><div title='\U0001F680 go'>tail",
+        "<pre>\n\U0001F600</pre><b>\U0001F4A9</b> end",
+        "a\U0001F600<!--c-->\U0001F600<span>\U0001F600</span>",
+        "<table><tr><td>\U0001F600<td>x</table>\U0001F600",
+    ]
+    pos_xml = list(xml_inputs) + [
+        "<r a='\U0001F600'>x\U0001F600y<c/></r>",
+        "\U0001F600<r>\U0001F600</r>",
+    ]
     ops += [("positions", h) for h in pos_html]
     ops += [("posxml", h) for h in pos_xml]
 
