@@ -1,0 +1,140 @@
+"""DOM-API cases ported from the reference's nodes/ElementTest.java
+(expected strings taken verbatim from the Java assertions; fragment-HTML
+convenience overloads are expressed through parse_fragment + node ops)."""
+
+import re
+
+from jsoup_spark.clean.serializer import OutputSettings, inner_html
+from jsoup_spark.parser.nodes import Element, TextNode
+from jsoup_spark.parser.treebuilder import parse, parse_fragment
+from jsoup_spark.select.selector import select
+
+_PLAIN = OutputSettings(pretty=False)
+
+
+def _body_html(doc):
+    # TextUtil.stripNewlines(doc.body().html()) analog over pretty output
+    return re.sub(r"\n\s*", "", inner_html(doc.body))
+
+
+def test_get_elements_by_tag():
+    # ElementTest.java:80-96 (reference fixture)
+    reference = ("<div id=div1><p>Hello</p><p>Another <b>element</b></p>"
+                 "<div id=div2><img src=foo.png></div></div>")
+    doc = parse(reference)
+    divs = select(doc, "div")
+    assert [d.attr("id") for d in divs] == ["div1", "div2"]
+    ps = select(doc, "p")
+    assert len(ps) == 2
+    assert select(doc, "imp") == []
+
+
+def test_text_has_spaces_after_block():
+    # ElementTest.java:198-207
+    doc = parse("<div>One</div><div>Two</div><span>Three</span>"
+                "<p>Fou<i>r</i></p>")
+    assert doc.body.text() == "One Two Three Four"
+    assert doc.body.whole_text() == "OneTwoThreeFour"
+    assert parse("<span>One</span><span>Two</span>").body.text() == "OneTwo"
+
+
+def test_set_text():
+    # ElementTest.java:771-779
+    doc = parse("<div id=1>Hello <p>there <b>now</b></p></div>")
+    assert doc.body.text() == "Hello there now"
+    assert select(doc, "p")[0].text() == "there now"
+    div = select(doc, "#1")[0]
+    div.set_text("Gone")
+    assert div.text() == "Gone"
+    assert len(select(doc, "p")) == 0
+
+
+def test_add_new_text():
+    # ElementTest.java:852-857 (appendText -> append TextNode)
+    doc = parse("<div id=1><p>Hello</p></div>")
+    div = select(doc, "#1")[0]
+    div.append(TextNode(" there & now >"))
+    assert div.text() == "Hello there & now >"
+    assert _body_html(doc).replace('<div id="1">', "").replace("</div>", "") \
+        == "<p>Hello</p>there &amp; now &gt;"
+
+
+def test_wrap():
+    # ElementTest.java:953-957 (wrap(Element) form)
+    doc = parse("<div><p>Hello</p><p>There</p></div>")
+    p = select(doc, "p")[0]
+    wrapper = Element("div", attrs={"class": "head"})
+    p.wrap(wrapper)
+    assert _body_html(doc) == ('<div><div class="head"><p>Hello</p></div>'
+                               "<p>There</p></div>")
+
+
+def test_before_after():
+    # ElementTest.java:1000-1018, via fragment parse + before/after
+    doc = parse("<div><p>Hello</p><p>There</p></div>")
+    p1 = select(doc, "p")[0]
+    for node in parse_fragment("<div>one</div><div>two</div>", "div"):
+        p1.before(node)
+    assert _body_html(doc) == ("<div><div>one</div><div>two</div>"
+                               "<p>Hello</p><p>There</p></div>")
+
+    doc2 = parse("<div><p>Hello</p><p>There</p></div>")
+    pl = select(doc2, "p")[0]
+    for node in parse_fragment("<div>one</div><div>two</div>", "div"):
+        pl.after(node)
+        pl = node
+    assert _body_html(doc2) == ("<div><p>Hello</p><div>one</div>"
+                                "<div>two</div><p>There</p></div>")
+
+
+def test_clone_classnames_independent():
+    # ElementTest.java:1134-1150
+    doc = parse("<div class='one two'></div>")
+    div = select(doc, "div")[0]
+    assert sorted(div.class_names()) == ["one", "two"]
+    copy = div.clone()
+    copy.add_class("three")
+    assert sorted(copy.class_names()) == ["one", "three", "two"]
+    assert sorted(div.class_names()) == ["one", "two"]
+
+
+def test_empty_and_unwrap():
+    doc = parse("<div><p>Hello <b>there</b></p> kept</div>")
+    p = select(doc, "p")[0]
+    p.empty()
+    assert p.children == []
+    assert doc.body.text() == "kept"
+    doc2 = parse("<div><font>One <b>Two</b></font></div>")
+    font = select(doc2, "font")[0]
+    font.unwrap()
+    assert _body_html(doc2) == "<div>One <b>Two</b></div>"
+
+
+def test_replace_with():
+    doc = parse("<div><p>One</p><p>Two</p></div>")
+    p1 = select(doc, "p")[0]
+    repl = Element("h1")
+    repl.append(TextNode("Hi"))
+    p1.replace_with(repl)
+    assert _body_html(doc) == "<div><h1>Hi</h1><p>Two</p></div>"
+
+
+def test_toggle_and_remove_class():
+    doc = parse("<div class='a b'>x</div>")
+    div = select(doc, "div")[0]
+    div.toggle_class("b")
+    assert div.class_names() == ["a"]
+    div.toggle_class("c")
+    assert div.class_names() == ["a", "c"]
+    div.remove_class("a")
+    assert div.class_names() == ["c"]
+    assert div.has_class("c") and not div.has_class("a")
+
+
+def test_append_prepend_html():
+    doc = parse("<div id=1><p>one</p></div>")
+    div = select(doc, "#1")[0]
+    div.append_html("<p>two</p><p>three</p>")
+    div.prepend_html("<p>zero</p>")
+    assert _body_html(doc) == ('<div id="1"><p>zero</p><p>one</p>'
+                               "<p>two</p><p>three</p></div>")
