@@ -62,3 +62,30 @@ def test_form_data():
     assert data["s2"] == "First"  # first-option fallback, text value
     assert data["t"] == "raw text"
     assert "go" not in data  # submit excluded
+
+
+def test_entities_escape_modes():
+    """EntitiesTest.java:13-52 — Entities.escape across escape modes and
+    charsets (expected strings verbatim; full-table equality verified
+    differentially against the compiled reference, 1453 cps x 6 configs)."""
+    from jsoup_spark.parser.entities import escape_full, unescape
+    text = "Hello &<> Å å π 新 there ¾ © » ' \""
+    ea = escape_full(text, "ascii", "base")
+    ef = escape_full(text, "ascii", "extended")
+    ex = escape_full(text, "ascii", "xhtml")
+    uf = escape_full(text, "utf-8", "extended")
+    assert ea == ("Hello &amp;&lt;&gt; &Aring; &aring; &#x3c0; &#x65b0; "
+                  "there &frac34; &copy; &raquo; &apos; &quot;")
+    assert ef == ("Hello &amp;&lt;&gt; &angst; &aring; &pi; &#x65b0; "
+                  "there &frac34; &copy; &raquo; &apos; &quot;")
+    assert ex == ("Hello &amp;&lt;&gt; &#xc5; &#xe5; &#x3c0; &#x65b0; "
+                  "there &#xbe; &#xa9; &#xbb; &#x27; &quot;")
+    assert uf == "Hello &amp;&lt;&gt; Å å π 新 there ¾ © » &apos; &quot;"
+    # round trips (EntitiesTest escape() tail)
+    for esc in (ea, ef, ex, uf):
+        assert unescape(esc) == text
+    # escapedSupplementary (EntitiesTest.java:44-52)
+    supp = "\U0001D559"
+    assert escape_full(supp, "ascii", "base") == "&#x1d559;"
+    assert escape_full(supp, "ascii", "extended") == "&hopf;"
+    assert escape_full(supp, "utf-8", "extended") == supp

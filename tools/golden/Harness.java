@@ -94,6 +94,18 @@ public class Harness {
                 return sb.toString();
             }
             case "spans": return spans(Jsoup.parse(a1, a2));
+            case "escape": {
+                // a1 = text, a2 = "mode,charset" (mode: xhtml|base|extended)
+                String[] ma = a2.split(",", 2);
+                Document.OutputSettings os = new Document.OutputSettings()
+                    .charset(ma[1]);
+                switch (ma[0]) {
+                    case "xhtml": os.escapeMode(Entities.EscapeMode.xhtml); break;
+                    case "extended": os.escapeMode(Entities.EscapeMode.extended); break;
+                    default: os.escapeMode(Entities.EscapeMode.base); break;
+                }
+                return Entities.escape(a1, os);
+            }
             case "positions": return positions(Jsoup.parse(a1, Parser.htmlParser().setTrackPosition(true)));
             case "posxml": return positions(Jsoup.parse(a1, "", Parser.xmlParser().setTrackPosition(true)));
             default: return "!ERROR: unknown op " + op;
