@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 from ..parser import tags
+from ..parser.entities import _can_encode as _cs_can_encode
 from ..parser.nodes import (
     CDataNode, CommentNode, DataNode, DoctypeNode, Document, Element, Node,
     PseudoTextElement, TextNode, XmlDeclNode, java_trim,
@@ -41,16 +42,18 @@ _XML_KEY_REPLACE = re.compile("[^-a-zA-Z0-9_:.]+")
 
 class OutputSettings:
     __slots__ = ("pretty", "outline", "indent_amount", "max_padding",
-                 "syntax", "escape_mode")
+                 "syntax", "escape_mode", "charset")
 
     def __init__(self, pretty=True, outline=False, indent_amount=1,
-                 max_padding=30, syntax="html", escape_mode="base"):
+                 max_padding=30, syntax="html", escape_mode="base",
+                 charset="utf-8"):
         self.pretty = pretty
         self.outline = outline
         self.indent_amount = indent_amount
         self.max_padding = max_padding
         self.syntax = syntax
-        self.escape_mode = escape_mode
+        self.escape_mode = escape_mode  # base | extended | xhtml
+        self.charset = charset
 
 
 DEFAULT = OutputSettings()
@@ -58,8 +61,19 @@ DEFAULT = OutputSettings()
 
 def escape_entities(data: str, options: int, settings: OutputSettings,
                     out: list[str]) -> None:
-    """Entities.doEscape for UTF-8 output, base/xhtml escape modes."""
+    """Entities.doEscape: contextual (minimal) escaping, honoring the
+    settings' escape mode and output charset (non-encodable characters
+    emit named entities per mode, else numeric — Entities.java doEscape
+    charset fallback)."""
     xhtml = settings.escape_mode == "xhtml"
+    cs = settings.charset
+    encode_all = cs.lower().startswith("utf")
+    if not encode_all and not xhtml:
+        from ..parser.entities import _CP_BASE, _CP_FULL
+        cp_table = _CP_FULL if settings.escape_mode == "extended" \
+            else _CP_BASE
+    else:
+        cp_table = None
     normalise = options & NORMALISE
     last_white = False
     reached_non_white = False
@@ -104,8 +118,11 @@ def escape_entities(data: str, options: int, settings: OutputSettings,
             if not xhtml:
                 out.append(f"&#x{o:x};")
             # xhtml: invalid xml char dropped
-        else:
+        elif encode_all or _cs_can_encode(o, cs):
             out.append(c)
+        else:
+            name = cp_table.get(o) if cp_table is not None else None
+            out.append(f"&{name};" if name is not None else f"&#x{o:x};")
 
 
 def _valid_key(key: str, syntax: str) -> str | None:

@@ -36,3 +36,19 @@ def test_safelist_customization():
     doc = clean_html("<div data-keep=1 data-drop=2>x</div>", "", custom)
     div = doc.body.children[0]
     assert div.attrs == {"data-keep": "1"}
+
+
+def test_output_charset_fallback():
+    """OutputSettings charset + escape mode drive serialization
+    (Entities.doEscape charset fallback): non-encodable chars emit named
+    entities per mode, else numeric."""
+    from jsoup_spark.clean.serializer import OutputSettings, inner_html
+    from jsoup_spark.parser.treebuilder import parse
+    body = parse("<p title='π Å'>π Å 新</p>").body
+    assert inner_html(body, OutputSettings(pretty=False, charset="ascii")) \
+        == '<p title="&#x3c0; &Aring;">&#x3c0; &Aring; &#x65b0;</p>'
+    assert inner_html(body, OutputSettings(
+        pretty=False, charset="ascii", escape_mode="extended")) \
+        == '<p title="&pi; &angst;">&pi; &angst; &#x65b0;</p>'
+    assert inner_html(body, OutputSettings(pretty=False)) \
+        == '<p title="π Å">π Å 新</p>'
