@@ -121,6 +121,38 @@ class Node:
             self.parent.children.remove(self)
             self.parent = None
 
+    def before(self, node: "Node") -> "Node":
+        p = self.parent
+        if p is not None:
+            p.insert(p.children.index(self), node)
+        return self
+
+    def after(self, node: "Node") -> "Node":
+        p = self.parent
+        if p is not None:
+            p.insert(p.children.index(self) + 1, node)
+        return self
+
+    def replace_with(self, node: "Node") -> None:
+        p = self.parent
+        if p is not None:
+            idx = p.children.index(self)
+            self.remove()
+            p.insert(idx, node)
+
+    def wrap(self, wrapper: "Element") -> "Element":
+        """Wrap this element in the (deepest child of the) wrapper."""
+        deepest = wrapper
+        while True:
+            inner = next((c for c in deepest.children
+                          if isinstance(c, Element)), None)
+            if inner is None:
+                break
+            deepest = inner
+        self.replace_with(wrapper)
+        deepest.append(self)
+        return self
+
 
 class LeafNode(Node):
     __slots__ = ("value",)
@@ -136,6 +168,19 @@ class TextNode(LeafNode):
 
     def is_blank(self) -> bool:
         return all(c in _WS_CHARS or c in _INVISIBLE for c in self.value)
+
+    def split_text(self, offset: int) -> "TextNode":
+        """TextNode.splitText (nodes/TextNode.java:100-118): truncate this
+        node at offset, return the tail as a new next sibling."""
+        if not 0 <= offset <= len(self.value):
+            raise ValueError("Split offset must not be negative or beyond "
+                             "current text length")
+        head, tail_text = self.value[:offset], self.value[offset:]
+        self.value = head
+        tail = type(self)(tail_text)
+        if self.parent is not None:
+            self.after(tail)
+        return tail
 
 
 class CDataNode(TextNode):
@@ -386,38 +431,6 @@ class Element(Node):
             self.append(DataNode(text))
         else:
             self.append(TextNode(text))
-        return self
-
-    def before(self, node: "Node") -> "Element":
-        p = self.parent
-        if p is not None:
-            p.insert(p.children.index(self), node)
-        return self
-
-    def after(self, node: "Node") -> "Element":
-        p = self.parent
-        if p is not None:
-            p.insert(p.children.index(self) + 1, node)
-        return self
-
-    def replace_with(self, node: "Node") -> None:
-        p = self.parent
-        if p is not None:
-            idx = p.children.index(self)
-            self.remove()
-            p.insert(idx, node)
-
-    def wrap(self, wrapper: "Element") -> "Element":
-        """Wrap this element in the (deepest child of the) wrapper."""
-        deepest = wrapper
-        while True:
-            inner = next((c for c in deepest.children
-                          if isinstance(c, Element)), None)
-            if inner is None:
-                break
-            deepest = inner
-        self.replace_with(wrapper)
-        deepest.append(self)
         return self
 
     def unwrap(self) -> "Node | None":

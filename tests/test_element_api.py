@@ -138,3 +138,45 @@ def test_append_prepend_html():
     div.prepend_html("<p>zero</p>")
     assert _body_html(doc) == ('<div id="1"><p>zero</p><p>one</p>'
                                "<p>two</p><p>three</p></div>")
+
+
+def test_textnode_is_blank():
+    # TextNodeTest.java:19-31
+    assert TextNode("").is_blank()
+    assert TextNode("     ").is_blank()
+    assert TextNode("  \n\n   ").is_blank()
+    assert not TextNode("Hello").is_blank()
+    assert not TextNode("  \nHello ").is_blank()
+
+
+def test_split_text():
+    # TextNodeTest.java:53-64
+    doc = parse("<div>Hello there</div>")
+    div = select(doc, "div")[0]
+    tn = div.children[0]
+    tail = tn.split_text(6)
+    assert tn.value == "Hello "
+    assert tail.value == "there"
+    tail.value = "there!"
+    assert div.text() == "Hello there!"
+    assert tn.parent is tail.parent
+
+
+def test_split_and_embolden():
+    # TextNodeTest.java:66-73
+    doc = parse("<div>Hello there</div>")
+    div = select(doc, "div")[0]
+    tail = div.children[0].split_text(6)
+    tail.wrap(Element("b"))
+    assert re.sub(r"\n\s*", "", inner_html(div)) == "Hello <b>there</b>"
+
+
+def test_split_text_validation():
+    # TextNodeTest.java:75-86
+    import pytest
+    doc = parse("<div>Hello there</div>")
+    tn = select(doc, "div")[0].children[0]
+    with pytest.raises(ValueError):
+        tn.split_text(-5)
+    with pytest.raises(ValueError):
+        tn.split_text(500)
