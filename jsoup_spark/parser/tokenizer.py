@@ -249,6 +249,16 @@ _BATCH_STOP = frozenset(
 # consumes the leading newline off the READER (treebuilder skip-first-LF),
 # which requires the following text to still be untokenised
 
+# optional C accelerator for the batching fast path (strict subset: text +
+# attr-less/end tags; see jsoup_spark/_native/fastscan.c). Falls back to
+# the byte-equivalent Python path when the extension is absent.
+try:
+    from .._native import jsoup_fastscan as _C
+
+    _C.configure(_BATCH_STOP)
+except ImportError:  # pragma: no cover - extension not built
+    _C = None
+
 
 def _fast_attr_tag(t, s: str, at: int):
     """Incremental fast parse of a start tag with attributes at s[at] —
@@ -632,6 +642,24 @@ def _data(t):
             # Batching stops after any tag that can change the tokeniser
             # state (rawtext/rcdata/plaintext elements, self-closing) and
             # caps the queue length.
+            if _C is not None:
+                toks, endp, ms, ls = _C.scan(s, pos)
+                if toks:
+                    chars = t._chars
+                    q = t._queue
+                    if chars:  # pending text precedes the first tag
+                        ct = Character("".join(chars))
+                        ct.start_pos = t.char_run_start
+                        ct.end_pos = t.char_end
+                        chars.clear()
+                        q.append(ct)
+                    q.extend(toks)
+                    t.pos = endp
+                    t.markup_start = ms
+                    t.char_start = endp
+                    if ls is not None:
+                        t.last_start = ls
+                    return
             q = t._queue
             chars = t._chars
             tag_cache = _TAG_CACHE
