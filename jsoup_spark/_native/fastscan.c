@@ -74,19 +74,26 @@ static PyTypeObject FastTokenType = {
     .tp_new = PyType_GenericNew,
 };
 
-/* module state: interned-normal cache + batching stop set */
+/* module state: interned-normal cache, batching stop set, and the
+ * Python attr-value charref decoder (_decode_attr_value) used for quoted
+ * values containing '&' — called only AFTER the tag's '>' confirms, so a
+ * bail never emits errors (same deferred-decode rule as the Python path) */
 static PyObject *g_normal_cache = NULL; /* dict: name -> interned normal */
 static PyObject *g_stop_set = NULL;     /* frozenset of normals */
+static PyObject *g_decode = NULL;       /* _decode_attr_value */
 
 static PyObject *
 configure(PyObject *self, PyObject *args)
 {
-    PyObject *stop;
-    if (!PyArg_ParseTuple(args, "O", &stop))
+    PyObject *stop, *decode;
+    if (!PyArg_ParseTuple(args, "OO", &stop, &decode))
         return NULL;
     Py_XDECREF(g_stop_set);
     Py_INCREF(stop);
     g_stop_set = stop;
+    Py_XDECREF(g_decode);
+    Py_INCREF(decode);
+    g_decode = decode;
     if (g_normal_cache == NULL)
         g_normal_cache = PyDict_New();
     Py_RETURN_NONE;
@@ -164,9 +171,9 @@ normal_for(PyObject *name)
 static PyObject *
 scan(PyObject *self, PyObject *args)
 {
-    PyObject *s;
+    PyObject *s, *errors;
     Py_ssize_t pos;
-    if (!PyArg_ParseTuple(args, "Un", &s, &pos))
+    if (!PyArg_ParseTuple(args, "UnO", &s, &pos, &errors))
         return NULL;
 
     const int kind = PyUnicode_KIND(s);
@@ -203,6 +210,9 @@ scan(PyObject *self, PyObject *args)
          * grammar; any '&' in a value, NUL, or error char bails the whole
          * tag to Python, which also owns charref decoding) --- */
         PyObject *attrs = NULL;
+        Py_ssize_t pend_idx[64];
+        Py_ssize_t pend_vs[64], pend_ve[64];
+        int n_pending = 0;
         if (!is_end) {
             while (1) {
                 Py_ssize_t w = i;
@@ -235,20 +245,34 @@ scan(PyObject *self, PyObject *args)
                     if (q == '"' || q == '\'') {
                         Py_ssize_t vs = v + 1, ve = vs;
                         Py_UCS4 cc = 0;
+                        int amp = 0;
                         while (ve < n) {
                             cc = PyUnicode_READ(kind, data, ve);
-                            if (cc == q || cc == 0 || cc == '&')
+                            if (cc == q || cc == 0)
                                 break;
+                            if (cc == '&')
+                                amp = 1;
                             ve++;
                         }
                         if (ve >= n || cc != q)
-                            goto attr_fail; /* NUL, & or unterminated */
-                        val = PyUnicode_Substring(s, vs, ve);
-                        if (val == NULL) {
-                            Py_XDECREF(attrs);
-                            goto fail;
+                            goto attr_fail; /* NUL or unterminated */
+                        if (amp) {
+                            /* defer charref decode until '>' confirms;
+                             * registered after a successful append below */
+                            if (n_pending >= 64)
+                                goto attr_fail;
+                            pend_vs[n_pending] = vs;
+                            pend_ve[n_pending] = ve;
+                            val = NULL;
+                            have_val = 2; /* pending marker */
+                        } else {
+                            val = PyUnicode_Substring(s, vs, ve);
+                            if (val == NULL) {
+                                Py_XDECREF(attrs);
+                                goto fail;
+                            }
+                            have_val = 1;
                         }
-                        have_val = 1;
                         w = ve + 1;
                     } else {
                         Py_ssize_t vs = v, ve = v;
@@ -291,7 +315,7 @@ scan(PyObject *self, PyObject *args)
                         goto fail;
                     }
                     PyObject *pair = PyTuple_Pack(
-                        2, aname, have_val ? val : Py_None);
+                        2, aname, have_val == 1 ? val : Py_None);
                     Py_DECREF(aname);
                     Py_XDECREF(val);
                     if (pair == NULL) {
@@ -304,6 +328,10 @@ scan(PyObject *self, PyObject *args)
                         goto fail;
                     }
                     Py_DECREF(pair);
+                    if (have_val == 2) {
+                        pend_idx[n_pending] = PyList_Size(attrs) - 1;
+                        n_pending++;
+                    }
                 } else {
                     Py_XDECREF(val);
                 }
@@ -326,6 +354,24 @@ scan(PyObject *self, PyObject *args)
             break; /* malformed / EOF: Python path */
         }
         Py_ssize_t tend = i + 1;
+        /* tag confirmed: decode any deferred &-bearing quoted values */
+        for (int pi = 0; pi < n_pending; pi++) {
+            PyObject *decoded = PyObject_CallFunction(
+                g_decode, "OnnO", s, pend_vs[pi], pend_ve[pi], errors);
+            if (decoded == NULL) {
+                Py_XDECREF(attrs);
+                goto fail;
+            }
+            PyObject *old = PyList_GetItem(attrs, pend_idx[pi]); /* borrowed */
+            PyObject *pair = PyTuple_Pack(
+                2, PyTuple_GET_ITEM(old, 0), decoded);
+            Py_DECREF(decoded);
+            if (pair == NULL) {
+                Py_XDECREF(attrs);
+                goto fail;
+            }
+            PyList_SetItem(attrs, pend_idx[pi], pair); /* steals */
+        }
 
         /* --- commit: text segment [p2, end2), then the tag --- */
         if (end2 > p2) {

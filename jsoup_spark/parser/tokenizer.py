@@ -255,7 +255,7 @@ _BATCH_STOP = frozenset(
 try:
     from .._native import jsoup_fastscan as _C
 
-    _C.configure(_BATCH_STOP)
+    _C.configure(_BATCH_STOP, _decode_attr_value)
 except ImportError:  # pragma: no cover - extension not built
     _C = None
 
@@ -643,7 +643,7 @@ def _data(t):
             # state (rawtext/rcdata/plaintext elements, self-closing) and
             # caps the queue length.
             if _C is not None:
-                toks, endp, ms, ls = _C.scan(s, pos)
+                toks, endp, ms, ls = _C.scan(s, pos, t.errors)
                 if toks:
                     chars = t._chars
                     q = t._queue
