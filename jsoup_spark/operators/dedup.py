@@ -184,38 +184,56 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 def embedding_near_dup(embeddings: DataFrame,
                        threshold: float = 0.9,
-                       probe_hamming: int = 0) -> DataFrame:
-    """Embedding-cosine near-dup candidates, LSH-bucketed by the sign
-    pattern of the first 8 dimensions (random-hyperplane style).
+                       probe_hamming: int = 0,
+                       nbits: int | None = 8,
+                       n_tables: int = 1) -> DataFrame:
+    """Embedding-cosine near-dup candidates, LSH-bucketed by sign patterns
+    of embedding dimensions (random-hyperplane style).
 
-    probe_hamming=1 (multi-probe) also pairs vectors whose buckets differ
-    in exactly one bit — near-dups sitting just across a quantization
-    boundary. One side explodes into its probe set (keys only, 9 small
-    rows per vector), the other keeps one row; true near-dups have
-    cosine ~1 so almost all lie within Hamming distance 1."""
-    v = F.col("embedding")
-    nbits = 8
-    bucket = F.concat_ws("", *[
-        (v[i] >= 0).cast("int").cast("string") for i in range(nbits)])
-    e = embeddings.select(
+    Scale knobs (VERDICT r2 item 1 — bucket count must grow with corpus):
+    * nbits — bucket-key width; the default 8 pins the small-SF oracles,
+      while nbits=None scales via similarity.suggest_nbits(count) so the
+      intra-bucket O(bucket^2) candidate join stays bounded at 10^9+
+      vectors instead of degenerating toward quadratic in fixed 256
+      buckets. (None triggers one count() job, same as ivf_topk.)
+    * n_tables=L — OR-amplified tables over DISJOINT dimension blocks
+      (table t hashes dims [t*nbits, (t+1)*nbits)); a candidate pair only
+      needs to collide in ANY one table. Recall lever for wider nbits.
+      Requires n_tables * nbits <= embedding dim.
+    * probe_hamming=1 (multi-probe) also pairs vectors whose buckets
+      differ in exactly one bit — near-dups sitting just across a
+      quantization boundary. One side explodes into its probe set (keys
+      only, nbits+1 small rows per vector), the other keeps one row; true
+      near-dups have cosine ~1 so almost all lie within Hamming distance 1.
+    """
+    from jsoup_spark.operators.similarity import (
+        _table_bucket, _probe_set, suggest_nbits)
+    if nbits is None:
+        nbits = suggest_nbits(embeddings.count())
+    base = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        v.alias("embedding"),
-        bucket.alias("bucket"),
-    )
-    a, b = e.alias("a"), e.alias("b")
+        F.col("embedding"))
+    # one scan explodes each vector into its (table, bucket) pairs; with
+    # the default single table this Generate is a 1-element explode
+    e = base.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _table_bucket(F.col("embedding"), t, nbits)
+                     .alias("bucket"))
+            for t in range(n_tables)])).alias("tb"),
+    ).select("vec_id", "embedding",
+             F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    b = e.alias("b")
     if probe_hamming >= 1:
-        bk = F.col("bucket")
-        flips = [
-            F.concat(F.substring(bk, 1, i),
-                     F.when(F.substring(bk, i + 1, 1) == "0", F.lit("1"))
-                      .otherwise(F.lit("0")),
-                     F.substring(bk, i + 2, nbits - i - 1))
-            for i in range(nbits)
-        ]
         a = e.select(
-            "vec_id", "embedding",
-            F.explode(F.array(bk, *flips)).alias("bucket")).alias("a")
-    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+            "vec_id", "embedding", "tbl",
+            F.explode(_probe_set(F.col("bucket"), nbits, probe_hamming))
+            .alias("bucket")).alias("a")
+    else:
+        a = e.alias("a")
+    pairs = a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     ea, eb = to_d(F.col("a.embedding")), to_d(F.col("b.embedding"))
@@ -224,10 +242,15 @@ def embedding_near_dup(embeddings: DataFrame,
     norm = lambda c: F.sqrt(F.aggregate(
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     cos = F.round(dot / (norm(ea) * norm(eb)), 6)
-    return (
+    out = (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cosine"),
         ).filter(F.col("cosine") >= threshold)
     )
+    if n_tables > 1:
+        # a pair colliding in several tables appears once per table; cosine
+        # is deterministic so the duplicate rows are identical
+        out = out.distinct()
+    return out
