@@ -30,6 +30,17 @@ class SelectorParseError(ValueError):
     pass
 
 
+def _compile_user_regex(pattern: str):
+    """User-supplied patterns (:matches* / [a~=re]) go through the
+    linear-time guard (reference helper/Regex.java:1 — re2j when present,
+    jsoup 1.22.1 ReDoS fix). Unsafe shapes fail at selector-parse time."""
+    from jsoup_spark.select.regexguard import UnsafePatternError, compile_safe
+    try:
+        return compile_safe(pattern)
+    except UnsafePatternError as e:
+        raise SelectorParseError(f"unsafe regex {pattern!r}: {e}") from e
+
+
 # ---------------------------------------------------------------- TokenQueue
 
 _IDENT_RE = re.compile(r"[a-zA-Z0-9_\--\U0010FFFF]")
@@ -1084,7 +1095,7 @@ class QueryParser:
         if cq.match_chomp("*="):
             return AttrContains(key, cq.remainder())
         if cq.match_chomp("~="):
-            return AttrMatches(key, re.compile(cq.remainder()))
+            return AttrMatches(key, _compile_user_regex(cq.remainder()))
         if cq.match_chomp("="):
             return AttrEq(key, cq.remainder())
         raise SelectorParseError(f"Could not parse attribute query: {contents!r}")
@@ -1161,9 +1172,9 @@ class QueryParser:
         if p == "matchesOwn":
             return self._matches(True)
         if p == "matchesWholeText":
-            return MatchesWholeText(re.compile(self._parens()))
+            return MatchesWholeText(_compile_user_regex(self._parens()))
         if p == "matchesWholeOwnText":
-            return MatchesWholeOwnText(re.compile(self._parens()))
+            return MatchesWholeOwnText(_compile_user_regex(self._parens()))
         if p == "not":
             sub = self._parens()
             return Not(QueryParser(sub).parse())
@@ -1209,7 +1220,7 @@ class QueryParser:
         regex = self._parens()
         if not regex:
             raise SelectorParseError(":matches(regex) must not be empty")
-        pattern = re.compile(regex)
+        pattern = _compile_user_regex(regex)
         if self.in_node_context:
             return NodeMatches(pattern)
         return MatchesOwn(pattern) if own else MatchesText(pattern)
