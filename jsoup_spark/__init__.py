@@ -11,6 +11,7 @@ UDF workers and plain-Python use.
 from .parser.treebuilder import (  # noqa: F401
     parse, parse_body_fragment, parse_fragment,
 )
+from .parser.tags import Tag, TagSet  # noqa: F401
 from .parser.xmlbuilder import parse_xml  # noqa: F401
 from .parser.streamparser import StreamParser  # noqa: F401
 from .sources.ingest import load_file, load_stream  # noqa: F401
@@ -23,7 +24,7 @@ from .select.selector import (  # noqa: F401
 
 __all__ = [
     "parse", "parse_fragment", "parse_body_fragment", "parse_xml",
-    "StreamParser", "load_file", "load_stream", "clean", "Safelist",
-    "select", "select_first", "select_multi", "filter_out",
+    "StreamParser", "Tag", "TagSet", "load_file", "load_stream", "clean",
+    "Safelist", "select", "select_first", "select_multi", "filter_out",
     "elements_not", "compile_query",
 ]

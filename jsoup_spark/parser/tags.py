@@ -132,6 +132,146 @@ def is_known(name: str, ns: str = NS_HTML) -> bool:
     return (ns, name) in TAG_FLAGS
 
 
+# ------------------------------------------------------- TagSet (mutable)
+
+def _normal_name(name: str) -> str:
+    """ParseSettings.normalName: lowercase trim (ASCII-fold is just
+    str.lower for tag names)."""
+    return name.strip().lower()
+
+
+class Tag:
+    """Mutable per-TagSet tag record (reference parser/Tag.java:18-38,
+    155-199). Plain frozen-table lookups stay on the module functions; Tag
+    objects only exist inside customized TagSets."""
+
+    __slots__ = ("name", "normal", "ns", "flags")
+
+    def __init__(self, name: str, ns: str = NS_HTML, flags_: int | None = None,
+                 normal: str | None = None):
+        self.name = name
+        self.normal = normal if normal is not None else _normal_name(name)
+        self.ns = ns
+        # a Tag constructed by name alone picks up the default options for
+        # that name but is NOT Known until added/touched (Tag.java:74,103)
+        self.flags = flags_ if flags_ is not None else flags(self.normal, ns)
+
+    def set(self, flag: int) -> "Tag":
+        """Set an option; any touch marks the tag Known (Tag.java:190-193)."""
+        if flag != KNOWN:
+            self.flags |= KNOWN
+        self.flags |= flag
+        return self
+
+    def clear(self, flag: int) -> "Tag":
+        if flag != KNOWN:
+            self.flags |= KNOWN
+        self.flags &= ~flag
+        return self
+
+    def is_(self, flag: int) -> bool:
+        return bool(self.flags & flag)
+
+    def is_known(self) -> bool:
+        return bool(self.flags & KNOWN)
+
+    def clone(self) -> "Tag":
+        return Tag(self.name, self.ns, self.flags, self.normal)
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Tag({self.name!r}, ns={self.ns!r}, flags={self.flags:#x})"
+
+
+class TagSet:
+    """Mutable tag configuration for a parse (reference parser/
+    TagSet.java:24-231). Defaults pull through lazily from the frozen
+    module tables; customizers registered with on_new_tag run once per Tag
+    as it enters the set (explicit add() or on-demand value_of())."""
+
+    def __init__(self, template: "TagSet | None" = None):
+        self._tags: dict[tuple[str, str], Tag] = {}
+        self._customizers: list = []
+        if template is not None:
+            # copy tags eagerly so the template is never mutated by
+            # read-through (TagSet.java:52-66)
+            self._tags = {k: t.clone() for k, t in template._tags.items()}
+            self._customizers = list(template._customizers)
+
+    @classmethod
+    def html(cls) -> "TagSet":
+        """A mutable TagSet over the default HTML table (TagSet.Html())."""
+        return cls()
+
+    def on_new_tag(self, customizer) -> "TagSet":
+        """Register a callback invoked for each Tag as it is added
+        (explicitly or via value_of pull-through); the callback may mutate
+        the Tag's flags (TagSet.java:211-215; e.g. treat <x-raw> as Data)."""
+        self._customizers.append(customizer)
+        return self
+
+    def add(self, tag: Tag) -> "TagSet":
+        """Insert a tag; explicitly added tags are Known (TagSet.java:81-85)."""
+        tag.flags |= KNOWN
+        self._do_add(tag)
+        return self
+
+    def register_tag(self, name: str, flags_: int = 0,
+                     ns: str = NS_HTML) -> Tag:
+        """Convenience: add a (custom) tag with extra option flags OR-ed
+        onto its defaults, e.g. register_tag('x-raw', DATA)."""
+        t = Tag(name, ns)
+        t.flags |= flags_
+        self.add(t)
+        return t
+
+    def _do_add(self, tag: Tag) -> None:
+        for fn in self._customizers:
+            fn(tag)
+        self._tags[(tag.ns, tag.name)] = tag
+
+    def get(self, name: str, ns: str = NS_HTML) -> Tag | None:
+        """Existing tag by case-sensitive name, pulling defaults through
+        on demand (customizers apply to the pulled copy); None if unknown."""
+        t = self._tags.get((ns, name))
+        if t is not None:
+            return t
+        fl = TAG_FLAGS.get((ns, name))
+        if fl is not None:
+            t = Tag(name, ns, fl, name)
+            self._do_add(t)
+            return t
+        return None
+
+    def value_of(self, name: str, ns: str = NS_HTML,
+                 preserve_case: bool = False) -> Tag:
+        """Tag by name; creates (and customizes) an unknown tag on demand
+        (TagSet.java:136-163)."""
+        name = name.strip()
+        t = self.get(name, ns)
+        if t is not None:
+            return t
+        normal = _normal_name(name)
+        if not preserve_case:
+            name = normal
+        t = self.get(normal, ns)
+        if t is not None:
+            if preserve_case and name != normal:
+                t = t.clone()
+                t.name = name
+                self._do_add(t)
+            return t
+        t = Tag(name, ns, 0, normal)
+        self._do_add(t)
+        return t
+
+    # -- parser-facing lookups (signature-compatible with module functions)
+    def flags(self, name: str, ns: str = NS_HTML) -> int:
+        return self.value_of(name, ns).flags
+
+    def is_known(self, name: str, ns: str = NS_HTML) -> bool:
+        return self.value_of(name, ns).is_known()
+
+
 # --- SVG / MathML case normalization (tree-construction spec data) ---
 
 # Adjusted SVG tag names: lowercase -> canonical camelCase

@@ -249,6 +249,13 @@ _BATCH_STOP = frozenset(
 # consumes the leading newline off the READER (treebuilder skip-first-LF),
 # which requires the following text to still be untokenised
 
+# flags whose presence on a START tag must stop token batching when a
+# custom TagSet is active (Data/Rawtext switch state; SelfClose queues a
+# synthetic end tag that must directly follow its start tag)
+from . import tags as _tags  # noqa: E402 (cycle-safe: tags has no imports)
+
+_CUSTOM_STOP = _tags.DATA | _tags.RCDATA | _tags.SELF_CLOSE
+
 # optional C accelerator for the batching fast path (strict subset: text +
 # attr-less/end tags; see jsoup_spark/_native/fastscan.c). Falls back to
 # the byte-equivalent Python path when the extension is absent.
@@ -329,7 +336,7 @@ class Tokeniser:
 
     __slots__ = (
         "s", "s_lower", "pos", "n", "state", "syntax", "cdata_allowed",
-        "errors", "_queue", "_chars",
+        "errors", "_queue", "_chars", "custom_flags",
         "tag_start", "_tag_name_parts", "tag_attrs", "tag_self_closing",
         "tag_is_decl", "tag_decl_bang",
         "attr_name", "attr_value", "attr_has_empty_value", "attr_had_value",
@@ -366,6 +373,10 @@ class Tokeniser:
         self._queue: deque = deque()
         self._chars: list[str] = []
         self.tag_start = True
+        # custom TagSet flag lookup (set via set_custom_flags): batching
+        # must stop after tags a customizer may have made Data/RcData/
+        # SelfClose, and the C scanner (global static stop set) is bypassed
+        self.custom_flags = None
         self._tag_name_parts = []
         self.tag_attrs = None
         self.tag_self_closing = False
@@ -393,6 +404,11 @@ class Tokeniser:
             self.char_run_start = self.char_start
         self.char_end = self.pos
         chars.append(data)
+
+    def set_custom_flags(self, flags_fn) -> None:
+        """Route batching stop decisions through a TagSet's flag lookup
+        (tags that can switch tokeniser state or self-close)."""
+        self.custom_flags = flags_fn
 
     def _emit_tok(self, tok: Tok) -> None:
         tok.start_pos = self.markup_start
@@ -642,7 +658,7 @@ def _data(t):
             # Batching stops after any tag that can change the tokeniser
             # state (rawtext/rcdata/plaintext elements, self-closing) and
             # caps the queue length.
-            if _C is not None:
+            if _C is not None and t.custom_flags is None:
                 toks, endp, ms, ls = _C.scan(s, pos, t.errors)
                 if toks:
                     chars = t._chars
@@ -733,7 +749,9 @@ def _data(t):
                 count += 1
                 if tok.type == T_START:
                     t.last_start = tok.normal
-                    if tok.self_closing or tok.normal in _BATCH_STOP:
+                    if tok.self_closing or tok.normal in _BATCH_STOP or (
+                            t.custom_flags is not None
+                            and t.custom_flags(tok.normal) & _CUSTOM_STOP):
                         return
                 if count >= 48:
                     return

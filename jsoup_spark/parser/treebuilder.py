@@ -210,10 +210,35 @@ class HtmlTreeBuilder:
         self.noscript: _NoscriptState | None = None
         self.tok: tz.Tokeniser | None = None
         self.current_token = None
+        # optional per-parse TagSet (reference Parser.tagSet(TagSet),
+        # parser/TagSet.java:24-231): when set, all tag-flag lookups go
+        # through it so customizers/registered tags drive tokenisation
+        # (Data/RcData), self-closing, void, whitespace and text semantics
+        self.tagset = None
+        self._flags = tags.flags
+        self._is_known = tags.is_known
         self.track = False  # source-range tracking (Parser.setTrackPosition)
         # optional element-closed listener (TreeBuilder.nodeListener,
         # TreeBuilder.java:101-102,320-321) — drives StreamParser emission
         self.on_close = None
+
+    def set_tag_set(self, tagset) -> None:
+        """Use a custom TagSet for this builder's parses."""
+        self.tagset = tagset
+        if tagset is not None:
+            self._flags = tagset.flags
+            self._is_known = tagset.is_known
+        else:
+            self._flags = tags.flags
+            self._is_known = tags.is_known
+
+    def _configure_tok(self) -> None:
+        # custom tagsets can reclassify ANY tag (Data/RcData/SelfClose),
+        # so the token-batching fast path must consult them for its stop
+        # decisions (and the C scanner, configured globally with the
+        # static stop set, is bypassed)
+        if self.tagset is not None:
+            self.tok.set_custom_flags(self._flags)
 
     # ------------------------------------------------------------ entry
     def parse(self, html: str, base_uri: str = "",
@@ -224,6 +249,7 @@ class HtmlTreeBuilder:
         self.tok = tz.Tokeniser(html, "html", self.doc.errors)
         self.tok.cdata_allowed = self._cdata_allowed
         self.tok.track = track_positions
+        self._configure_tok()
         if track_positions:
             from .positions import LineMap
             self.doc.line_map = LineMap(html)
@@ -257,6 +283,7 @@ class HtmlTreeBuilder:
         self.track = False
         self.tok = tz.Tokeniser(html, "html", self.doc.errors)
         self.tok.cdata_allowed = self._cdata_allowed
+        self._configure_tok()
         ready: list[Element] = []
         self.on_close = ready.append
         return self._stream_tokens(ready)
@@ -301,6 +328,7 @@ class HtmlTreeBuilder:
         self.tok = tz.Tokeniser(html, "html", self.doc.errors)
         self.tok.cdata_allowed = self._cdata_allowed
         self.tok.track = track_positions
+        self._configure_tok()
         if track_positions:
             from .positions import LineMap
             self.doc.line_map = LineMap(html)
@@ -311,6 +339,8 @@ class HtmlTreeBuilder:
         if context_name:
             name = context_name.lower()
             ctx = Element(name, NS_HTML)
+            if self.tagset is not None:
+                ctx.flags = self._flags(name)
             self.context_el = ctx
             fl = ctx.flags
             if name == "script":
@@ -484,8 +514,8 @@ class HtmlTreeBuilder:
         name = start.name if preserve_case else start.normal
         el = Element(start.normal, ns, attrs)
         el.tag_name_case = name
-        if ns != NS_HTML:
-            el.flags = tags.flags(start.normal, ns)
+        if ns != NS_HTML or self.tagset is not None:
+            el.flags = self._flags(start.normal, ns)
         if self.track and getattr(start, "attr_ranges", None):
             # first-wins per normalized name, only for kept attributes
             # (Token.finaliseAttributeRanges, Token.java:240-268)
@@ -1023,7 +1053,7 @@ class HtmlTreeBuilder:
         return False
 
     def _noscript_start(self, start) -> bool:
-        fl = tags.flags(start.normal)
+        fl = self._flags(start.normal)
         el = self.insert_element(start)
         text_state = None
         if fl & tags.RCDATA:
@@ -1127,8 +1157,8 @@ def _handle_text_state(start, tb: HtmlTreeBuilder, text_state) -> None:
     tb.insert_element(start)
 
 
-def _text_state_for(normal: str) -> int | None:
-    fl = tags.flags(normal)
+def _text_state_for(tb, normal: str) -> int | None:
+    fl = tb._flags(normal)
     if fl & tags.RCDATA:
         return tz.RCDATA
     if fl & tags.DATA:
@@ -1239,9 +1269,9 @@ def _in_head(tb, t):
         elif name == "meta":
             tb.insert_empty_element(t)
         elif name == "title":
-            _handle_text_state(t, tb, _text_state_for(name))
+            _handle_text_state(t, tb, _text_state_for(tb, name))
         elif name in C_IN_HEAD_RAW:
-            _handle_text_state(t, tb, _text_state_for(name))
+            _handle_text_state(t, tb, _text_state_for(tb, name))
         elif name == "noscript":
             tb.start_noscript(t)
         elif name == "script":
@@ -1497,18 +1527,18 @@ def _in_body_start(tb, t):
         tb.insert_element(t)
     elif name == "textarea":
         tb.frameset_ok = False
-        _handle_text_state(t, tb, _text_state_for(name))
+        _handle_text_state(t, tb, _text_state_for(tb, name))
     elif name == "xmp":
         if tb.in_button_scope("p"):
             tb.process_end("p")
         tb.reconstruct_formatting()
         tb.frameset_ok = False
-        _handle_text_state(t, tb, _text_state_for(name))
+        _handle_text_state(t, tb, _text_state_for(tb, name))
     elif name == "iframe":
         tb.frameset_ok = False
-        _handle_text_state(t, tb, _text_state_for(name))
+        _handle_text_state(t, tb, _text_state_for(tb, name))
     elif name == "noembed":
-        _handle_text_state(t, tb, _text_state_for(name))
+        _handle_text_state(t, tb, _text_state_for(tb, name))
     elif name == "noscript":
         tb.reconstruct_formatting()
         tb.start_noscript(t)
@@ -1586,8 +1616,8 @@ def _in_body_start(tb, t):
         el = tb.insert_element(t)
         tb.push_formatting(el)
     else:
-        text_state = _text_state_for(name)
-        known = tags.is_known(name)
+        text_state = _text_state_for(tb, name)
+        known = tb._is_known(name)
         if text_state is not None:
             _handle_text_state(t, tb, text_state)
         elif not known:
@@ -2545,7 +2575,7 @@ def _foreign_content(tb, t):
         # browser behavior: svg script enters ScriptData; custom data tags.
         # NOTE: applies even to self-closing foreign tags (the mode handler
         # transitions unconditionally; HtmlTreeBuilderState.java:1778-1786)
-        fl = tags.flags(name, ns)
+        fl = tb._flags(name, ns)
         if fl & tags.DATA:
             if name == "script":
                 tb.tok.state = tz.SCRIPT_DATA
@@ -2590,7 +2620,8 @@ _MODES = [
 
 def parse(html: str, base_uri: str = "",
           track_positions: bool = False,
-          utf16_offsets: bool = False) -> Document:
+          utf16_offsets: bool = False,
+          tag_set=None) -> Document:
     """Parse an HTML document (Jsoup.parse equivalent).
 
     track_positions enables source-range tracking
@@ -2600,8 +2631,14 @@ def parse(html: str, base_uri: str = "",
     utf16_offsets (opt-in) reports every tracked offset in UTF-16 code
     units — the unit the reference's Java reader counts — instead of
     Unicode codepoints, making ranges reference-exact on astral-plane
-    inputs (post-pass; see positions.convert_ranges_utf16)."""
-    doc = HtmlTreeBuilder().parse(html, base_uri, track_positions)
+    inputs (post-pass; see positions.convert_ranges_utf16).
+
+    tag_set: optional tags.TagSet customizing per-tag parse options
+    (reference Parser.tagSet; see tags.TagSet.on_new_tag/register_tag)."""
+    tb = HtmlTreeBuilder()
+    if tag_set is not None:
+        tb.set_tag_set(tag_set)
+    doc = tb.parse(html, base_uri, track_positions)
     if track_positions and utf16_offsets:
         from .positions import convert_ranges_utf16
         convert_ranges_utf16(doc, html)
@@ -2610,10 +2647,13 @@ def parse(html: str, base_uri: str = "",
 
 def parse_fragment(html: str, context: str | None = None,
                    base_uri: str = "",
-                   track_positions: bool = False) -> list:
+                   track_positions: bool = False,
+                   tag_set=None) -> list:
     """Parse an HTML fragment in an optional context element."""
-    return HtmlTreeBuilder().parse_fragment(html, context, base_uri,
-                                            track_positions)
+    tb = HtmlTreeBuilder()
+    if tag_set is not None:
+        tb.set_tag_set(tag_set)
+    return tb.parse_fragment(html, context, base_uri, track_positions)
 
 
 def parse_body_fragment(html: str, base_uri: str = "") -> Document:

@@ -106,6 +106,25 @@ public class Harness {
                 }
                 return Entities.escape(a1, os);
             }
+            case "customtree": {
+                // fixed custom TagSet exercising every customizable option
+                // (TagSet.java:88-97 customizers + valueOf-registered tags);
+                // mirrored exactly by tests/test_tagset.py::_custom_tagset
+                org.jsoup.parser.TagSet ts = org.jsoup.parser.TagSet.Html();
+                ts.valueOf("x-raw", Parser.NamespaceHtml).set(Tag.Data);
+                ts.valueOf("x-rc", Parser.NamespaceHtml).set(Tag.RcData);
+                ts.valueOf("custom-pre", Parser.NamespaceHtml).set(Tag.PreserveWhitespace).set(Tag.Block);
+                ts.valueOf("custom-widget", Parser.NamespaceHtml).set(Tag.TextBoundary);
+                ts.onNewTag(tag -> {
+                    if (!tag.isKnownTag() && tag.normalName().startsWith("u-")) tag.set(Tag.SelfClose);
+                    if (tag.normalName().equals("v-void")) tag.set(Tag.Void);
+                });
+                Parser parser = Parser.htmlParser().tagSet(ts);
+                Document doc = Jsoup.parse(a1, "", parser);
+                String body_text = doc.body() != null ? doc.body().text() : "";
+                String body_whole = doc.body() != null ? doc.body().wholeText() : "";
+                return canonical(doc) + "" + doc.html() + "" + body_text + "" + body_whole;
+            }
             case "positions": return positions(Jsoup.parse(a1, Parser.htmlParser().setTrackPosition(true)));
             case "posxml": return positions(Jsoup.parse(a1, "", Parser.xmlParser().setTrackPosition(true)));
             default: return "!ERROR: unknown op " + op;

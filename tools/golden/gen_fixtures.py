@@ -357,6 +357,44 @@ FRAGMENT_CASES = [
 ]
 
 
+def customtag_inputs() -> list[str]:
+    """Inputs for the fixed custom-TagSet differential (Harness.java
+    op customtree: x-raw=Data, x-rc=RcData, custom-pre=PreserveWs+Block,
+    custom-widget=TextBoundary, u-*=SelfClose, v-void=Void) — mirrored by
+    tests/test_tagset.py::_custom_tagset."""
+    import random
+    cases = [
+        "<x-raw><b>&amp;raw</b></x-raw>after",
+        "<x-rc><b>&amp;rc</b></x-rc>after",
+        "<x-rc>text</x-rc><p>next",
+        "<custom-pre>\n\nFoo\n Bar</custom-pre>",
+        "<p>One<custom-widget>Two</custom-widget>Three</p>",
+        "<u-a />Bar <u-b/>Baz<u-c></u-c>tail",
+        "<v-void>content<p>after",
+        "<div><x-raw>unclosed raw",
+        "<x-rc>unclosed rc",
+        "<custom-pre><pre>inner</pre></custom-pre>",
+        "<u-a attr='1'/><u-a attr=2>x</u-a>",
+        "<table><tr><td><x-raw><td>2</x-raw></table>",
+        "<p>a<x-raw><!-- not comment --></x-raw>b",
+        "<X-RAW>UPPER</X-RAW>done",
+        "<x-raw></X-RAW>case",
+        "mix " * 30 + "<u-z/><x-raw>deep</x-raw>tail",
+        "<custom-widget><b>bold</b> inner</custom-widget>",
+        "<v-void/><p>x",
+        "<x-rc>&lt;esc&gt;</x-rc>z",
+        "<x-raw>&lt;notdecoded</x-raw>z",
+    ]
+    rng = random.Random(42)
+    frag = ["<p>t%d</p>", "<x-raw>r%d</x-raw>", "<x-rc>c%d</x-rc>", "<u-q/>",
+            "<b>b%d", "<custom-pre> p%d </custom-pre>",
+            "<custom-widget>w%d</custom-widget>", "<v-void>", "text%d "]
+    for i in range(40):
+        parts = [rng.choice(frag) for _ in range(rng.randint(2, 8))]
+        cases.append("".join(p % i if "%d" in p else p for p in parts))
+    return cases
+
+
 def main() -> None:
     cp = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jsoupbuild/out"
     os.makedirs(FIXDIR, exist_ok=True)
@@ -397,6 +435,8 @@ def main() -> None:
     ]
     ops += [("positions", h) for h in pos_html]
     ops += [("posxml", h) for h in pos_xml]
+    customtag_cases = customtag_inputs()
+    ops += [("customtree", h) for h in customtag_cases]
 
     results = run_harness(cp, ops)
     i = 0
@@ -420,6 +460,7 @@ def main() -> None:
     xml_gold = take(len(xml_inputs))
     pos_html_gold = take(len(pos_html))
     pos_xml_gold = take(len(pos_xml))
+    customtag_gold = take(len(customtag_cases))
     assert i == len(results)
 
     def dump(name, obj):
@@ -458,6 +499,8 @@ def main() -> None:
         "html": [{"html": h, "out": g} for h, g in zip(pos_html, pos_html_gold)],
         "xml": [{"xml": h, "out": g} for h, g in zip(pos_xml, pos_xml_gold)],
     })
+    dump("golden_customtags.json", [
+        {"html": h, "out": g} for h, g in zip(customtag_cases, customtag_gold)])
 
     # wild corpus: hashes only (content stays in the reference tree)
     wild = []
