@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from jsoup_spark.operators import dedup, similarity, textstats
 from jsoup_spark.operators.pipeline import (
-    clean_stage, extract_stage, positions_stage, select_stage, spans_to_rows,
+    clean_stage, extract_stage, fragment_stage, positions_stage,
+    select_stage, spans_to_rows, xml_stage,
 )
 from jsoup_spark.sources.corpus import synthesize
 
@@ -185,6 +186,48 @@ def q_extract_metrics(spark, sf_dir):
     )
 
 
+def q_fragment_cells(spark, sf_dir):
+    """Fragment parse in a <tr> context (Parser.parseFragment semantics,
+    HtmlTreeBuilder.java:88-143): two unclosed <td> cells must become two
+    sibling td elements via implied end tags + context-driven insertion
+    mode reset — closed-form per doc, so DuckDB recomputes it."""
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("<td>cell for <b>"), F.col("doc_id").cast("string"),
+                 F.lit("</b><td>"), F.col("lang")).alias("fragment_html"),
+    )
+    rows = fragment_stage(d, context="tr")
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("node_idx").cast("int").alias("cell_idx"),
+        F.col("tag").alias("tag"),
+        F.col("text").alias("cell_text"),
+    )
+
+
+def q_xml_tree(spark, sf_dir):
+    """XML parse (parser/XmlTreeBuilder.java): generic tags, attribute
+    preservation, CDATA text — per-element rows in document order."""
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("<doc id=\""), F.col("doc_id").cast("string"),
+            F.lit("\"><item k=\"a\">"), F.col("lang"),
+            F.lit("</item><item k=\"b\">"), F.col("source"),
+            F.lit("</item><note><![CDATA[raw & <keep> "),
+            F.col("doc_id").cast("string"),
+            F.lit("]]></note></doc>"),
+        ).alias("xml"),
+    )
+    rows = xml_stage(d)
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("el_idx").cast("int").alias("el_idx"),
+        F.col("tag").alias("tag"),
+        F.col("own_text").alias("own_text"),
+    )
+
+
 # ------------------------------------------------------------ text stats
 
 def q_token_count(spark, sf_dir):
@@ -267,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract": q_stream_extract,
         "extract_media": q_extract_media,
         "extract_metrics": q_extract_metrics,
+        "fragment_cells": q_fragment_cells,
+        "xml_tree": q_xml_tree,
         "select_article_p": q_select_article_p,
         "select_by_class": q_select_by_class,
         "select_nth_li": q_select_nth_li,
@@ -343,6 +388,19 @@ def oracle_sql() -> dict[str, str]:
         "extract_metrics": (
             "SELECT count(*)::BIGINT AS docs, 0::BIGINT AS parse_errors, "
             "(count(*) * 6)::BIGINT AS spans_out FROM documents"),
+        "fragment_cells": """
+            SELECT doc_id, 0 AS cell_idx, 'td' AS tag,
+                   'cell for ' || CAST(doc_id AS VARCHAR) AS cell_text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'td', lang FROM documents""",
+        "xml_tree": """
+            SELECT doc_id, 0 AS el_idx, 'doc' AS tag, '' AS own_text
+            FROM documents
+            UNION ALL SELECT doc_id, 1, 'item', lang FROM documents
+            UNION ALL SELECT doc_id, 2, 'item', source FROM documents
+            UNION ALL SELECT doc_id, 3, 'note',
+                'raw & <keep> ' || CAST(doc_id AS VARCHAR) FROM documents""",
         "select_article_p": (
             f"SELECT doc_id, 'p' AS tag, {_BODY_SQL} AS p_text FROM documents"),
         "select_by_class": (

@@ -153,8 +153,7 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
                     doc = _parse_doc(html, base_uri)
                     tuples = extract_spans(doc)
                     n_errors = len(doc.errors)
-                order = 0
-                for k, t, r, order in tuples:
+                for k, t, r, _ord in tuples:
                     kinds.append(k)
                     texts.append(t)
                     refs.append(r)
@@ -292,6 +291,72 @@ def positions_stage(docs: DataFrame, query: str) -> DataFrame:
             yield pdf_out
 
     return prepared.mapInPandas(run, schema=schemas.POSITIONS_OUT)
+
+
+# ------------------------------------------------------- fragment / xml
+
+def fragment_stage(docs: DataFrame, context: str,
+                   fragment_col: str = "fragment_html") -> DataFrame:
+    """Fragment parse in a context element (Parser.parseFragment,
+    reference HtmlTreeBuilder.java:88-143): one output row per top-level
+    parsed node that is an element — (doc_id, node_idx, tag, text).
+
+    Exercises the fragment machinery end to end (context-driven initial
+    insertion mode, implied cells/rows, re-homing of content pushed
+    outside the context root)."""
+    from ..parser.nodes import Element
+    from ..parser.treebuilder import HtmlTreeBuilder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "node_idx", "tag", "text")}
+            for doc_id, frag in zip(pdf["doc_id"], pdf[fragment_col]):
+                nodes = HtmlTreeBuilder().parse_fragment(frag, context)
+                idx = 0
+                for n in nodes:
+                    if isinstance(n, Element):
+                        rows["doc_id"].append(doc_id)
+                        rows["node_idx"].append(idx)
+                        rows["tag"].append(n.name)
+                        rows["text"].append(n.text())
+                        idx += 1
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["node_idx"] = pdf_out["node_idx"].astype("int32")
+            yield pdf_out
+
+    return docs.select("doc_id", fragment_col).mapInPandas(
+        run, schema=schemas.FRAGMENT_OUT)
+
+
+def xml_stage(docs: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """XML parse (Parser.xmlParser semantics, reference parser/
+    XmlTreeBuilder.java): one output row per element in document order —
+    (doc_id, el_idx, tag, own_text). CDATA sections contribute to text."""
+    from ..parser.nodes import Element
+    from ..parser.xmlbuilder import parse_xml
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "el_idx", "tag", "own_text")}
+            for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
+                doc = parse_xml(xml)
+                idx = 0
+                stack = list(reversed(doc.children))
+                while stack:
+                    n = stack.pop()
+                    if isinstance(n, Element):
+                        rows["doc_id"].append(doc_id)
+                        rows["el_idx"].append(idx)
+                        rows["tag"].append(n.name)
+                        rows["own_text"].append(n.own_text())
+                        idx += 1
+                        stack.extend(reversed(n.children))
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["el_idx"] = pdf_out["el_idx"].astype("int32")
+            yield pdf_out
+
+    return docs.select("doc_id", xml_col).mapInPandas(
+        run, schema=schemas.XML_OUT)
 
 
 # ---------------------------------------------------------------- clean

@@ -65,6 +65,20 @@ CLEAN_OUT = T.StructType([
     T.StructField("num_discarded", T.IntegerType(), False),
 ])
 
+FRAGMENT_OUT = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("node_idx", T.IntegerType(), False),
+    T.StructField("tag", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+])
+
+XML_OUT = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("el_idx", T.IntegerType(), False),
+    T.StructField("tag", T.StringType(), False),
+    T.StructField("own_text", T.StringType(), True),
+])
+
 METRICS = T.StructType([
     T.StructField("partition_id", T.IntegerType(), False),
     T.StructField("docs", T.LongType(), False),
