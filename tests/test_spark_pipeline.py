@@ -49,6 +49,30 @@ def test_extract_plan_is_catalyst_first(spark):
     assert "BatchEvalPython" not in plan  # no row-at-a-time python udfs
 
 
+def test_bucket_true_output_equality(spark):
+    """VERDICT r2 item 3 (bucket=True end-to-end): the size-class/salt
+    shuffle must be output-IDENTICAL to the unbucketed plan on the
+    heavy-tail sf0.1 corpus — compared via an order-independent row
+    digest over every span field, plus exact row counts."""
+    from jsoup_spark.operators.pipeline import extract_stage, spans_to_rows
+    from jsoup_spark.sources.corpus import synthesize
+    docs = synthesize(
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
+
+    def digest(bucket):
+        rows = spans_to_rows(extract_stage(docs, bucket=bucket))
+        hashed = rows.select(F.xxhash64(
+            "doc_id", "kind", "text", "media_ref", "order").alias("h"))
+        out = hashed.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(h)").alias("hxor"),
+            F.sum(F.pmod(F.col("h"), F.lit(1_000_000_007))).alias("hmod"),
+        ).collect()[0]
+        return (out["n"], out["hxor"], out["hmod"])
+
+    assert digest(False) == digest(True)
+
+
 def test_bucketing_spreads_giants(spark):
     from jsoup_spark.operators.pipeline import bucket_by_size
     from jsoup_spark.sources.corpus import assemble_html
