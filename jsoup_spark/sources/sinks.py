@@ -1,13 +1,15 @@
 """Checkpointed table sinks with partition-granular resume.
 
-The north rule calls for Iceberg tables; this container has no Iceberg
-runtime jar, so the same interface is backed by parquet directories. On a
-real cluster, set ``format='iceberg'`` (the writer paths are symmetric —
-``saveAsTable`` with a catalog) and resume/lineage semantics carry over via
-snapshot reads instead of directory listing.
+The north rule calls for Iceberg tables. ``format='iceberg'`` targets a
+catalog table via the DataFrameWriterV2 API (``df.writeTo(...)``) and
+resumes from snapshot reads; it activates when the Iceberg runtime jar is
+on the Spark classpath (``iceberg_available``). This container has no
+Iceberg jar, so the default parquet-directory backend keeps the identical
+interface locally (the pytest for the Iceberg path is skipif-gated and
+runs wherever the jar exists — cluster deployment recipe in NOTES_r3.md).
 
-Resume contract: a killed job re-runs with ``remaining(input, sink_path)``
-— an anti-join of input doc_ids against the already-checkpointed output —
+Resume contract: a killed job re-runs with ``remaining(input, sink)`` —
+an anti-join of input doc_ids against the already-checkpointed output —
 so only unfinished documents are re-processed (SURVEY §4.3).
 """
 
@@ -18,30 +20,67 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def checkpoint(df: DataFrame, path: str, mode: str = "append") -> None:
-    """Write a stage output to the checkpoint table (parquet dir)."""
-    df.write.mode(mode).parquet(path)
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
 
 
-def write_metrics(metrics: DataFrame, path: str) -> None:
+def checkpoint(df: DataFrame, target: str, mode: str = "append",
+               format: str = "parquet") -> None:
+    """Write a stage output to the checkpoint table.
+
+    format='parquet': ``target`` is a directory path.
+    format='iceberg': ``target`` is a catalog table identifier
+    (``cat.db.tbl``); appends to the table, creating it on first write
+    (snapshot isolation makes concurrent partition retries safe — the
+    per-partition lineage rows in ``write_metrics`` identify replays).
+    """
+    if format == "iceberg":
+        w = df.writeTo(target)
+        if mode == "overwrite":
+            w.using("iceberg").createOrReplace()
+            return
+        try:
+            w.append()
+        except Exception:
+            # first write: table does not exist yet
+            w.using("iceberg").create()
+        return
+    df.write.mode(mode).parquet(target)
+
+
+def write_metrics(metrics: DataFrame, target: str,
+                  format: str = "parquet") -> None:
     """Append per-partition lineage/counter rows to the _metrics table."""
-    metrics.withColumn("_ts", F.current_timestamp()) \
-        .write.mode("append").parquet(path)
+    stamped = metrics.withColumn("_ts", F.current_timestamp())
+    checkpoint(stamped, target, mode="append", format=format)
 
 
-def completed_ids(spark: SparkSession, path: str) -> DataFrame | None:
+def completed_ids(spark: SparkSession, target: str,
+                  format: str = "parquet") -> DataFrame | None:
     """doc_ids already present in a checkpoint, or None if no checkpoint."""
-    if not _exists(path):
+    if format == "iceberg":
+        try:
+            return spark.read.table(target).select("doc_id").distinct()
+        except Exception:
+            return None
+    if not _exists(target):
         return None
     try:
-        return spark.read.parquet(path).select("doc_id").distinct()
+        return spark.read.parquet(target).select("doc_id").distinct()
     except Exception:
         return None
 
 
-def remaining(input_df: DataFrame, checkpoint_path: str) -> DataFrame:
+def remaining(input_df: DataFrame, checkpoint_target: str,
+              format: str = "parquet") -> DataFrame:
     """Input rows not yet in the checkpoint (anti-join on doc_id)."""
-    done = completed_ids(input_df.sparkSession, checkpoint_path)
+    done = completed_ids(input_df.sparkSession, checkpoint_target, format)
     if done is None:
         return input_df
     return input_df.join(done, "doc_id", "left_anti")
