@@ -234,8 +234,11 @@ class XmlDeclNode(LeafNode):
         return " ".join(parts)
 
 
+_HTML_FLAGS_GET = tags._HTML_FLAGS.get
+
+
 class Element(Node):
-    __slots__ = ("name", "ns", "attrs", "children", "flags", "tag_name_case",
+    __slots__ = ("name", "ns", "attrs", "children", "flags", "tag_name_case", "opts",
                  "attr_ranges")
 
     def __init__(self, name: str, ns: str = NS_HTML, attrs: dict | None = None):
@@ -244,8 +247,13 @@ class Element(Node):
         self.ns = ns
         self.attrs = attrs if attrs is not None else {}
         self.children: list[Node] = []
-        self.flags = tags.flags(name, ns)
+        # inlined tags.flags fast path (ctor is the hottest allocation site)
+        if ns is NS_HTML:
+            self.flags = _HTML_FLAGS_GET(name, 0)
+        else:
+            self.flags = tags.flags(name, ns)
         self.tag_name_case = name           # original case (XML / foreign)
+        self.opts = -1   # lazy scope/implied-end bitmask (treebuilder)
 
     # --- structure ---
     def append(self, child: Node) -> None:

@@ -107,8 +107,17 @@ def tag_options(name: str, ns: str) -> int:
     return o
 
 
+def _el_opts(el) -> int:
+    """Element's scope/implied-end option bitmask, cached on the node
+    (lazy: computed on first scope walk; elements never rename)."""
+    o = el.opts
+    if o == -1:
+        o = el.opts = tag_options(el.name, el.ns)
+    return o
+
+
 def _is_special(el: Element) -> bool:
-    return bool(tag_options(el.name, el.ns) & OPT_SPECIAL)
+    return bool(_el_opts(el) & OPT_SPECIAL)
 
 
 # Constants lists (HtmlTreeBuilderState.Constants, behavioral data)
@@ -377,7 +386,6 @@ class HtmlTreeBuilder:
         chars = tok._chars
         states = tz._STATES
         popleft = q.popleft
-        process = self.process
         T_EOF = tz.T_EOF
         Character = tz.Character
         while True:
@@ -391,7 +399,17 @@ class HtmlTreeBuilder:
             else:
                 token = popleft()
             self.current_token = token
-            process(token)
+            # inlined process() common case (saves a call per token; the
+            # wrapper stays for the recursive process_* entry points)
+            if self.noscript is None or self.state == TEXT:
+                stack = self.stack
+                if not stack or stack[-1].ns == NS_HTML \
+                        or self._use_current_insert(token):
+                    _MODES[self.state](self, token)
+                else:
+                    _foreign_content(self, token)
+            else:
+                self._process_noscript(token)
             if token.type == T_EOF:
                 break
         if self.track:
@@ -757,11 +775,13 @@ class HtmlTreeBuilder:
 
     # ------------------------------------------------------------ scopes
     def _in_specific_scope(self, target: str, boundary_opts: int) -> bool:
-        for i in range(len(self.stack) - 1, -1, -1):
-            el = self.stack[i]
-            if el.ns == NS_HTML and el.name == target:
+        for el in reversed(self.stack):
+            if el.name == target and el.ns == NS_HTML:
                 return True
-            if tag_options(el.name, el.ns) & boundary_opts:
+            o = el.opts
+            if o == -1:
+                o = el.opts = tag_options(el.name, el.ns)
+            if o & boundary_opts:
                 return False
         return False
 
@@ -782,7 +802,7 @@ class HtmlTreeBuilder:
             el = self.stack[i]
             if el.name == target:
                 return True
-            if not tag_options(el.name, el.ns) & OPT_SELECT_MEMBER:
+            if not _el_opts(el) & OPT_SELECT_MEMBER:
                 return False
         return False
 
@@ -791,7 +811,7 @@ class HtmlTreeBuilder:
             el = self.stack[i]
             if el.ns == NS_HTML and el.name in C_HEADINGS:
                 return True
-            if tag_options(el.name, el.ns) & OPT_SCOPE:
+            if _el_opts(el) & OPT_SCOPE:
                 return False
         return False
 
@@ -799,7 +819,7 @@ class HtmlTreeBuilder:
     def generate_implied_end(self, exclude: str | None = None) -> None:
         while self.stack:
             el = self.stack[-1]
-            if not tag_options(el.name, el.ns) & OPT_IMPLIED_END:
+            if not _el_opts(el) & OPT_IMPLIED_END:
                 break
             if exclude is not None and el.name == exclude and el.ns == NS_HTML:
                 break
@@ -808,7 +828,7 @@ class HtmlTreeBuilder:
     def generate_implied_end_thorough(self) -> None:
         while self.stack:
             el = self.stack[-1]
-            if not tag_options(el.name, el.ns) & OPT_THOROUGH_END:
+            if not _el_opts(el) & OPT_THOROUGH_END:
                 break
             self.pop()
 
