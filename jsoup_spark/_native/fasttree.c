@@ -1,0 +1,1025 @@
+/* fasttree — optional C accelerator for the tree builder's in-body hot
+ * path (jsoup_spark/parser/treebuilder.py _run loop / _in_body dispatch).
+ *
+ * Scope (strict subset; the Python tree builder remains the source of
+ * truth and the fallback): while the builder sits in the InBody insertion
+ * mode with no tracking / streaming callbacks / custom tagset / foster
+ * parenting / active formatting reconstruction pending, apply queued
+ * tokens directly:
+ *   - Character tokens        -> TextNode append (+ frameset_ok rule)
+ *   - start tags              -> p-closer blocks, simple voids, plain
+ *                                known/unknown inserts, <li>, param/source/track
+ *   - end tags                -> C_END_CLOSERS, </li> </p> </dd> </dt>,
+ *                                any-other-end-tag (incl. unknown names)
+ * Anything else (formatting tags, table machinery, text-state switches,
+ * self-closing flags, NULs in text, depth/ns oddities) returns the token
+ * to the Python dispatcher untouched.
+ *
+ * Semantics mirrored 1:1 from treebuilder.py (same error strings, same
+ * error-count behavior, same node shapes); validated by the golden-tree
+ * and fuzz differential campaigns with the accelerator active.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+/* token type codes — must match jsoup_spark.parser.tokenizer T_* */
+#define TOK_START 1
+#define TOK_END 2
+#define TOK_CHAR 4
+
+/* start actions */
+#define SA_BAIL 0
+#define SA_PLAIN_RECON 1   /* reconstruct(noop-checked) + insert */
+#define SA_P_CLOSER 2      /* close p in button scope, insert */
+#define SA_VOID_RECON 3    /* reconstruct + insert empty + frameset_ok=False */
+#define SA_MEDIA_EMPTY 4   /* insert empty (param/source/track) */
+#define SA_UNKNOWN 5       /* insert, no reconstruct (unknown tags) */
+#define SA_LI 6
+
+/* end actions */
+#define EA_BAIL 0
+#define EA_CLOSER 1        /* C_END_CLOSERS */
+#define EA_LI 2
+#define EA_P 3
+#define EA_ANY 4           /* _any_other_end_tag (default) */
+#define EA_DD_DT 5
+
+/* packed action-table value: start | end<<4 | opts<<8 | flags<<16 */
+#define PACK_START(v) ((v) & 0xF)
+#define PACK_END(v) (((v) >> 4) & 0xF)
+#define PACK_OPTS(v) (((v) >> 8) & 0xFF)
+#define PACK_FLAGS(v) (((v) >> 16) & 0xFFFF)
+
+/* OPT_* bits — must match treebuilder.py */
+#define OPT_SCOPE 1
+#define OPT_LIST_SCOPE 2
+#define OPT_BUTTON_SCOPE 4
+#define OPT_IMPLIED_END 32
+#define OPT_SPECIAL 128
+
+#define MAX_DEPTH 512
+#define MAX_QUEUE_DEPTH 256
+#define MAX_ERRORS 64
+
+static PyObject *g_actions = NULL;   /* dict: normal -> packed int */
+static PyObject *g_ns_html = NULL;
+static PyObject *g_element = NULL;   /* Element class */
+static PyObject *g_textnode = NULL;  /* TextNode class */
+static long g_in_body = -1;
+static long g_flag_data = 0;         /* tags.DATA bit */
+
+/* error strings (exact Python literals, passed from treebuilder) */
+static PyObject *g_err_dup_attrs = NULL;
+static PyObject *g_err_not_in_scope = NULL;
+static PyObject *g_err_unexpected_open = NULL;
+static PyObject *g_err_li_not_in_scope = NULL;
+static PyObject *g_err_no_p = NULL;
+static PyObject *g_err_no_match = NULL;
+static PyObject *g_err_special = NULL;
+
+/* interned attribute names */
+static PyObject *s_stack, *s_doc, *s_state, *s_noscript, *s_track,
+    *s_on_close, *s_foster, *s_tagset, *s_formatting, *s_frameset_ok,
+    *s_errors, *s_children, *s_parent, *s_name, *s_ns, *s_attrs,
+    *s_flags, *s_tagcase, *s_opts, *s_value, *s_normal, *s_data,
+    *s_self_closing, *s_type;
+
+static PyObject *g_minus_one = NULL;
+
+static int
+init_interned(void)
+{
+#define I(var, str) if (!(var = PyUnicode_InternFromString(str))) return -1
+    I(s_stack, "stack"); I(s_doc, "doc"); I(s_state, "state");
+    I(s_noscript, "noscript"); I(s_track, "track"); I(s_on_close, "on_close");
+    I(s_foster, "foster_inserts"); I(s_tagset, "tagset");
+    I(s_formatting, "formatting"); I(s_frameset_ok, "frameset_ok");
+    I(s_errors, "errors"); I(s_children, "children"); I(s_parent, "parent");
+    I(s_name, "name"); I(s_ns, "ns"); I(s_attrs, "attrs");
+    I(s_flags, "flags"); I(s_tagcase, "tag_name_case"); I(s_opts, "opts");
+    I(s_value, "value"); I(s_normal, "normal"); I(s_data, "data");
+    I(s_self_closing, "self_closing"); I(s_type, "type");
+#undef I
+    g_minus_one = PyLong_FromLong(-1);
+    return g_minus_one ? 0 : -1;
+}
+
+static PyObject *
+configure(PyObject *self, PyObject *args)
+{
+    PyObject *actions, *ns_html, *element, *textnode, *errs;
+    long in_body, flag_data;
+    if (!PyArg_ParseTuple(args, "OOOOOll", &actions, &ns_html, &element,
+                          &textnode, &errs, &in_body, &flag_data))
+        return NULL;
+    if (!PyTuple_Check(errs) || PyTuple_GET_SIZE(errs) != 7) {
+        PyErr_SetString(PyExc_ValueError, "errs must be a 7-tuple");
+        return NULL;
+    }
+#define SET(g, v) Py_XDECREF(g); Py_INCREF(v); g = v
+    SET(g_actions, actions);
+    SET(g_ns_html, ns_html);
+    SET(g_element, element);
+    SET(g_textnode, textnode);
+    SET(g_err_dup_attrs, PyTuple_GET_ITEM(errs, 0));
+    SET(g_err_not_in_scope, PyTuple_GET_ITEM(errs, 1));
+    SET(g_err_unexpected_open, PyTuple_GET_ITEM(errs, 2));
+    SET(g_err_li_not_in_scope, PyTuple_GET_ITEM(errs, 3));
+    SET(g_err_no_p, PyTuple_GET_ITEM(errs, 4));
+    SET(g_err_no_match, PyTuple_GET_ITEM(errs, 5));
+    SET(g_err_special, PyTuple_GET_ITEM(errs, 6));
+#undef SET
+    g_in_body = in_body;
+    g_flag_data = flag_data;
+    Py_RETURN_NONE;
+}
+
+/* ---- tiny helpers (all borrow unless noted) ---- */
+
+typedef struct {
+    PyObject *tb;
+    PyObject *stack;      /* borrowed list */
+    PyObject *doc;        /* borrowed */
+    PyObject *formatting; /* borrowed list */
+    PyObject *errors;     /* borrowed list */
+    int frameset_ok;      /* local mirror */
+    int frameset_dirty;
+} Ctx;
+
+static void
+err(Ctx *c, PyObject *msg)
+{
+    if (PyList_GET_SIZE(c->errors) < MAX_ERRORS)
+        PyList_Append(c->errors, msg);
+}
+
+/* packed action value for a normal name; SA_UNKNOWN/EA_ANY defaults when
+ * the name is not in the table (unknown tag). -1 on lookup error. */
+static long
+action_of(PyObject *normal, int *known)
+{
+    PyObject *v = PyDict_GetItemWithError(g_actions, normal);
+    if (v == NULL) {
+        if (PyErr_Occurred())
+            return -1;
+        *known = 0;
+        return SA_UNKNOWN | (EA_ANY << 4);
+    }
+    *known = 1;
+    return PyLong_AS_LONG(v);
+}
+
+/* element's scope-opts bitmask: el.opts if cached, else from the action
+ * table (writes the cache back). */
+static long
+opts_of(PyObject *el)
+{
+    PyObject *o = PyObject_GetAttr(el, s_opts);
+    if (o == NULL)
+        return -1;
+    long v = PyLong_AS_LONG(o);
+    Py_DECREF(o);
+    if (v != -1)
+        return v;
+    PyObject *name = PyObject_GetAttr(el, s_name);
+    if (name == NULL)
+        return -1;
+    int known;
+    long packed = action_of(name, &known);
+    Py_DECREF(name);
+    if (packed < 0)
+        return -1;
+    long opts = PACK_OPTS(packed);
+    PyObject *cached = PyLong_FromLong(opts);
+    if (cached == NULL)
+        return -1;
+    int rc = PyObject_SetAttr(el, s_opts, cached);
+    Py_DECREF(cached);
+    return rc < 0 ? -1 : opts;
+}
+
+/* ns check: is el in the HTML namespace (identity fast path) */
+static int
+is_html_ns(PyObject *el)
+{
+    PyObject *ns = PyObject_GetAttr(el, s_ns);
+    if (ns == NULL)
+        return -1;
+    int r = (ns == g_ns_html);
+    if (!r)
+        r = PyUnicode_Compare(ns, g_ns_html) == 0 && !PyErr_Occurred();
+    Py_DECREF(ns);
+    return r;
+}
+
+/* in_specific_scope(target, boundary): walk stack top-down. 1/0/-1. */
+static int
+in_scope_walk(Ctx *c, PyObject *target, long boundary)
+{
+    Py_ssize_t n = PyList_GET_SIZE(c->stack);
+    for (Py_ssize_t i = n - 1; i >= 0; i--) {
+        PyObject *el = PyList_GET_ITEM(c->stack, i);
+        PyObject *name = PyObject_GetAttr(el, s_name);
+        if (name == NULL)
+            return -1;
+        int eq = PyUnicode_Compare(name, target) == 0 && !PyErr_Occurred();
+        Py_DECREF(name);
+        if (eq)
+            return 1; /* ns==HTML guaranteed by entry precondition */
+        long o = opts_of(el);
+        if (o < 0)
+            return -1;
+        if (o & boundary)
+            return 0;
+    }
+    return 0;
+}
+
+/* current element name == target? (ns HTML by precondition) */
+static int
+current_is(Ctx *c, PyObject *target)
+{
+    Py_ssize_t n = PyList_GET_SIZE(c->stack);
+    if (n == 0)
+        return 0;
+    PyObject *el = PyList_GET_ITEM(c->stack, n - 1);
+    PyObject *name = PyObject_GetAttr(el, s_name);
+    if (name == NULL)
+        return -1;
+    int eq = PyUnicode_Compare(name, target) == 0 && !PyErr_Occurred();
+    Py_DECREF(name);
+    return eq;
+}
+
+/* pop the top element (no track/on_close by precondition) */
+static int
+pop_top(Ctx *c)
+{
+    Py_ssize_t n = PyList_GET_SIZE(c->stack);
+    if (n == 0)
+        return 0;
+    return PyList_SetSlice(c->stack, n - 1, n, NULL);
+}
+
+/* generate_implied_end(exclude): pop while top has OPT_IMPLIED_END and
+ * (exclude==NULL or top.name != exclude). */
+static int
+implied_end(Ctx *c, PyObject *exclude)
+{
+    for (;;) {
+        Py_ssize_t n = PyList_GET_SIZE(c->stack);
+        if (n == 0)
+            return 0;
+        PyObject *el = PyList_GET_ITEM(c->stack, n - 1);
+        long o = opts_of(el);
+        if (o < 0)
+            return -1;
+        if (!(o & OPT_IMPLIED_END))
+            return 0;
+        if (exclude != NULL) {
+            PyObject *name = PyObject_GetAttr(el, s_name);
+            if (name == NULL)
+                return -1;
+            int eq = PyUnicode_Compare(name, exclude) == 0 && !PyErr_Occurred();
+            Py_DECREF(name);
+            if (eq) /* ns==HTML by precondition */
+                return 0;
+        }
+        if (pop_top(c) < 0)
+            return -1;
+    }
+}
+
+/* pop_to_close(name): pop until an HTML element with that name popped */
+static int
+pop_to_close(Ctx *c, PyObject *name)
+{
+    for (;;) {
+        Py_ssize_t n = PyList_GET_SIZE(c->stack);
+        if (n == 0)
+            return 0;
+        PyObject *el = PyList_GET_ITEM(c->stack, n - 1);
+        PyObject *nm = PyObject_GetAttr(el, s_name);
+        if (nm == NULL)
+            return -1;
+        int eq = PyUnicode_Compare(nm, name) == 0 && !PyErr_Occurred();
+        Py_DECREF(nm);
+        if (pop_top(c) < 0)
+            return -1;
+        if (eq)
+            return 0;
+    }
+}
+
+/* reconstruct_formatting() no-op check: 1 = no-op, 0 = needs real work,
+ * -1 = error. Mirrors treebuilder.reconstruct_formatting entry tests. */
+static int
+reconstruct_is_noop(Ctx *c)
+{
+    if (PyList_GET_SIZE(c->stack) > MAX_QUEUE_DEPTH)
+        return 1;
+    Py_ssize_t nf = PyList_GET_SIZE(c->formatting);
+    if (nf == 0)
+        return 1;
+    PyObject *last = PyList_GET_ITEM(c->formatting, nf - 1);
+    if (last == Py_None)
+        return 1;
+    /* on_stack(last): identity scan (bounded window in Python only kicks
+     * in past MAX_QUEUE_DEPTH which is already excluded above) */
+    Py_ssize_t ns = PyList_GET_SIZE(c->stack);
+    for (Py_ssize_t i = ns - 1; i >= 0; i--)
+        if (PyList_GET_ITEM(c->stack, i) == last)
+            return 1;
+    return 0;
+}
+
+/* data string all-whitespace? (" \t\n\r\f") */
+static int
+is_all_ws(PyObject *data)
+{
+    Py_ssize_t n = PyUnicode_GET_LENGTH(data);
+    int kind = PyUnicode_KIND(data);
+    const void *buf = PyUnicode_DATA(data);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        Py_UCS4 ch = PyUnicode_READ(kind, buf, i);
+        if (ch != ' ' && ch != '\t' && ch != '\n' && ch != '\r' && ch != '\f')
+            return 0;
+    }
+    return 1;
+}
+
+static int
+contains_nul(PyObject *data)
+{
+    return PyUnicode_FindChar(data, 0, 0, PyUnicode_GET_LENGTH(data), 1) >= 0;
+}
+
+/* create a bare instance of a slots class without running __init__ */
+static PyObject *
+bare_instance(PyObject *cls)
+{
+    PyTypeObject *tp = (PyTypeObject *)cls;
+    return tp->tp_alloc(tp, 0);
+}
+
+/* append child (fresh node, parent None) to parent element/doc */
+static int
+append_child(PyObject *parent, PyObject *node)
+{
+    if (PyObject_SetAttr(node, s_parent, parent) < 0)
+        return -1;
+    PyObject *children = PyObject_GetAttr(parent, s_children);
+    if (children == NULL)
+        return -1;
+    int rc = PyList_Append(children, node);
+    Py_DECREF(children);
+    return rc;
+}
+
+static PyObject *
+current_parent(Ctx *c)
+{
+    Py_ssize_t n = PyList_GET_SIZE(c->stack);
+    return n ? PyList_GET_ITEM(c->stack, n - 1) : c->doc; /* borrowed */
+}
+
+/* TextNode(data) without __init__ frames */
+static int
+insert_text(Ctx *c, PyObject *data)
+{
+    PyObject *parent = current_parent(c);
+    /* bail-to-python caller handles DATA-flag parents before calling */
+    PyObject *node = bare_instance(g_textnode);
+    if (node == NULL)
+        return -1;
+    if (PyObject_SetAttr(node, s_value, data) < 0 ||
+        append_child(parent, node) < 0) {
+        Py_DECREF(node);
+        return -1;
+    }
+    Py_DECREF(node);
+    return 0;
+}
+
+/* finalize attrs: list[(k, v-or-None)] -> dict, lowercased keys,
+ * first-wins; appends the dup error like Python. NULL on error.
+ * Returns new ref (empty dict for None/empty). */
+static PyObject *
+finalize_attrs(Ctx *c, PyObject *attrs)
+{
+    PyObject *out = PyDict_New();
+    if (out == NULL)
+        return NULL;
+    if (attrs == NULL || attrs == Py_None)
+        return out;
+    Py_ssize_t n = PySequence_Size(attrs);
+    if (n < 0) {
+        Py_DECREF(out);
+        return NULL;
+    }
+    long dupes = 0;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *pair = PySequence_GetItem(attrs, i); /* new */
+        if (pair == NULL) {
+            Py_DECREF(out);
+            return NULL;
+        }
+        PyObject *k = PySequence_GetItem(pair, 0);
+        PyObject *v = PySequence_GetItem(pair, 1);
+        Py_DECREF(pair);
+        if (k == NULL || v == NULL) {
+            Py_XDECREF(k); Py_XDECREF(v); Py_DECREF(out);
+            return NULL;
+        }
+        /* lowercase only when needed: scan for A-Z / non-ASCII upper */
+        int needs_lower = 0;
+        Py_ssize_t kn = PyUnicode_GET_LENGTH(k);
+        int kind = PyUnicode_KIND(k);
+        const void *buf = PyUnicode_DATA(k);
+        for (Py_ssize_t j = 0; j < kn; j++) {
+            Py_UCS4 ch = PyUnicode_READ(kind, buf, j);
+            if (ch >= 128 || (ch >= 'A' && ch <= 'Z')) {
+                needs_lower = 1;
+                break;
+            }
+        }
+        PyObject *key = k;
+        if (needs_lower) {
+            key = PyObject_CallMethod(k, "lower", NULL);
+            Py_DECREF(k);
+            if (key == NULL) {
+                Py_DECREF(v); Py_DECREF(out);
+                return NULL;
+            }
+        }
+        int has = PyDict_Contains(out, key);
+        if (has < 0) {
+            Py_DECREF(key); Py_DECREF(v); Py_DECREF(out);
+            return NULL;
+        }
+        if (has) {
+            dupes++;
+        } else if (PyDict_SetItem(out, key, v) < 0) {
+            Py_DECREF(key); Py_DECREF(v); Py_DECREF(out);
+            return NULL;
+        }
+        Py_DECREF(key);
+        Py_DECREF(v);
+    }
+    if (dupes)
+        err(c, g_err_dup_attrs);
+    return out;
+}
+
+/* Element without __init__ frames: name/ns/attrs/children/flags/
+ * tag_name_case/opts/parent. Returns new ref. */
+static PyObject *
+make_element(PyObject *normal, long flags, PyObject *attrs_dict)
+{
+    PyObject *el = bare_instance(g_element);
+    if (el == NULL)
+        return NULL;
+    PyObject *children = PyList_New(0);
+    PyObject *flags_o = PyLong_FromLong(flags);
+    if (children == NULL || flags_o == NULL)
+        goto fail;
+    if (PyObject_SetAttr(el, s_name, normal) < 0 ||
+        PyObject_SetAttr(el, s_ns, g_ns_html) < 0 ||
+        PyObject_SetAttr(el, s_attrs, attrs_dict) < 0 ||
+        PyObject_SetAttr(el, s_children, children) < 0 ||
+        PyObject_SetAttr(el, s_flags, flags_o) < 0 ||
+        PyObject_SetAttr(el, s_tagcase, normal) < 0 ||
+        PyObject_SetAttr(el, s_opts, g_minus_one) < 0 ||
+        PyObject_SetAttr(el, s_parent, Py_None) < 0)
+        goto fail;
+    Py_DECREF(children);
+    Py_DECREF(flags_o);
+    return el;
+fail:
+    Py_XDECREF(children);
+    Py_XDECREF(flags_o);
+    Py_DECREF(el);
+    return NULL;
+}
+
+/* insert_element core: create + append + push. push=0 for empties. */
+static PyObject *
+insert_element(Ctx *c, PyObject *normal, long flags, PyObject *attrs,
+               int push)
+{
+    PyObject *attrs_dict = finalize_attrs(c, attrs);
+    if (attrs_dict == NULL)
+        return NULL;
+    PyObject *el = make_element(normal, flags, attrs_dict);
+    Py_DECREF(attrs_dict);
+    if (el == NULL)
+        return NULL;
+    PyObject *parent = current_parent(c);
+    if (append_child(parent, el) < 0) {
+        Py_DECREF(el);
+        return NULL;
+    }
+    if (push && PyList_Append(c->stack, el) < 0) {
+        Py_DECREF(el);
+        return NULL;
+    }
+    return el;
+}
+
+/* ---- the applier ----
+ * apply(tb, token, q) -> leftover token (new ref) or None if everything
+ * (token + all queued tokens) was consumed. On the FIRST token it cannot
+ * handle, returns that token for the Python dispatcher. */
+static PyObject *
+apply(PyObject *self, PyObject *args)
+{
+    PyObject *tb, *token, *q;
+    if (!PyArg_ParseTuple(args, "OOO", &tb, &token, &q))
+        return NULL;
+    if (g_actions == NULL) {
+        PyErr_SetString(PyExc_RuntimeError, "fasttree not configured");
+        return NULL;
+    }
+
+    Ctx c;
+    c.tb = tb;
+    c.frameset_dirty = 0;
+
+    /* ---- entry validation (cheap attr reads; bail = return token) ---- */
+    PyObject *tmp;
+#define GETA(name) if ((tmp = PyObject_GetAttr(tb, name)) == NULL) return NULL
+    GETA(s_state);
+    long state = PyLong_AS_LONG(tmp);
+    Py_DECREF(tmp);
+    if (state != g_in_body)
+        goto bail_entry;
+    GETA(s_noscript);
+    int ok = (tmp == Py_None);
+    Py_DECREF(tmp);
+    if (!ok) goto bail_entry;
+    GETA(s_track);
+    ok = !PyObject_IsTrue(tmp);
+    Py_DECREF(tmp);
+    if (!ok) goto bail_entry;
+    GETA(s_on_close);
+    ok = (tmp == Py_None);
+    Py_DECREF(tmp);
+    if (!ok) goto bail_entry;
+    GETA(s_foster);
+    ok = !PyObject_IsTrue(tmp);
+    Py_DECREF(tmp);
+    if (!ok) goto bail_entry;
+    GETA(s_tagset);
+    ok = (tmp == Py_None);
+    Py_DECREF(tmp);
+    if (!ok) goto bail_entry;
+#undef GETA
+
+    c.stack = PyObject_GetAttr(tb, s_stack);
+    c.doc = PyObject_GetAttr(tb, s_doc);
+    c.formatting = PyObject_GetAttr(tb, s_formatting);
+    if (c.stack == NULL || c.doc == NULL || c.formatting == NULL)
+        goto error_pre;
+    c.errors = PyObject_GetAttr(c.doc, s_errors);
+    if (c.errors == NULL)
+        goto error_pre;
+    {
+        PyObject *fo = PyObject_GetAttr(tb, s_frameset_ok);
+        if (fo == NULL)
+            goto error_pre;
+        c.frameset_ok = PyObject_IsTrue(fo);
+        Py_DECREF(fo);
+    }
+    if (!PyList_Check(c.stack) || !PyList_Check(c.formatting) ||
+        !PyList_Check(c.errors))
+        goto bail_ctx;
+    {
+        Py_ssize_t n = PyList_GET_SIZE(c.stack);
+        if (n == 0 || n >= MAX_DEPTH - 1)
+            goto bail_ctx;
+        for (Py_ssize_t i = 0; i < n; i++) {
+            int h = is_html_ns(PyList_GET_ITEM(c.stack, i));
+            if (h < 0)
+                goto error_ctx;
+            if (!h)
+                goto bail_ctx;
+        }
+    }
+
+    /* ---- token loop ---- */
+    Py_INCREF(token);
+    for (;;) {
+        PyObject *tp = PyObject_GetAttr(token, s_type);
+        if (tp == NULL)
+            goto error_tok;
+        long ttype = PyLong_AS_LONG(tp);
+        Py_DECREF(tp);
+
+        if (ttype == TOK_CHAR) {
+            /* exact-type check: CData subclass carries T_CDATA code, so
+             * ttype alone is the discriminator */
+            PyObject *data = PyObject_GetAttr(token, s_data);
+            if (data == NULL)
+                goto error_tok;
+            if (!PyUnicode_Check(data) || contains_nul(data)) {
+                Py_DECREF(data);
+                goto bail_tok;
+            }
+            int noop = reconstruct_is_noop(&c);
+            if (noop < 0) { Py_DECREF(data); goto error_tok; }
+            if (!noop) { Py_DECREF(data); goto bail_tok; }
+            /* parent with Data flag (script/style) never current here by
+             * action whitelist, but guard anyway */
+            {
+                PyObject *parent = current_parent(&c);
+                PyObject *fl = PyObject_GetAttr(parent, s_flags);
+                if (fl == NULL) { Py_DECREF(data); goto error_tok; }
+                long flv = PyLong_AS_LONG(fl);
+                Py_DECREF(fl);
+                if (flv & g_flag_data) { Py_DECREF(data); goto bail_tok; }
+            }
+            if (insert_text(&c, data) < 0) {
+                Py_DECREF(data);
+                goto error_tok;
+            }
+            if (c.frameset_ok && !is_all_ws(data)) {
+                c.frameset_ok = 0;
+                c.frameset_dirty = 1;
+            }
+            Py_DECREF(data);
+        } else if (ttype == TOK_START) {
+            PyObject *sc = PyObject_GetAttr(token, s_self_closing);
+            if (sc == NULL)
+                goto error_tok;
+            int selfc = PyObject_IsTrue(sc);
+            Py_DECREF(sc);
+            if (selfc)
+                goto bail_tok;
+            PyObject *normal = PyObject_GetAttr(token, s_normal);
+            if (normal == NULL)
+                goto error_tok;
+            int known;
+            long packed = action_of(normal, &known);
+            if (packed < 0) { Py_DECREF(normal); goto error_tok; }
+            long act = PACK_START(packed);
+            long flags = PACK_FLAGS(packed);
+            PyObject *attrs = PyObject_GetAttr(token, s_attrs);
+            if (attrs == NULL) { Py_DECREF(normal); goto error_tok; }
+            if (PyList_GET_SIZE(c.stack) >= MAX_DEPTH - 1) {
+                Py_DECREF(attrs); Py_DECREF(normal);
+                goto bail_tok;
+            }
+            int handled = 1;
+            switch (act) {
+            case SA_P_CLOSER: {
+                static PyObject *p_str = NULL;
+                if (p_str == NULL)
+                    p_str = PyUnicode_InternFromString("p");
+                int in_p = in_scope_walk(&c, p_str, OPT_SCOPE | OPT_BUTTON_SCOPE);
+                if (in_p < 0) goto error_start;
+                if (in_p) {
+                    /* process_end("p") == END_P success path */
+                    if (implied_end(&c, p_str) < 0) goto error_start;
+                    int cur = current_is(&c, p_str);
+                    if (cur < 0) goto error_start;
+                    if (!cur)
+                        err(&c, g_err_unexpected_open);
+                    if (pop_to_close(&c, p_str) < 0) goto error_start;
+                }
+                PyObject *el = insert_element(&c, normal, flags, attrs, 1);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                break;
+            }
+            case SA_PLAIN_RECON: {
+                int noop = reconstruct_is_noop(&c);
+                if (noop < 0) goto error_start;
+                if (!noop) { handled = 0; break; }
+                PyObject *el = insert_element(&c, normal, flags, attrs, 1);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                break;
+            }
+            case SA_UNKNOWN: {
+                PyObject *el = insert_element(&c, normal, flags, attrs, 1);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                break;
+            }
+            case SA_VOID_RECON: {
+                int noop = reconstruct_is_noop(&c);
+                if (noop < 0) goto error_start;
+                if (!noop) { handled = 0; break; }
+                PyObject *el = insert_element(&c, normal, flags, attrs, 0);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                if (c.frameset_ok) {
+                    c.frameset_ok = 0;
+                    c.frameset_dirty = 1;
+                }
+                break;
+            }
+            case SA_MEDIA_EMPTY: {
+                PyObject *el = insert_element(&c, normal, flags, attrs, 0);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                break;
+            }
+            case SA_LI: {
+                if (!c.frameset_ok) {
+                    /* same either way */
+                } else {
+                    c.frameset_ok = 0;
+                    c.frameset_dirty = 1;
+                }
+                /* scan down (excluding stack[0]) for an open li to close,
+                 * stopping at special non-{address,div,p} elements */
+                static PyObject *li_str = NULL, *addr_str = NULL,
+                    *div_str = NULL, *p_str2 = NULL;
+                if (li_str == NULL) {
+                    li_str = PyUnicode_InternFromString("li");
+                    addr_str = PyUnicode_InternFromString("address");
+                    div_str = PyUnicode_InternFromString("div");
+                    p_str2 = PyUnicode_InternFromString("p");
+                }
+                Py_ssize_t n = PyList_GET_SIZE(c.stack);
+                for (Py_ssize_t i = n - 1; i >= 1; i--) {
+                    PyObject *el = PyList_GET_ITEM(c.stack, i);
+                    PyObject *nm = PyObject_GetAttr(el, s_name);
+                    if (nm == NULL) goto error_start;
+                    int is_li = PyUnicode_Compare(nm, li_str) == 0;
+                    if (is_li) {
+                        Py_DECREF(nm);
+                        /* process_end("li"): in_list_scope guaranteed by
+                         * the li we just found? NOT exactly — boundary may
+                         * sit between. Run the real end-li logic. */
+                        int ls = in_scope_walk(&c, li_str,
+                                               OPT_SCOPE | OPT_LIST_SCOPE);
+                        if (ls < 0) goto error_start;
+                        if (!ls) {
+                            err(&c, g_err_li_not_in_scope);
+                        } else {
+                            if (implied_end(&c, li_str) < 0) goto error_start;
+                            int cur = current_is(&c, li_str);
+                            if (cur < 0) goto error_start;
+                            if (!cur)
+                                err(&c, g_err_unexpected_open);
+                            if (pop_to_close(&c, li_str) < 0) goto error_start;
+                        }
+                        break;
+                    }
+                    long o = opts_of(el);
+                    if (o < 0) { Py_DECREF(nm); goto error_start; }
+                    if (o & OPT_SPECIAL) {
+                        int breaker =
+                            PyUnicode_Compare(nm, addr_str) == 0 ||
+                            PyUnicode_Compare(nm, div_str) == 0 ||
+                            PyUnicode_Compare(nm, p_str2) == 0;
+                        Py_DECREF(nm);
+                        if (!breaker)
+                            break;
+                        continue;
+                    }
+                    Py_DECREF(nm);
+                }
+                static PyObject *p_str3 = NULL;
+                if (p_str3 == NULL)
+                    p_str3 = PyUnicode_InternFromString("p");
+                int in_p = in_scope_walk(&c, p_str3, OPT_SCOPE | OPT_BUTTON_SCOPE);
+                if (in_p < 0) goto error_start;
+                if (in_p) {
+                    if (implied_end(&c, p_str3) < 0) goto error_start;
+                    int cur = current_is(&c, p_str3);
+                    if (cur < 0) goto error_start;
+                    if (!cur)
+                        err(&c, g_err_unexpected_open);
+                    if (pop_to_close(&c, p_str3) < 0) goto error_start;
+                }
+                PyObject *el = insert_element(&c, normal, flags, attrs, 1);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                break;
+            }
+            default:
+                handled = 0;
+                break;
+            }
+            Py_DECREF(attrs);
+            Py_DECREF(normal);
+            if (!handled)
+                goto bail_tok;
+            goto next_token;
+        error_start:
+            Py_DECREF(attrs);
+            Py_DECREF(normal);
+            goto error_tok;
+        } else if (ttype == TOK_END) {
+            PyObject *normal = PyObject_GetAttr(token, s_normal);
+            if (normal == NULL)
+                goto error_tok;
+            int known;
+            long packed = action_of(normal, &known);
+            if (packed < 0) { Py_DECREF(normal); goto error_tok; }
+            long act = PACK_END(packed);
+            int handled = 1;
+            switch (act) {
+            case EA_CLOSER: {
+                int s = in_scope_walk(&c, normal, OPT_SCOPE);
+                if (s < 0) goto error_end;
+                if (!s) {
+                    err(&c, g_err_not_in_scope);
+                    break;
+                }
+                if (implied_end(&c, NULL) < 0) goto error_end;
+                int cur = current_is(&c, normal);
+                if (cur < 0) goto error_end;
+                if (!cur)
+                    err(&c, g_err_unexpected_open);
+                if (pop_to_close(&c, normal) < 0) goto error_end;
+                break;
+            }
+            case EA_LI: {
+                int s = in_scope_walk(&c, normal, OPT_SCOPE | OPT_LIST_SCOPE);
+                if (s < 0) goto error_end;
+                if (!s) {
+                    err(&c, g_err_li_not_in_scope);
+                    break;
+                }
+                if (implied_end(&c, normal) < 0) goto error_end;
+                int cur = current_is(&c, normal);
+                if (cur < 0) goto error_end;
+                if (!cur)
+                    err(&c, g_err_unexpected_open);
+                if (pop_to_close(&c, normal) < 0) goto error_end;
+                break;
+            }
+            case EA_DD_DT: {
+                int s = in_scope_walk(&c, normal, OPT_SCOPE);
+                if (s < 0) goto error_end;
+                if (!s) {
+                    err(&c, g_err_not_in_scope);
+                    break;
+                }
+                if (implied_end(&c, normal) < 0) goto error_end;
+                int cur = current_is(&c, normal);
+                if (cur < 0) goto error_end;
+                if (!cur)
+                    err(&c, g_err_unexpected_open);
+                if (pop_to_close(&c, normal) < 0) goto error_end;
+                break;
+            }
+            case EA_P: {
+                int s = in_scope_walk(&c, normal, OPT_SCOPE | OPT_BUTTON_SCOPE);
+                if (s < 0) goto error_end;
+                if (!s) {
+                    /* error; insert <p> then close it: net effect is an
+                     * empty p appended without staying on the stack */
+                    err(&c, g_err_no_p);
+                    PyObject *el = insert_element(&c, normal,
+                                                  PACK_FLAGS(packed), NULL, 0);
+                    if (el == NULL) goto error_end;
+                    Py_DECREF(el);
+                    break;
+                }
+                if (implied_end(&c, normal) < 0) goto error_end;
+                int cur = current_is(&c, normal);
+                if (cur < 0) goto error_end;
+                if (!cur)
+                    err(&c, g_err_unexpected_open);
+                if (pop_to_close(&c, normal) < 0) goto error_end;
+                break;
+            }
+            case EA_ANY: {
+                /* _any_other_end_tag: bounded get_from_stack window */
+                Py_ssize_t n = PyList_GET_SIZE(c.stack);
+                Py_ssize_t lo = n - 1 - MAX_QUEUE_DEPTH;
+                if (lo < 0)
+                    lo = 0;
+                int found = 0;
+                for (Py_ssize_t i = n - 1; i >= lo; i--) {
+                    PyObject *nm = PyObject_GetAttr(
+                        PyList_GET_ITEM(c.stack, i), s_name);
+                    if (nm == NULL) goto error_end;
+                    int eq = PyUnicode_Compare(nm, normal) == 0;
+                    Py_DECREF(nm);
+                    if (eq) { found = 1; break; }
+                }
+                if (!found) {
+                    err(&c, g_err_no_match);
+                    break;
+                }
+                int done = 0;
+                for (Py_ssize_t i = PyList_GET_SIZE(c.stack) - 1;
+                     i >= 0 && !done; i--) {
+                    PyObject *el = PyList_GET_ITEM(c.stack, i);
+                    PyObject *nm = PyObject_GetAttr(el, s_name);
+                    if (nm == NULL) goto error_end;
+                    int eq = PyUnicode_Compare(nm, normal) == 0;
+                    Py_DECREF(nm);
+                    if (eq) {
+                        if (implied_end(&c, normal) < 0) goto error_end;
+                        int cur = current_is(&c, normal);
+                        if (cur < 0) goto error_end;
+                        if (!cur)
+                            err(&c, g_err_unexpected_open);
+                        if (pop_to_close(&c, normal) < 0) goto error_end;
+                        done = 1;
+                        break;
+                    }
+                    long o = opts_of(el);
+                    if (o < 0) goto error_end;
+                    if (o & OPT_SPECIAL) {
+                        err(&c, g_err_special);
+                        done = 1;
+                        break;
+                    }
+                }
+                break;
+            }
+            default:
+                handled = 0;
+                break;
+            }
+            Py_DECREF(normal);
+            if (!handled)
+                goto bail_tok;
+            goto next_token;
+        error_end:
+            Py_DECREF(normal);
+            goto error_tok;
+        } else {
+            goto bail_tok; /* comment/doctype/EOF/CDATA: python path */
+        }
+
+    next_token:
+        Py_DECREF(token);
+        /* next from q (a deque); empty -> done */
+        if (PyObject_IsTrue(q) <= 0) {
+            token = NULL;
+            break;
+        }
+        token = PyObject_CallMethod(q, "popleft", NULL);
+        if (token == NULL)
+            goto error_ctx;
+    }
+
+    /* ---- success exit: write back frameset_ok ---- */
+    if (c.frameset_dirty &&
+        PyObject_SetAttr(tb, s_frameset_ok, Py_False) < 0)
+        goto error_ctx;
+    Py_DECREF(c.stack); Py_DECREF(c.doc);
+    Py_DECREF(c.formatting); Py_DECREF(c.errors);
+    if (token == NULL)
+        Py_RETURN_NONE;
+    return token; /* already owned */
+
+bail_tok:
+    if (c.frameset_dirty &&
+        PyObject_SetAttr(tb, s_frameset_ok, Py_False) < 0)
+        goto error_ctx;
+    Py_DECREF(c.stack); Py_DECREF(c.doc);
+    Py_DECREF(c.formatting); Py_DECREF(c.errors);
+    return token; /* owned; leftover for python */
+
+bail_ctx:
+    Py_DECREF(c.stack); Py_DECREF(c.doc);
+    Py_DECREF(c.formatting); Py_XDECREF(c.errors);
+    Py_INCREF(token);
+    return token;
+
+bail_entry:
+    Py_INCREF(token);
+    return token;
+
+error_tok:
+    Py_XDECREF(token);
+error_ctx:
+    Py_XDECREF(c.stack); Py_XDECREF(c.doc);
+    Py_XDECREF(c.formatting); Py_XDECREF(c.errors);
+    return NULL;
+
+error_pre:
+    Py_XDECREF(c.stack); Py_XDECREF(c.doc);
+    Py_XDECREF(c.formatting);
+    return NULL;
+}
+
+static PyMethodDef methods[] = {
+    {"configure", configure, METH_VARARGS,
+     "configure(actions, ns_html, Element, TextNode, errs7, in_body, flag_data)"},
+    {"apply", apply, METH_VARARGS,
+     "apply(tb, token, q) -> leftover token or None"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "jsoup_fasttree", NULL, -1, methods,
+};
+
+PyMODINIT_FUNC
+PyInit_jsoup_fasttree(void)
+{
+    if (init_interned() < 0)
+        return NULL;
+    return PyModule_Create(&moduledef);
+}

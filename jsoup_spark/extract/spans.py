@@ -70,6 +70,7 @@ def _walk(root: Element, out: list, accum: list[str]) -> None:
     # head/tail traversal identical to nodes._text_accumulate, with
     # barrier emission for media/data elements
     stack: list[list] = [[root, 0, None]]
+    _TN, _EL = TextNode, Element
     while stack:
         top = stack[-1]
         node, idx = top[0], top[1]
@@ -78,24 +79,22 @@ def _walk(root: Element, out: list, accum: list[str]) -> None:
             top[1] = idx + 1
             child = children[idx]
             nxt = children[idx + 1] if idx + 1 < len(children) else None
-            descend = False
-            if isinstance(child, TextNode):
+            if isinstance(child, _TN):
                 _append_normalised_text(accum, child)
-            elif isinstance(child, Element):
-                if child.ns == _NS_HTML and (
-                        child.name in MEDIA_TAGS or child.name in DATA_SPAN_TAGS):
-                    _emit_barrier(child, out, accum)
-                    descend = True  # media may nest source; data children are
-                    # DataNodes (ignored) — matches the golden traversal
-                elif accum and _needs_leading_sep(child) \
-                        and not _last_char_is_ws(accum):
-                    accum.append(" ")
-                    descend = True
-                else:
-                    descend = True
-            if descend and isinstance(child, Element) and child.children:
+                continue
+            if not isinstance(child, _EL):
+                continue
+            if child.ns == _NS_HTML and (
+                    child.name in MEDIA_TAGS or child.name in DATA_SPAN_TAGS):
+                _emit_barrier(child, out, accum)
+                # media may nest source; data children are DataNodes
+                # (ignored) — matches the golden traversal
+            elif accum and _needs_leading_sep(child) \
+                    and not _last_char_is_ws(accum):
+                accum.append(" ")
+            if child.children:
                 stack.append([child, 0, nxt])
-            elif isinstance(child, Element):
+            else:
                 _tail_sep(child, nxt, accum)
         else:
             stack.pop()

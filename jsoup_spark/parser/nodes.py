@@ -491,8 +491,10 @@ def preserve_whitespace(node: Node | None) -> bool:
     """Element.preserveWhitespace: this element and five levels up."""
     i = 0
     n = node
-    while isinstance(n, Element) and i < 6:
-        if n.flags & tags.PRESERVE_WS:
+    _E = Element
+    _P = tags.PRESERVE_WS
+    while isinstance(n, _E) and i < 6:
+        if n.flags & _P:
             return True
         n = n.parent
         i += 1
@@ -500,21 +502,28 @@ def preserve_whitespace(node: Node | None) -> bool:
 
 
 def _append_normalised_text(accum: list[str], tn: TextNode) -> None:
-    if isinstance(tn, CDataNode) or preserve_whitespace(tn.parent):
+    if tn.__class__ is CDataNode or preserve_whitespace(tn.parent):
         accum.append(tn.value)
     else:
         _append_normalised(accum, tn.value)
 
 
 def _needs_leading_sep(el: Element) -> bool:
-    return (el.is_block or el.name == "br"
-            or (el.flags & tags.TEXT_BOUNDARY and el.children and el.has_text()))
+    fl = el.flags
+    return bool(fl & tags.BLOCK) or el.name == "br" or bool(
+        fl & tags.TEXT_BOUNDARY and el.children and el.has_text())
+
+
+_BOUNDARY_OR_BLOCK = tags.TEXT_BOUNDARY | tags.BLOCK
 
 
 def _needs_trailing_sep(el: Element) -> bool:
-    if el.flags & tags.TEXT_BOUNDARY or el.is_block:
+    if el.flags & _BOUNDARY_OR_BLOCK:
         return True
-    return any(isinstance(c, Element) and c.is_block for c in el.children)
+    for c in el.children:
+        if isinstance(c, Element) and c.flags & tags.BLOCK:
+            return True
+    return False
 
 
 def _text_accumulate(root: Element, accum: list[str]) -> None:
@@ -644,6 +653,12 @@ def java_trim(s: str) -> str:
     return s[start:end]
 
 
+# simple relative path: no scheme/authority/dot-segment/query/fragment
+# ambiguity — urljoin(base_dir, rel) == base_dir + rel for these
+_P_SIMPLE_REL = _re.compile(r"[A-Za-z0-9_~%+,@=-]+(?:/[A-Za-z0-9_~%+,@=-]+)*"
+                           r"(?:\.[A-Za-z0-9_-]+)?\Z")
+
+
 def resolve_url(base: str, rel: str) -> str:
     """absUrl resolution: absolute rel passes through; else urljoin against
     base; '' when unresolvable (no/invalid base and relative url).
@@ -657,6 +672,16 @@ def resolve_url(base: str, rel: str) -> str:
         return rel if scheme.islower() else scheme.lower() + ":" + head[1]
     if not base:
         return ""
+    # fast path for the overwhelmingly common shape: hierarchical base
+    # ending in '/', plain relative path with no scheme/dot-segments/query
+    # magic — byte-equal to urljoin's output, ~20x cheaper (urljoin was
+    # 25% of worker wall on media-ref-heavy corpora)
+    if (_P_SIMPLE_REL.match(rel) is not None
+            and base.endswith("/")
+            and (base.startswith("http://") or base.startswith("https://"))
+            and "?" not in base and "#" not in base
+            and len(base) > 8 and "/" in base[8:]):
+        return base + rel
     try:
         out = urljoin(base, rel)
     except ValueError:

@@ -153,6 +153,88 @@ C_SIMPLE_VOIDS = frozenset("area br embed img keygen wbr".split())
 C_TABLE_TO_BODY = frozenset(("tbody", "tfoot", "thead"))
 C_TABLE_ADD_BODY = frozenset(("td", "th", "tr"))
 C_TABLE_TO_HEAD = frozenset(("script", "style", "template"))
+
+
+# ---------------------------------------------------------- C fast applier
+# Optional in-body token applier (jsoup_spark/_native/fasttree.c): applies
+# Character/simple-start/simple-end tokens directly in C while the builder
+# sits in InBody with no tracking/streaming/custom-tagset/formatting work
+# pending; bails back to this Python dispatcher (the source of truth) for
+# anything else. Validated by the golden + fuzz differential campaigns.
+
+def _build_fasttree_actions() -> dict:
+    """normal name -> packed (start_act | end_act<<4 | opts<<8 | flags<<16)
+    replicating the _in_body_start/_in_body_end dispatch classification."""
+    import sys as _sys
+    SA_BAIL, SA_PLAIN_RECON, SA_P_CLOSER, SA_VOID_RECON, SA_MEDIA_EMPTY, \
+        SA_UNKNOWN, SA_LI = 0, 1, 2, 3, 4, 5, 6
+    EA_BAIL, EA_CLOSER, EA_LI, EA_P, EA_ANY, EA_DD_DT = 0, 1, 2, 3, 4, 5
+    start_bail = {
+        "a", "html", "body", "frameset", "form", "plaintext", "button",
+        "nobr", "table", "input", "hr", "image", "textarea", "xmp",
+        "iframe", "noembed", "noscript", "select", "math", "svg", "pre",
+        "listing", "optgroup", "option", "rb", "rtc", "rp", "rt",
+    }
+
+    def sact(name):
+        fl = tags.flags(name)
+        if name in C_P_CLOSERS:
+            return SA_P_CLOSER
+        if name in C_FORMATTING_12:
+            return SA_BAIL
+        if name in C_SIMPLE_VOIDS:
+            return SA_VOID_RECON
+        if name == "span":
+            return SA_PLAIN_RECON
+        if name == "li":
+            return SA_LI
+        if name in start_bail or name in C_HEADINGS or name in C_DD_DT:
+            return SA_BAIL
+        if fl & (tags.RCDATA | tags.DATA):
+            return SA_BAIL
+        if name in C_TO_HEAD or name in C_APPLETS or name in C_DROP:
+            return SA_BAIL
+        if name in C_MEDIA:
+            return SA_MEDIA_EMPTY
+        if tags.is_known(name):
+            return SA_PLAIN_RECON
+        return SA_UNKNOWN
+
+    def eact(name):
+        if name in C_END_CLOSERS:
+            return EA_CLOSER
+        if name in C_ADOPTION_FORMATTERS or name in (
+                "template", "body", "html", "form", "br"):
+            return EA_BAIL
+        if name in C_HEADINGS or name in C_APPLETS:
+            return EA_BAIL
+        if name == "li":
+            return EA_LI
+        if name == "p":
+            return EA_P
+        if name in C_DD_DT:
+            return EA_DD_DT
+        return EA_ANY
+
+    names = set(tags._HTML_FLAGS)
+    names |= (C_P_CLOSERS | C_FORMATTING_12 | C_SIMPLE_VOIDS | C_END_CLOSERS
+              | C_ADOPTION_FORMATTERS | C_HEADINGS | C_DD_DT | C_APPLETS
+              | C_MEDIA | C_DROP | C_TO_HEAD | _IMPLIED_END | _THOROUGH_END
+              | _SELECT_MEMBER | _SCOPE_TAGS | _SPECIAL
+              | start_bail | {"span", "sarcasm"})
+    out = {}
+    for n in names:
+        out[_sys.intern(n)] = (
+            sact(n) | (eact(n) << 4)
+            | (tag_options(n, NS_HTML) << 8) | (tags.flags(n) << 16))
+    return out
+
+
+try:
+    from .._native import jsoup_fasttree as _FT
+except ImportError:  # pragma: no cover - extension not built
+    _FT = None
+# (configured at module bottom once IN_BODY / node classes exist)
 C_CELL_NAMES = frozenset(("td", "th"))
 C_CELL_BODY = frozenset("body caption col colgroup html".split())
 C_CELL_TABLE = frozenset("table tbody tfoot thead tr".split())
@@ -398,6 +480,12 @@ class HtmlTreeBuilder:
                 chars.clear()
             else:
                 token = popleft()
+            if _FT is not None and self.state == IN_BODY \
+                    and self.noscript is None and not self.track \
+                    and self.on_close is None and self.tagset is None:
+                token = _FT.apply(self, token, q)
+                if token is None:
+                    continue
             self.current_token = token
             # inlined process() common case (saves a call per token; the
             # wrapper stays for the recursive process_* entry points)
@@ -2636,6 +2724,17 @@ _MODES = [
     _in_template, _after_body, _in_frameset, _after_frameset,
     _after_after_body, _after_after_frameset, _foreign_content,
 ]
+
+
+if _FT is not None:
+    from .nodes import TextNode as _TextNode
+
+    _FT.configure(
+        _build_fasttree_actions(), NS_HTML, Element, _TextNode,
+        ("dropped duplicate attributes", "not in scope",
+         "unexpected open elements", "li not in scope", "no p to close",
+         "no matching element", "cannot close through special element"),
+        IN_BODY, tags.DATA)
 
 
 def parse(html: str, base_uri: str = "",
