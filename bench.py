@@ -156,6 +156,13 @@ def _has_taskset() -> bool:
 
 
 def main_scaling() -> None:
+    # scaling runs use a 3x larger corpus than the headline (300k docs):
+    # with the round-3 worker speedups, 100k docs finish so fast at 16
+    # cores that fixed session costs (scan/stage setup) dominate and the
+    # measured efficiency reflects Amdahl overhead, not the pipeline.
+    # Exported via env so the pinned child JVMs (fresh imports) see it.
+    if "SPARK_GRAFT_REPLICATE" not in os.environ:
+        os.environ["SPARK_GRAFT_REPLICATE"] = "60"
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     lo = child_throughput(str(n))
     hi = child_throughput(str(4 * n))

@@ -135,7 +135,14 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
             doc_ids = batch.column(idx["doc_id"])
             htmls = batch.column(idx["html"]).to_pylist()
             base_uris = batch.column(idx["base_uri"]).to_pylist()
-            media_ins = batch.column(idx["_media_in"]).to_pylist()
+            # flat columnar read of the (already offset-sorted) media spans:
+            # to_pylist on the nested list<struct> built one dict per span,
+            # which dominated batch overhead on media-bearing corpora
+            media_col = batch.column(idx["_media_in"])
+            m_off = media_col.offsets.to_pylist()  # n+1 (slice-aware)
+            m_vals = media_col.values
+            m_texts = m_vals.field("text").to_pylist()
+            m_refs = m_vals.field("media_ref").to_pylist()
             # column-wise span assembly: flat field lists + offsets beat
             # pa.array() over per-span python dicts by a wide margin
             kinds: list = []
@@ -144,7 +151,7 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
             orders: list = []
             offsets = [0]
             out_n, out_err, out_bytes = [], [], []
-            for html, base_uri, media_in_rows in zip(htmls, base_uris, media_ins):
+            for di, (html, base_uri) in enumerate(zip(htmls, base_uris)):
                 if stream_threshold >= 0 and len(html) > stream_threshold:
                     errs: list = []
                     tuples = stream_spans(html, base_uri, errors_out=errs)
@@ -159,10 +166,10 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
                     refs.append(r)
                 order = len(tuples)
                 orders.extend(range(order))
-                for m in media_in_rows:
+                for j in range(m_off[di], m_off[di + 1]):
                     kinds.append("media")
-                    texts.append(m["text"] or "")
-                    refs.append(m["media_ref"] or "")
+                    texts.append(m_texts[j] or "")
+                    refs.append(m_refs[j] or "")
                     orders.append(order)
                     order += 1
                 offsets.append(offsets[-1] + order)
