@@ -349,8 +349,10 @@ _SHINGLE_SQL = """
 
 
 def _mh_sql(p: int) -> str:
+    # p-th 8-hex-char window of md5(shingle) — one md5 per shingle
+    # (matches operators/dedup.minhash_signatures)
     return (f"list_min(list_transform({_SHINGLE_SQL}, "
-            f"s -> md5(s || ':{p}')))")
+            f"s -> substr(md5(s), {p * 8 + 1}, 8)))")
 
 
 def oracle_sql() -> dict[str, str]:

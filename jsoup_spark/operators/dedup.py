@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-MINHASH_PERMS = 4          # seeds 0..3; min over md5(shingle:seed)
+MINHASH_PERMS = 4          # 4 disjoint 8-hex windows of md5(shingle)
 LSH_BANDS = 2              # 2 bands x 2 rows
 
 
@@ -59,20 +59,27 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame,
                        perms: int = MINHASH_PERMS) -> DataFrame:
-    """MinHash signature per doc: perm p = min(md5(shingle || ':p')).
+    """MinHash signature per doc: perm p = min over shingles of the p-th
+    8-hex-char window of md5(shingle).
 
-    Shingles are projected once, then each permutation hashes that column —
-    one pass over the text, no repeated tokenization."""
-    shingled = documents.select(
+    One md5 per shingle (the dominant cost at 100 TB — the previous
+    per-permutation salting paid 4x); the disjoint 32-bit windows of a
+    single md5 act as independent hash functions (one-permutation-hashing
+    style). The md5 array is materialized through a Generate (explode of a
+    1-element array) so the 4 window-min consumers cannot re-inline the
+    hashing pass (projection collapse)."""
+    hashed = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        _shingles().alias("_sh"),
+        F.explode(F.array(
+            F.transform(_shingles(), lambda s: F.md5(s)))).alias("_h"),
     )
     cols = [
-        F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(
-            F.concat(s, F.lit(f":{p}"))))).alias(f"mh{p}")
+        F.array_min(F.transform(
+            F.col("_h"), lambda h: F.substring(h, p * 8 + 1, 8)))
+        .alias(f"mh{p}")
         for p in range(perms)
     ]
-    return shingled.select("doc_id", *cols)
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_buckets(documents: DataFrame) -> DataFrame:
@@ -119,14 +126,20 @@ def ngram_jaccard_pairs(documents: DataFrame,
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.array(F.array_distinct(_shingles()))).alias("sh"),
     )
+    def _band_key(hs):
+        # hs is BOUND (single md5 pass over the distinct shingles); the two
+        # window-mins only re-walk the hash strings
+        return F.md5(F.concat_ws(
+            "|",
+            F.array_min(F.transform(hs, lambda h: F.substring(h, 1, 8))),
+            F.array_min(F.transform(hs, lambda h: F.substring(h, 9, 8))),
+        ))
     sh = shingled.select(
         "doc_id",
         "sh",
-        F.md5(F.concat_ws(
-            "|",
-            F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(":0"))))),
-            F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(":1"))))),
-        )).alias("band_key"),
+        F.transform(
+            F.array(F.transform(F.col("sh"), lambda s: F.md5(s))),
+            _band_key)[0].alias("band_key"),
     )
     a = sh.alias("a")
     b = sh.alias("b")

@@ -134,7 +134,7 @@ def test_dedup_ops(spark):
     groups = dedup.exact_dedup(docs)
     assert groups.count() == docs.count()
     sig = dedup.minhash_signatures(docs).collect()
-    assert all(len(r["mh0"]) == 32 for r in sig)
+    assert all(len(r["mh0"]) == 8 for r in sig)
     sh = dedup.simhash(docs).collect()
     assert all(0 <= r["simhash"] < (1 << 16) for r in sh)
 
