@@ -246,6 +246,18 @@ def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_documents(spark, sf_dir))
 
 
+def q_ngram_topk(spark, sf_dir):
+    """Global top-20 word bigrams (corpus statistics): map-side-combined
+    hash aggregate + TakeOrdered; total order (count desc, ngram asc)."""
+    return textstats.ngram_topk(_documents(spark, sf_dir), n=2, k=20)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: 3-shingle overlap of training docs vs
+    the (broadcast) eval set = first 10 doc_ids."""
+    return dedup.contamination(_documents(spark, sf_dir), n_eval=10)
+
+
 # ------------------------------------------------------------ dedup
 
 def q_dedup_exact(spark, sf_dir):
@@ -323,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "ngram_topk": q_ngram_topk,
+        "contamination": q_contamination,
         "dedup_exact": q_dedup_exact,
         "minhash": q_minhash,
         "lsh_buckets": q_lsh_buckets,
@@ -468,6 +482,24 @@ def oracle_sql() -> dict[str, str]:
                              string_split(text,' ')[3]
                         ELSE text END) AS shingle3_md5
             FROM documents""",
+        "ngram_topk": """
+            WITH g AS (
+              SELECT unnest(CASE WHEN len(string_split(text,' ')) >= 2 THEN
+                  list_transform(range(1, len(string_split(text,' '))),
+                    i -> string_split(text,' ')[i] || ' ' ||
+                         string_split(text,' ')[i+1])
+                  ELSE []::VARCHAR[] END) AS ngram
+              FROM documents)
+            SELECT ngram, count(*) AS n_count FROM g GROUP BY 1
+            ORDER BY n_count DESC, ngram ASC LIMIT 20""",
+        "contamination": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+              FROM documents),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+            tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 10)
+            SELECT tr.doc_id, count(*) AS n_overlap
+            FROM tr JOIN ev USING (shingle) GROUP BY 1""",
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
                    count(*) AS n_copies

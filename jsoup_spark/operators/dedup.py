@@ -267,3 +267,28 @@ def embedding_near_dup(embeddings: DataFrame,
         # is deterministic so the duplicate rows are identical
         out = out.distinct()
     return out
+
+
+def contamination(documents: DataFrame, n_eval: int = 10) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >=1 word 3-shingle
+    with the eval set (here: the first n_eval doc_ids), with the count of
+    distinct overlapping shingles per doc.
+
+    Scale shape: the eval side is tiny by construction (an eval benchmark,
+    not the corpus), so its distinct shingle set BROADCASTS; the corpus
+    side explodes its distinct shingles once and hash-joins against the
+    broadcast — no shuffle of the corpus, one aggregate on doc_id. This is
+    the standard n-gram-overlap decontamination pass run before training."""
+    base = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array(F.array_distinct(_shingles()))).alias("sh"),
+    )
+    ev = (base.filter(F.col("doc_id") < n_eval)
+          .select(F.explode("sh").alias("shingle")).distinct())
+    train = (base.filter(F.col("doc_id") >= n_eval)
+             .select("doc_id", F.explode("sh").alias("shingle")))
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )

@@ -96,3 +96,33 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(F.substring("text", 1, 64)).alias("prefix_md5"),
         F.md5(first3).alias("shingle3_md5"),
     )
+
+
+def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Global top-k word n-grams by count (corpus statistics / vocabulary
+    audits). Ties break lexicographically on the n-gram.
+
+    Scale shape: explode n-grams -> hash-aggregate with map-side combine
+    (one shuffle on the n-gram key) -> global top-k via TakeOrdered (no
+    full sort materialization). At 100 TB the combine step collapses the
+    heavy-tailed n-gram distribution before the shuffle."""
+    d = with_words(documents)
+    w = F.col("_words")
+
+    def _grams(words):
+        size = F.size(words)
+        cols = [F.slice(words, i + 1, size) for i in range(1, n)]
+        g = words
+        for c in cols:
+            g = F.zip_with(g, c, lambda a, b: F.concat_ws(" ", a, b))
+        out = F.slice(g, 1, F.greatest(size - (n - 1), F.lit(0)))
+        return F.when(size >= n, out).otherwise(F.array())
+
+    grams = F.transform(F.array(w), _grams)[0]
+    return (
+        d.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_count"))
+        .orderBy(F.col("n_count").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

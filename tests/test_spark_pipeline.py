@@ -139,6 +139,25 @@ def test_dedup_ops(spark):
     assert all(0 <= r["simhash"] < (1 << 16) for r in sh)
 
 
+def test_ngram_topk_and_contamination(spark):
+    from jsoup_spark.operators import dedup, textstats
+    docs = _docs(spark)
+    top = textstats.ngram_topk(docs, n=2, k=5).collect()
+    assert len(top) == 5
+    counts = [r["n_count"] for r in top]
+    assert counts == sorted(counts, reverse=True)
+    # plan shape: one shuffle + TakeOrdered, no python
+    plan = textstats.ngram_topk(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "TakeOrdered" in plan
+    cont = dedup.contamination(docs, n_eval=10).collect()
+    assert all(r["doc_id"] >= 10 and r["n_overlap"] >= 1 for r in cont)
+    # corpus side must reach the join via broadcast, not a shuffle
+    cplan = dedup.contamination(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in cplan
+
+
 def test_ann(spark):
     from jsoup_spark.operators import similarity
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
