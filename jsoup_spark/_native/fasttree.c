@@ -1004,11 +1004,570 @@ error_pre:
     return NULL;
 }
 
+
+/* ====================== span walker (extract.spans._walk) ==============
+ * walk_spans(body, base_uri) -> list[(kind, text, ref)] or None to bail.
+ * Strict subset of extract/spans.py _walk + _flush: bails (per document)
+ * on unknown node classes, Element subclasses, TEXT_BOUNDARY elements
+ * with children (has_text would be needed), or depth > 512. Semantics —
+ * normalization, java_trim, separators, media/data barriers — mirror the
+ * Python source of truth and are gated by the same golden/fuzz suites. */
+
+static PyObject *g_w_media = NULL;   /* frozenset of media tag names */
+static PyObject *g_w_data = NULL;    /* frozenset of data tag names */
+static PyObject *g_w_resolve = NULL; /* nodes.resolve_url */
+static PyObject *g_cdata_t = NULL, *g_datanode_t = NULL, *g_comment_t = NULL;
+static long g_f_block = 0, g_f_boundary = 0, g_f_preserve = 0;
+static PyObject *s_src = NULL, *s_alt = NULL, *s_kind_text = NULL,
+    *s_kind_media = NULL, *s_kind_data = NULL, *s_empty = NULL,
+    *s_br = NULL;
+
+static PyObject *
+configure_walk(PyObject *self, PyObject *args)
+{
+    PyObject *media, *data, *resolve, *cdata_t, *datanode_t, *comment_t;
+    long f_block, f_boundary, f_preserve;
+    if (!PyArg_ParseTuple(args, "OOOOOOlll", &media, &data, &resolve,
+                          &cdata_t, &datanode_t, &comment_t,
+                          &f_block, &f_boundary, &f_preserve))
+        return NULL;
+#define SETW(g, v) Py_XDECREF(g); Py_INCREF(v); g = v
+    SETW(g_w_media, media);
+    SETW(g_w_data, data);
+    SETW(g_w_resolve, resolve);
+    SETW(g_cdata_t, cdata_t);
+    SETW(g_datanode_t, datanode_t);
+    SETW(g_comment_t, comment_t);
+#undef SETW
+    g_f_block = f_block;
+    g_f_boundary = f_boundary;
+    g_f_preserve = f_preserve;
+    if (s_src == NULL) {
+        s_src = PyUnicode_InternFromString("src");
+        s_alt = PyUnicode_InternFromString("alt");
+        s_kind_text = PyUnicode_InternFromString("text");
+        s_kind_media = PyUnicode_InternFromString("media");
+        s_kind_data = PyUnicode_InternFromString("data");
+        s_empty = PyUnicode_InternFromString("");
+        s_br = PyUnicode_InternFromString("br");
+        if (s_br == NULL)
+            return NULL;
+    }
+    Py_RETURN_NONE;
+}
+
+/* growable UCS4 text accumulator */
+typedef struct {
+    Py_UCS4 *buf;
+    Py_ssize_t len, cap;
+} Accum;
+
+static int
+acc_reserve(Accum *a, Py_ssize_t extra)
+{
+    if (a->len + extra <= a->cap)
+        return 0;
+    Py_ssize_t ncap = a->cap ? a->cap : 256;
+    while (ncap < a->len + extra)
+        ncap *= 2;
+    Py_UCS4 *nb = PyMem_Realloc(a->buf, ncap * sizeof(Py_UCS4));
+    if (nb == NULL) {
+        PyErr_NoMemory();
+        return -1;
+    }
+    a->buf = nb;
+    a->cap = ncap;
+    return 0;
+}
+
+static inline int
+is_norm_ws(Py_UCS4 c)
+{
+    return c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' ||
+           c == 0xA0;
+}
+
+/* StringUtil.appendNormalisedWhitespace (strip-leading from accum tail) */
+static int
+acc_append_normalised(Accum *a, PyObject *text)
+{
+    Py_ssize_t n = PyUnicode_GET_LENGTH(text);
+    if (acc_reserve(a, n) < 0)
+        return -1;
+    int kind = PyUnicode_KIND(text);
+    const void *data = PyUnicode_DATA(text);
+    int last_ws = a->len > 0 && a->buf[a->len - 1] == ' ';
+    for (Py_ssize_t i = 0; i < n; i++) {
+        Py_UCS4 c = PyUnicode_READ(kind, data, i);
+        if (is_norm_ws(c)) {
+            if (!last_ws) {
+                a->buf[a->len++] = ' ';
+                last_ws = 1;
+            }
+        } else if (c == 0x200B || c == 0xAD) {
+            /* invisibles: transparent to the collapse state */
+        } else {
+            a->buf[a->len++] = c;
+            last_ws = 0;
+        }
+    }
+    return 0;
+}
+
+static int
+acc_append_raw(Accum *a, PyObject *text)
+{
+    Py_ssize_t n = PyUnicode_GET_LENGTH(text);
+    if (acc_reserve(a, n) < 0)
+        return -1;
+    int kind = PyUnicode_KIND(text);
+    const void *data = PyUnicode_DATA(text);
+    for (Py_ssize_t i = 0; i < n; i++)
+        a->buf[a->len++] = PyUnicode_READ(kind, data, i);
+    return 0;
+}
+
+static inline int
+acc_ends_space(Accum *a)
+{
+    return a->len > 0 && a->buf[a->len - 1] == ' ';
+}
+
+static int
+emit_tuple(PyObject *out, PyObject *kind, PyObject *text, PyObject *ref)
+{
+    PyObject *t = PyTuple_Pack(3, kind, text, ref);
+    if (t == NULL)
+        return -1;
+    int rc = PyList_Append(out, t);
+    Py_DECREF(t);
+    return rc;
+}
+
+/* java_trim + emit + reset; returns -1 on error */
+static int
+acc_flush(Accum *a, PyObject *out)
+{
+    Py_ssize_t start = 0, end = a->len;
+    while (start < end && a->buf[start] <= 0x20)
+        start++;
+    while (end > start && a->buf[end - 1] <= 0x20)
+        end--;
+    a->len = 0;
+    if (end > start) {
+        PyObject *txt = PyUnicode_FromKindAndData(
+            PyUnicode_4BYTE_KIND, a->buf + start, end - start);
+        if (txt == NULL)
+            return -1;
+        int rc = emit_tuple(out, s_kind_text, txt, s_empty);
+        Py_DECREF(txt);
+        return rc;
+    }
+    return 0;
+}
+
+/* preserve_whitespace: 6 ancestor levels (Element instances only) */
+static int
+w_preserve_ws(PyObject *node)
+{
+    PyObject *n = node;
+    Py_INCREF(n);
+    for (int i = 0; i < 6; i++) {
+        if (!PyObject_TypeCheck(n, (PyTypeObject *)g_element))
+            break;
+        PyObject *fl = PyObject_GetAttr(n, s_flags);
+        if (fl == NULL) {
+            Py_DECREF(n);
+            return -1;
+        }
+        long v = PyLong_AS_LONG(fl);
+        Py_DECREF(fl);
+        if (v & g_f_preserve) {
+            Py_DECREF(n);
+            return 1;
+        }
+        PyObject *p = PyObject_GetAttr(n, s_parent);
+        Py_DECREF(n);
+        if (p == NULL)
+            return -1;
+        n = p;
+        if (n == Py_None)
+            break;
+    }
+    Py_DECREF(n);
+    return 0;
+}
+
+/* Element.data(): preorder descendants collecting Data/CData/Comment */
+static PyObject *
+w_element_data(PyObject *el)
+{
+    PyObject *parts = PyList_New(0);
+    if (parts == NULL)
+        return NULL;
+    PyObject *stack = PyList_New(0);
+    if (stack == NULL) {
+        Py_DECREF(parts);
+        return NULL;
+    }
+    if (PyList_Append(stack, el) < 0)
+        goto fail;
+    while (PyList_GET_SIZE(stack) > 0) {
+        Py_ssize_t last = PyList_GET_SIZE(stack) - 1;
+        PyObject *n = PyList_GET_ITEM(stack, last);
+        Py_INCREF(n);
+        if (PyList_SetSlice(stack, last, last + 1, NULL) < 0) {
+            Py_DECREF(n);
+            goto fail;
+        }
+        PyTypeObject *tp = Py_TYPE(n);
+        if (tp == (PyTypeObject *)g_datanode_t ||
+            tp == (PyTypeObject *)g_cdata_t ||
+            tp == (PyTypeObject *)g_comment_t) {
+            PyObject *v = PyObject_GetAttr(n, s_value);
+            if (v == NULL || PyList_Append(parts, v) < 0) {
+                Py_XDECREF(v);
+                Py_DECREF(n);
+                goto fail;
+            }
+            Py_DECREF(v);
+        } else if (PyObject_TypeCheck(n, (PyTypeObject *)g_element)) {
+            PyObject *ch = PyObject_GetAttr(n, s_children);
+            if (ch == NULL) {
+                Py_DECREF(n);
+                goto fail;
+            }
+            for (Py_ssize_t i = PyList_GET_SIZE(ch) - 1; i >= 0; i--)
+                if (PyList_Append(stack, PyList_GET_ITEM(ch, i)) < 0) {
+                    Py_DECREF(ch);
+                    Py_DECREF(n);
+                    goto fail;
+                }
+            Py_DECREF(ch);
+        }
+        Py_DECREF(n);
+    }
+    Py_DECREF(stack);
+    PyObject *joined = PyUnicode_Join(s_empty, parts);
+    Py_DECREF(parts);
+    return joined;
+fail:
+    Py_DECREF(parts);
+    Py_DECREF(stack);
+    return NULL;
+}
+
+/* needs_trailing_sep */
+static int
+w_needs_trailing(PyObject *el, long flags)
+{
+    if (flags & (g_f_boundary | g_f_block))
+        return 1;
+    PyObject *ch = PyObject_GetAttr(el, s_children);
+    if (ch == NULL)
+        return -1;
+    for (Py_ssize_t i = 0; i < PyList_GET_SIZE(ch); i++) {
+        PyObject *c = PyList_GET_ITEM(ch, i);
+        if (PyObject_TypeCheck(c, (PyTypeObject *)g_element)) {
+            PyObject *fl = PyObject_GetAttr(c, s_flags);
+            if (fl == NULL) {
+                Py_DECREF(ch);
+                return -1;
+            }
+            long v = PyLong_AS_LONG(fl);
+            Py_DECREF(fl);
+            if (v & g_f_block) {
+                Py_DECREF(ch);
+                return 1;
+            }
+        }
+    }
+    Py_DECREF(ch);
+    return 0;
+}
+
+static long
+w_flags(PyObject *el)
+{
+    PyObject *fl = PyObject_GetAttr(el, s_flags);
+    if (fl == NULL)
+        return -1;
+    long v = PyLong_AS_LONG(fl);
+    Py_DECREF(fl);
+    return v;
+}
+
+/* tail separator logic (spans._tail_sep) */
+static int
+w_tail_sep(Accum *a, PyObject *el, PyObject *nxt)
+{
+    long flags = w_flags(el);
+    if (flags < 0)
+        return -1;
+    int need = w_needs_trailing(el, flags);
+    if (need <= 0)
+        return need;
+    if (nxt == NULL || nxt == Py_None)
+        return 0;
+    int ok = 0;
+    if (PyObject_TypeCheck(nxt, (PyTypeObject *)g_textnode)) {
+        ok = 1;
+    } else if (PyObject_TypeCheck(nxt, (PyTypeObject *)g_element)) {
+        long nf = w_flags(nxt);
+        if (nf < 0)
+            return -1;
+        ok = !(nf & g_f_block);
+    }
+    if (ok && !acc_ends_space(a) && a->len > 0) {
+        if (acc_reserve(a, 1) < 0)
+            return -1;
+        a->buf[a->len++] = ' ';
+    } else if (ok && a->len == 0) {
+        /* python appends even to empty accum (leading space trimmed at
+         * flush) — harmless either way; mirror exactly: append */
+        if (acc_reserve(a, 1) < 0)
+            return -1;
+        a->buf[a->len++] = ' ';
+    }
+    return 0;
+}
+
+#define W_BAIL 2
+
+typedef struct {
+    PyObject *node;   /* borrowed from parent's children (kept alive by tree) */
+    PyObject *children; /* owned */
+    Py_ssize_t idx;
+    PyObject *nxt;    /* borrowed or NULL */
+} WFrame;
+
+static PyObject *
+walk_spans(PyObject *self, PyObject *args)
+{
+    PyObject *root, *base;
+    if (!PyArg_ParseTuple(args, "OO", &root, &base))
+        return NULL;
+    if (g_w_media == NULL || g_element == NULL) {
+        PyErr_SetString(PyExc_RuntimeError, "walker not configured");
+        return NULL;
+    }
+    PyObject *out = PyList_New(0);
+    if (out == NULL)
+        return NULL;
+    Accum acc = {NULL, 0, 0};
+    WFrame frames[512];
+    int depth = 0;
+    int rc = 0;
+
+    PyObject *rootch = PyObject_GetAttr(root, s_children);
+    if (rootch == NULL || !PyList_Check(rootch)) {
+        Py_XDECREF(rootch);
+        Py_DECREF(out);
+        return NULL;
+    }
+    frames[0].node = root;
+    frames[0].children = rootch;
+    frames[0].idx = 0;
+    frames[0].nxt = NULL;
+
+    while (depth >= 0) {
+        WFrame *f = &frames[depth];
+        if (f->idx < PyList_GET_SIZE(f->children)) {
+            PyObject *child = PyList_GET_ITEM(f->children, f->idx);
+            PyObject *nxt = (f->idx + 1 < PyList_GET_SIZE(f->children))
+                ? PyList_GET_ITEM(f->children, f->idx + 1) : NULL;
+            f->idx++;
+            PyTypeObject *tp = Py_TYPE(child);
+            if (tp == (PyTypeObject *)g_textnode ||
+                tp == (PyTypeObject *)g_cdata_t) {
+                PyObject *v = PyObject_GetAttr(child, s_value);
+                if (v == NULL) { rc = -1; break; }
+                int pres = (tp == (PyTypeObject *)g_cdata_t)
+                    ? 1 : w_preserve_ws(f->node);
+                if (pres < 0) { Py_DECREF(v); rc = -1; break; }
+                rc = pres ? acc_append_raw(&acc, v)
+                          : acc_append_normalised(&acc, v);
+                Py_DECREF(v);
+                if (rc < 0) break;
+                continue;
+            }
+            if (tp == (PyTypeObject *)g_datanode_t ||
+                tp == (PyTypeObject *)g_comment_t)
+                continue;   /* skipped leaf kinds */
+            if (tp != (PyTypeObject *)g_element) {
+                /* subclasses (PseudoTextElement), doctype/decl leaves,
+                 * anything unexpected: python path */
+                if (PyObject_TypeCheck(child, (PyTypeObject *)g_element) ||
+                    PyObject_TypeCheck(child, (PyTypeObject *)g_textnode)) {
+                    rc = W_BAIL; break;
+                }
+                continue;   /* other leaf kinds are skipped in python too */
+            }
+            long flags = w_flags(child);
+            if (flags < 0) { rc = -1; break; }
+            PyObject *nm = PyObject_GetAttr(child, s_name);
+            if (nm == NULL) { rc = -1; break; }
+            PyObject *cns = PyObject_GetAttr(child, s_ns);
+            if (cns == NULL) { Py_DECREF(nm); rc = -1; break; }
+            int html_ns = (cns == g_ns_html) ||
+                (PyUnicode_Compare(cns, g_ns_html) == 0);
+            Py_DECREF(cns);
+            PyErr_Clear();
+            int is_media = 0, is_data = 0;
+            if (html_ns) {
+                is_media = PySet_Contains(g_w_media, nm);
+                if (is_media < 0) { Py_DECREF(nm); rc = -1; break; }
+                if (!is_media) {
+                    is_data = PySet_Contains(g_w_data, nm);
+                    if (is_data < 0) { Py_DECREF(nm); rc = -1; break; }
+                }
+            }
+            if (is_media || is_data) {
+                if (acc_flush(&acc, out) < 0) { Py_DECREF(nm); rc = -1; break; }
+                if (is_media) {
+                    PyObject *attrs = PyObject_GetAttr(child, s_attrs);
+                    if (attrs == NULL) { Py_DECREF(nm); rc = -1; break; }
+                    PyObject *ref = NULL, *alt = NULL;
+                    PyObject *srcv = PyDict_GetItemWithError(attrs, s_src);
+                    if (srcv == NULL && PyErr_Occurred()) {
+                        Py_DECREF(attrs); Py_DECREF(nm); rc = -1; break;
+                    }
+                    if (srcv == NULL) {
+                        Py_INCREF(s_empty); ref = s_empty;
+                    } else {
+                        PyObject *rel = (srcv == Py_None) ? s_empty : srcv;
+                        ref = PyObject_CallFunctionObjArgs(
+                            g_w_resolve, base, rel, NULL);
+                        if (ref == NULL) {
+                            Py_DECREF(attrs); Py_DECREF(nm); rc = -1; break;
+                        }
+                        if (PyUnicode_GET_LENGTH(ref) == 0) {
+                            Py_DECREF(ref);
+                            Py_INCREF(rel); ref = rel;
+                        }
+                    }
+                    PyObject *altv = PyDict_GetItemWithError(attrs, s_alt);
+                    if (altv == NULL && PyErr_Occurred()) {
+                        Py_DECREF(ref); Py_DECREF(attrs); Py_DECREF(nm);
+                        rc = -1; break;
+                    }
+                    if (altv == NULL || altv == Py_None) {
+                        Py_INCREF(s_empty); alt = s_empty;
+                    } else {
+                        /* java_trim(alt) */
+                        Py_ssize_t n2 = PyUnicode_GET_LENGTH(altv);
+                        Py_ssize_t st = 0, en = n2;
+                        int k2 = PyUnicode_KIND(altv);
+                        const void *d2 = PyUnicode_DATA(altv);
+                        while (st < en && PyUnicode_READ(k2, d2, st) <= 0x20)
+                            st++;
+                        while (en > st && PyUnicode_READ(k2, d2, en - 1) <= 0x20)
+                            en--;
+                        alt = PyUnicode_Substring(altv, st, en);
+                        if (alt == NULL) {
+                            Py_DECREF(ref); Py_DECREF(attrs); Py_DECREF(nm);
+                            rc = -1; break;
+                        }
+                    }
+                    int erc = emit_tuple(out, s_kind_media, alt, ref);
+                    Py_DECREF(alt); Py_DECREF(ref); Py_DECREF(attrs);
+                    if (erc < 0) { Py_DECREF(nm); rc = -1; break; }
+                    /* NOTE: python emits ["media", alt, ref] — order is
+                     * (kind, text=alt, media_ref=ref); matches */
+                } else {
+                    PyObject *d = w_element_data(child);
+                    if (d == NULL) { Py_DECREF(nm); rc = -1; break; }
+                    int erc = emit_tuple(out, s_kind_data, d, s_empty);
+                    Py_DECREF(d);
+                    if (erc < 0) { Py_DECREF(nm); rc = -1; break; }
+                }
+            } else {
+                /* leading separator */
+                if (acc.len > 0) {
+                    int lead = 0;
+                    if (flags & g_f_block) {
+                        lead = 1;
+                    } else if (PyUnicode_Compare(nm, s_br) == 0) {
+                        lead = 1;
+                    } else if (flags & g_f_boundary) {
+                        PyObject *ch = PyObject_GetAttr(child, s_children);
+                        if (ch == NULL) { Py_DECREF(nm); rc = -1; break; }
+                        int has_kids = PyList_GET_SIZE(ch) > 0;
+                        Py_DECREF(ch);
+                        if (has_kids) { Py_DECREF(nm); rc = W_BAIL; break; }
+                    }
+                    if (lead && !acc_ends_space(&acc)) {
+                        if (acc_reserve(&acc, 1) < 0) {
+                            Py_DECREF(nm); rc = -1; break;
+                        }
+                        acc.buf[acc.len++] = ' ';
+                    }
+                } else if (flags & g_f_boundary) {
+                    PyObject *ch = PyObject_GetAttr(child, s_children);
+                    if (ch == NULL) { Py_DECREF(nm); rc = -1; break; }
+                    int has_kids = PyList_GET_SIZE(ch) > 0;
+                    Py_DECREF(ch);
+                    if (has_kids) { Py_DECREF(nm); rc = W_BAIL; break; }
+                }
+            }
+            Py_DECREF(nm);
+            /* descend or tail-sep */
+            PyObject *ch = PyObject_GetAttr(child, s_children);
+            if (ch == NULL || !PyList_Check(ch)) {
+                Py_XDECREF(ch); rc = -1; break;
+            }
+            if (PyList_GET_SIZE(ch) > 0) {
+                if (depth + 1 >= 512) { Py_DECREF(ch); rc = W_BAIL; break; }
+                depth++;
+                frames[depth].node = child;
+                frames[depth].children = ch;
+                frames[depth].idx = 0;
+                frames[depth].nxt = nxt;
+            } else {
+                Py_DECREF(ch);
+                rc = w_tail_sep(&acc, child, nxt);
+                if (rc != 0) break;
+            }
+        } else {
+            Py_DECREF(f->children);
+            PyObject *node = f->node;
+            PyObject *nxt = f->nxt;
+            depth--;
+            if (depth >= 0) {
+                rc = w_tail_sep(&acc, node, nxt);
+                if (rc != 0) break;
+            }
+        }
+    }
+    /* release remaining frames on abnormal exit */
+    while (rc != 0 && depth >= 0) {
+        Py_DECREF(frames[depth].children);
+        depth--;
+    }
+    if (rc == 0) {
+        rc = acc_flush(&acc, out);
+    }
+    PyMem_Free(acc.buf);
+    if (rc == W_BAIL) {
+        Py_DECREF(out);
+        Py_RETURN_NONE;
+    }
+    if (rc < 0) {
+        Py_DECREF(out);
+        return NULL;
+    }
+    return out;
+}
+
 static PyMethodDef methods[] = {
     {"configure", configure, METH_VARARGS,
      "configure(actions, ns_html, Element, TextNode, errs7, in_body, flag_data)"},
     {"apply", apply, METH_VARARGS,
      "apply(tb, token, q) -> leftover token or None"},
+    {"configure_walk", configure_walk, METH_VARARGS,
+     "configure_walk(media_set, data_set, resolve, CData, DataNode, Comment, BLOCK, TEXT_BOUNDARY, PRESERVE_WS)"},
+    {"walk_spans", walk_spans, METH_VARARGS,
+     "walk_spans(body, base_uri) -> list[(kind,text,ref)] or None (bail)"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -29,6 +29,23 @@ MEDIA_TAGS = frozenset(("img", "video", "audio", "source", "embed",
                         "iframe", "track"))
 DATA_SPAN_TAGS = frozenset(("script", "style"))
 
+# optional C walker (same strict-subset/bail design as the parser
+# accelerators; _walk below remains the source of truth and fallback)
+try:
+    from .._native import jsoup_fasttree as _CW
+
+    if hasattr(_CW, "walk_spans"):
+        from ..parser.nodes import (
+            CDataNode as _CD, CommentNode as _CM, DataNode as _DN,
+            resolve_url as _resolve)
+        _CW.configure_walk(MEDIA_TAGS, DATA_SPAN_TAGS, _resolve,
+                           _CD, _DN, _CM,
+                           tags.BLOCK, tags.TEXT_BOUNDARY, tags.PRESERVE_WS)
+    else:  # pragma: no cover - stale .so without the walker
+        _CW = None
+except ImportError:  # pragma: no cover - extension not built
+    _CW = None
+
 
 def extract_spans(doc: Document) -> list[tuple[str, str, str, int]]:
     """Emit (kind, text, media_ref, order) tuples for a document."""
@@ -38,9 +55,15 @@ def extract_spans(doc: Document) -> list[tuple[str, str, str, int]]:
         out.append(["title", title, ""])
     body = doc.body
     if body is not None:
-        accum: list[str] = []
-        _walk(body, out, accum)
-        _flush(out, accum)
+        res = None
+        if _CW is not None:
+            res = _CW.walk_spans(body, doc.base or "")
+        if res is not None:
+            out.extend(res)
+        else:
+            accum: list[str] = []
+            _walk(body, out, accum)
+            _flush(out, accum)
     return [(k, t, r, i) for i, (k, t, r) in enumerate(out)]
 
 
