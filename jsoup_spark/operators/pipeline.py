@@ -90,16 +90,23 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
     Set 0 to force streaming, or a negative value to disable.
     """
     # html + input media spans in ONE projection — a join here would shuffle
-    # the whole corpus against itself
-    media_in = F.array_sort(
+    # the whole corpus against itself.
+    # sort_array over offset-FIRST structs instead of array_sort with a
+    # comparator lambda: the comparator is interpreted per comparison,
+    # while sort_array's natural struct ordering stays in codegen (offsets
+    # are unique per doc per the input contract, so the orders agree).
+    media_in = F.sort_array(F.transform(
         F.filter(F.col("spans"), lambda s: s["kind"] == "media"),
-        lambda a, b: a["offset"] - b["offset"],
-    )
+        lambda s: F.struct(s["offset"].alias("offset"),
+                           s["text"].alias("text"),
+                           s["media_ref"].alias("media_ref"))))
     html = F.array_join(
         F.transform(
-            F.array_sort(F.filter(F.col("spans"), lambda s: s["kind"] == "html"),
-                         lambda a, b: a["offset"] - b["offset"]),
-            lambda s: s["text"],
+            F.sort_array(F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "html"),
+                lambda s: F.struct(s["offset"].alias("o"),
+                                   s["text"].alias("t")))),
+            lambda s: s["t"],
         ),
         "",
     )
