@@ -128,18 +128,19 @@ def child_throughput(cpus: str) -> dict:
     """Run extraction in a fresh JVM at the given parallelism: two warmup
     passes (JIT + python-worker spawn + page cache), then the median of
     three timed passes."""
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     code = (
         "import sys, json, statistics; sys.path.insert(0, %r);"
         "import bench;"
         "spark = bench.make_spark(%r); spark.sparkContext.setLogLevel('ERROR');"
         "bench.run_extraction(spark, %r); bench.run_extraction(spark, %r);"
-        "runs = [bench.run_extraction(spark, %r) for _ in range(3)];"
+        "runs = [bench.run_extraction(spark, %r) for _ in range(%d)];"
         "walls = [w for w, _ in runs]; n = runs[0][1];"
         "wall = statistics.median(walls);"
         "print(json.dumps({'cpus': int(%r), 'docs': n, 'walls': walls,"
         " 'wall': wall, 'docs_per_sec': n / wall,"
         " 'docs_per_sec_min_wall': n / min(walls)}))"
-    ) % (REPO, cpus, SF_DIR, SF_DIR, SF_DIR, cpus)
+    ) % (REPO, cpus, SF_DIR, SF_DIR, SF_DIR, reps, cpus)
     argv = [sys.executable, "-c", code]
     if _has_taskset():
         # pin the child to exactly `cpus` CPUs: an unpinned local[N] leaks
