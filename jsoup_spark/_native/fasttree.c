@@ -35,6 +35,7 @@
 #define SA_MEDIA_EMPTY 4   /* insert empty (param/source/track) */
 #define SA_UNKNOWN 5       /* insert, no reconstruct (unknown tags) */
 #define SA_LI 6
+#define SA_FORMATTING 7    /* the 12 formatting tags: insert + push (Noah) */
 
 /* end actions */
 #define EA_BAIL 0
@@ -704,6 +705,52 @@ apply(PyObject *self, PyObject *args)
                 PyObject *el = insert_element(&c, normal, flags, attrs, 1);
                 if (el == NULL) goto error_start;
                 Py_DECREF(el);
+                break;
+            }
+            case SA_FORMATTING: {
+                int noop = reconstruct_is_noop(&c);
+                if (noop < 0) goto error_start;
+                if (!noop) { handled = 0; break; }
+                PyObject *el = insert_element(&c, normal, flags, attrs, 1);
+                if (el == NULL) goto error_start;
+                /* Noah's Ark (treebuilder._check_noahs_ark): at most 3
+                 * identical (name, attrs) entries in the last 13 */
+                Py_ssize_t nf = PyList_GET_SIZE(c.formatting);
+                Py_ssize_t ceil_ = nf - 1 - 12;
+                if (ceil_ < 0) ceil_ = 0;
+                int seen = 0;
+                for (Py_ssize_t i = nf - 1; i >= ceil_; i--) {
+                    PyObject *cand = PyList_GET_ITEM(c.formatting, i);
+                    if (cand == Py_None)
+                        break;
+                    PyObject *cn = PyObject_GetAttr(cand, s_name);
+                    if (cn == NULL) { Py_DECREF(el); goto error_start; }
+                    int same_name = PyUnicode_Compare(cn, normal) == 0;
+                    Py_DECREF(cn);
+                    if (same_name) {
+                        PyObject *ca = PyObject_GetAttr(cand, s_attrs);
+                        PyObject *ea = PyObject_GetAttr(el, s_attrs);
+                        if (ca == NULL || ea == NULL) {
+                            Py_XDECREF(ca); Py_XDECREF(ea);
+                            Py_DECREF(el); goto error_start;
+                        }
+                        int eq = PyObject_RichCompareBool(ca, ea, Py_EQ);
+                        Py_DECREF(ca);
+                        Py_DECREF(ea);
+                        if (eq < 0) { Py_DECREF(el); goto error_start; }
+                        if (eq)
+                            seen++;
+                    }
+                    if (seen == 3) {
+                        if (PyList_SetSlice(c.formatting, i, i + 1, NULL) < 0) {
+                            Py_DECREF(el); goto error_start;
+                        }
+                        break;
+                    }
+                }
+                int arc = PyList_Append(c.formatting, el);
+                Py_DECREF(el);
+                if (arc < 0) goto error_start;
                 break;
             }
             case SA_VOID_RECON: {

@@ -167,7 +167,7 @@ def _build_fasttree_actions() -> dict:
     replicating the _in_body_start/_in_body_end dispatch classification."""
     import sys as _sys
     SA_BAIL, SA_PLAIN_RECON, SA_P_CLOSER, SA_VOID_RECON, SA_MEDIA_EMPTY, \
-        SA_UNKNOWN, SA_LI = 0, 1, 2, 3, 4, 5, 6
+        SA_UNKNOWN, SA_LI, SA_FORMATTING = 0, 1, 2, 3, 4, 5, 6, 7
     EA_BAIL, EA_CLOSER, EA_LI, EA_P, EA_ANY, EA_DD_DT = 0, 1, 2, 3, 4, 5
     start_bail = {
         "a", "html", "body", "frameset", "form", "plaintext", "button",
@@ -181,7 +181,7 @@ def _build_fasttree_actions() -> dict:
         if name in C_P_CLOSERS:
             return SA_P_CLOSER
         if name in C_FORMATTING_12:
-            return SA_BAIL
+            return SA_FORMATTING
         if name in C_SIMPLE_VOIDS:
             return SA_VOID_RECON
         if name == "span":
