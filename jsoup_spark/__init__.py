@@ -12,6 +12,7 @@ from .parser.treebuilder import (  # noqa: F401
     parse, parse_body_fragment, parse_fragment,
 )
 from .parser.tags import Tag, TagSet  # noqa: F401
+from .helper.w3cdom import W3CDom  # noqa: F401
 from .parser.xmlbuilder import parse_xml  # noqa: F401
 from .parser.streamparser import StreamParser  # noqa: F401
 from .sources.ingest import load_file, load_stream  # noqa: F401
@@ -24,7 +25,7 @@ from .select.selector import (  # noqa: F401
 
 __all__ = [
     "parse", "parse_fragment", "parse_body_fragment", "parse_xml",
-    "StreamParser", "Tag", "TagSet", "load_file", "load_stream", "clean",
+    "StreamParser", "Tag", "TagSet", "W3CDom", "load_file", "load_stream", "clean",
     "Safelist", "select", "select_first", "select_multi", "filter_out",
     "elements_not", "compile_query",
 ]

@@ -125,9 +125,59 @@ public class Harness {
                 String body_whole = doc.body() != null ? doc.body().wholeText() : "";
                 return canonical(doc) + "" + doc.html() + "" + body_text + "" + body_whole;
             }
+            case "w3ctree": {
+                // W3CDom conversion structure (helper/W3CDom.java):
+                // canonical dump of the converted org.w3c.dom tree,
+                // mirrored by jsoup_spark/helper/w3cdom.py tests
+                Document jdoc = a2.equals("xml")
+                    ? Jsoup.parse(a1, "", Parser.xmlParser())
+                    : Jsoup.parse(a1);
+                org.w3c.dom.Document w = new org.jsoup.helper.W3CDom().fromJsoup(jdoc);
+                StringBuilder sb = new StringBuilder();
+                org.w3c.dom.NodeList kids = w.getChildNodes();
+                for (int i = 0; i < kids.getLength(); i++) w3cNode(kids.item(i), sb);
+                return sb.toString();
+            }
             case "positions": return positions(Jsoup.parse(a1, Parser.htmlParser().setTrackPosition(true)));
             case "posxml": return positions(Jsoup.parse(a1, "", Parser.xmlParser().setTrackPosition(true)));
             default: return "!ERROR: unknown op " + op;
+        }
+    }
+
+    // ---- W3CDom canonical structure dump ----
+    static void w3cNode(org.w3c.dom.Node n, StringBuilder sb) {
+        switch (n.getNodeType()) {
+            case org.w3c.dom.Node.ELEMENT_NODE: {
+                sb.append('(').append(n.getNodeName());
+                String ns = n.getNamespaceURI();
+                sb.append('{').append(ns == null ? "" : ns).append('}');
+                org.w3c.dom.NamedNodeMap attrs = n.getAttributes();
+                java.util.TreeMap<String, String> sorted = new java.util.TreeMap<>();
+                for (int i = 0; i < attrs.getLength(); i++) {
+                    org.w3c.dom.Node a = attrs.item(i);
+                    sorted.put(a.getNodeName(), a.getNodeValue());
+                }
+                for (java.util.Map.Entry<String, String> e : sorted.entrySet())
+                    sb.append(' ').append(e.getKey()).append('=').append(e.getValue()).append('\u0001');
+                org.w3c.dom.NodeList kids = n.getChildNodes();
+                for (int i = 0; i < kids.getLength(); i++) w3cNode(kids.item(i), sb);
+                sb.append(')');
+                break;
+            }
+            case org.w3c.dom.Node.TEXT_NODE:
+                sb.append('"').append(n.getNodeValue()).append('"');
+                break;
+            case org.w3c.dom.Node.COMMENT_NODE:
+                sb.append("<!--").append(n.getNodeValue()).append("-->");
+                break;
+            case org.w3c.dom.Node.DOCUMENT_TYPE_NODE: {
+                org.w3c.dom.DocumentType dt = (org.w3c.dom.DocumentType) n;
+                sb.append("<!DOCTYPE ").append(dt.getName()).append('|')
+                  .append(dt.getPublicId() == null ? "" : dt.getPublicId()).append('|')
+                  .append(dt.getSystemId() == null ? "" : dt.getSystemId()).append('>');
+                break;
+            }
+            default: break;
         }
     }
 

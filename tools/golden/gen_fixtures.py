@@ -395,6 +395,45 @@ def customtag_inputs() -> list[str]:
     return cases
 
 
+def w3c_inputs() -> list[tuple[str, str]]:
+    """Inputs for the W3CDom-conversion differential (Harness op w3ctree;
+    mirrored by tests/test_w3cdom.py). mode '' = html parse, 'xml' = xml.
+    Per-attribute namespaces (xlink:, XML-declared prefixes) are out of
+    scope — this engine keeps prefixed attribute NAMES (tags.py note)."""
+    import random
+    cases = [
+        ("<p>One</p>", ""),
+        ("<!DOCTYPE html><html><head><title>T</title></head>"
+         "<body><p class=a id=b>x<br>y</p></body></html>", ""),
+        ("<div><svg viewBox='0 0 1 1'><circle r='1'/></svg>"
+         "<math><mi>x</mi></math></div>", ""),
+        ("<p 'weird'=1 ok=2>x", ""),
+        ("<p data-x='1' v-bind:href='y'>t</p>", ""),
+        ("<p><!-- c --><script>d()</script></p>", ""),
+        ("<template><p>in</p></template>", ""),
+        ("<p =bare empty>x", ""),
+        ("<P CLASS=UP>case</P>", ""),
+        ("<div xmlns:v='http://v.example'><p v:k='1'>x</p></div>", ""),
+        ("<root><a:b/><c d='1'/>text<![CDATA[cd]]></root>", "xml"),
+        ("<?xml version='1.0'?><r><n>t</n></r>", "xml"),
+        ("<table><tr><td>1<td>2</table>", ""),
+        ("<ul><li>a<li>b</ul><p>&amp; &lt;</p>", ""),
+        ("<p>a<b>b<i>c</b>d</i>e</p>", ""),
+        ("<img src=x alt='y'><input disabled>", ""),
+    ]
+    rng = random.Random(5)
+    frag = ["<p id=p%d>t%d</p>", "<div class='c%d d'>", "</div>",
+            "<span v-on:x='%d'>s</span>", "<b>x%d",
+            "<svg><rect w='%d'/></svg>", "<!--m%d-->", "word%d "]
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randint(2, 6)):
+            f = rng.choice(frag)
+            parts.append(f % tuple([i] * f.count("%d")))
+        cases.append(("".join(parts), ""))
+    return cases
+
+
 def main() -> None:
     cp = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jsoupbuild/out"
     os.makedirs(FIXDIR, exist_ok=True)
@@ -437,6 +476,8 @@ def main() -> None:
     ops += [("posxml", h) for h in pos_xml]
     customtag_cases = customtag_inputs()
     ops += [("customtree", h) for h in customtag_cases]
+    w3c_cases = w3c_inputs()
+    ops += [("w3ctree", h, m) for h, m in w3c_cases]
 
     results = run_harness(cp, ops)
     i = 0
@@ -461,6 +502,7 @@ def main() -> None:
     pos_html_gold = take(len(pos_html))
     pos_xml_gold = take(len(pos_xml))
     customtag_gold = take(len(customtag_cases))
+    w3c_gold = take(len(w3c_cases))
     assert i == len(results)
 
     def dump(name, obj):
@@ -501,6 +543,9 @@ def main() -> None:
     })
     dump("golden_customtags.json", [
         {"html": h, "out": g} for h, g in zip(customtag_cases, customtag_gold)])
+    dump("golden_w3cdom.json", [
+        {"html": h, "mode": m, "out": g}
+        for (h, m), g in zip(w3c_cases, w3c_gold)])
 
     # wild corpus: hashes only (content stays in the reference tree)
     wild = []
