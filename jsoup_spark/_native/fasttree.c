@@ -69,6 +69,21 @@ static PyObject *g_textnode = NULL;  /* TextNode class */
 static long g_in_body = -1;
 static long g_flag_data = 0;         /* tags.DATA bit */
 
+/* head-phase config (configure_head): tree-builder insertion-mode ids,
+ * tokenizer state ids, the in-head name sets, node types and resolver */
+static long g_before_head = -1, g_in_head = -1, g_after_head = -1,
+    g_text_mode = -1, g_tz_rcdata = -1, g_tz_rawtext = -1,
+    g_tz_scriptdata = -1;
+static PyObject *g_head_empty = NULL;   /* frozenset: base basefont ... */
+static PyObject *g_h_resolve = NULL;    /* nodes.resolve_url */
+static PyObject *g_h_datanode = NULL, *g_h_cdata = NULL;
+static PyObject *s_h_title = NULL, *s_h_script = NULL, *s_h_style = NULL,
+    *s_h_noframes = NULL, *s_h_meta = NULL, *s_h_head = NULL,
+    *s_h_body = NULL, *s_h_base = NULL, *s_h_href = NULL;
+static PyObject *s_head_el = NULL, *s_original_state = NULL, *s_tok = NULL,
+    *s_base_set = NULL, *s_base_uri = NULL, *s_base = NULL,
+    *s_h_empty = NULL;
+
 /* error strings (exact Python literals, passed from treebuilder) */
 static PyObject *g_err_dup_attrs = NULL;
 static PyObject *g_err_not_in_scope = NULL;
@@ -132,6 +147,51 @@ configure(PyObject *self, PyObject *args)
 #undef SET
     g_in_body = in_body;
     g_flag_data = flag_data;
+    Py_RETURN_NONE;
+}
+
+static PyObject *
+configure_head(PyObject *self, PyObject *args)
+{
+    PyObject *head_empty, *resolve, *datanode, *cdata;
+    long before_head, in_head, after_head, text_mode, rcd, raw, sd;
+    if (!PyArg_ParseTuple(args, "OOOOlllllll", &head_empty, &resolve,
+                          &datanode, &cdata, &before_head, &in_head,
+                          &after_head, &text_mode, &rcd, &raw, &sd))
+        return NULL;
+#define SETH(g, v) Py_XDECREF(g); Py_INCREF(v); g = v
+    SETH(g_head_empty, head_empty);
+    SETH(g_h_resolve, resolve);
+    SETH(g_h_datanode, datanode);
+    SETH(g_h_cdata, cdata);
+#undef SETH
+    g_before_head = before_head;
+    g_in_head = in_head;
+    g_after_head = after_head;
+    g_text_mode = text_mode;
+    g_tz_rcdata = rcd;
+    g_tz_rawtext = raw;
+    g_tz_scriptdata = sd;
+    if (s_h_title == NULL) {
+        s_h_title = PyUnicode_InternFromString("title");
+        s_h_script = PyUnicode_InternFromString("script");
+        s_h_style = PyUnicode_InternFromString("style");
+        s_h_noframes = PyUnicode_InternFromString("noframes");
+        s_h_meta = PyUnicode_InternFromString("meta");
+        s_h_head = PyUnicode_InternFromString("head");
+        s_h_body = PyUnicode_InternFromString("body");
+        s_h_base = PyUnicode_InternFromString("base");
+        s_h_href = PyUnicode_InternFromString("href");
+        s_head_el = PyUnicode_InternFromString("head_el");
+        s_original_state = PyUnicode_InternFromString("original_state");
+        s_tok = PyUnicode_InternFromString("tok");
+        s_base_set = PyUnicode_InternFromString("base_set");
+        s_base_uri = PyUnicode_InternFromString("base_uri");
+        s_base = PyUnicode_InternFromString("base");
+        s_h_empty = PyUnicode_InternFromString("");
+        if (s_h_empty == NULL)
+            return NULL;
+    }
     Py_RETURN_NONE;
 }
 
@@ -527,6 +587,206 @@ insert_element(Ctx *c, PyObject *normal, long flags, PyObject *attrs,
     return el;
 }
 
+/* head-phase handler (BEFORE_HEAD/IN_HEAD/AFTER_HEAD/TEXT modes, strict
+ * whitelist; mirrors treebuilder._before_head/_in_head/_after_head/_text).
+ * Returns 1 handled, 0 bail, -1 error; updates *state locally and writes
+ * tok.state / original_state / head_el / base immediately on transition. */
+static int
+head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
+{
+    if (ttype == TOK_CHAR) {
+        PyObject *data = PyObject_GetAttr(token, s_data);
+        if (data == NULL)
+            return -1;
+        if (!PyUnicode_Check(data) || contains_nul(data)) {
+            Py_DECREF(data);
+            return 0;
+        }
+        if (*state == g_text_mode) {
+            /* insert_character_to: DataNode under Data-flag elements */
+            PyObject *parent = current_parent(c);
+            PyObject *fl = PyObject_GetAttr(parent, s_flags);
+            if (fl == NULL) { Py_DECREF(data); return -1; }
+            long flv = PyLong_AS_LONG(fl);
+            Py_DECREF(fl);
+            PyObject *cls = (flv & g_flag_data) ? g_h_datanode : g_textnode;
+            PyObject *node = bare_instance(cls);
+            if (node == NULL) { Py_DECREF(data); return -1; }
+            if (PyObject_SetAttr(node, s_value, data) < 0 ||
+                append_child(parent, node) < 0) {
+                Py_DECREF(node); Py_DECREF(data);
+                return -1;
+            }
+            Py_DECREF(node);
+            Py_DECREF(data);
+            return 1;
+        }
+        /* before/in/after head: whitespace-only text inserts verbatim */
+        int ws = is_all_ws(data);
+        if (!ws) {
+            Py_DECREF(data);
+            return 0;
+        }
+        int rc = insert_text(c, data);
+        Py_DECREF(data);
+        return rc < 0 ? -1 : 1;
+    }
+    if (*state == g_text_mode) {
+        if (ttype != TOK_END)
+            return 0;  /* EOF etc. -> python */
+        if (pop_top(c) < 0)
+            return -1;
+        PyObject *os = PyObject_GetAttr(tb, s_original_state);
+        if (os == NULL)
+            return -1;
+        *state = PyLong_AS_LONG(os);
+        Py_DECREF(os);
+        return 1;
+    }
+    if (ttype == TOK_START) {
+        PyObject *sc = PyObject_GetAttr(token, s_self_closing);
+        if (sc == NULL)
+            return -1;
+        int selfc = PyObject_IsTrue(sc);
+        Py_DECREF(sc);
+        if (selfc)
+            return 0;
+        PyObject *normal = PyObject_GetAttr(token, s_normal);
+        if (normal == NULL)
+            return -1;
+        int known;
+        long packed = action_of(normal, &known);
+        if (packed < 0) { Py_DECREF(normal); return -1; }
+        long flags = PACK_FLAGS(packed);
+        PyObject *attrs = PyObject_GetAttr(token, s_attrs);
+        if (attrs == NULL) { Py_DECREF(normal); return -1; }
+        int handled = 0;
+        if (*state == g_before_head) {
+            if (PyUnicode_Compare(normal, s_h_head) == 0) {
+                PyObject *el = insert_element(c, normal, flags, attrs, 1);
+                if (el == NULL) goto h_err;
+                int rc = PyObject_SetAttr(tb, s_head_el, el);
+                Py_DECREF(el);
+                if (rc < 0) goto h_err;
+                *state = g_in_head;
+                handled = 1;
+            }
+        } else if (*state == g_in_head) {
+            int is_empty = PySet_Contains(g_head_empty, normal);
+            if (is_empty < 0) goto h_err;
+            if (is_empty) {
+                PyObject *el = insert_element(c, normal, flags, attrs, 0);
+                if (el == NULL) goto h_err;
+                if (PyUnicode_Compare(normal, s_h_base) == 0) {
+                    /* maybe_set_base (first <base href> rebases the doc) */
+                    PyObject *bs = PyObject_GetAttr(tb, s_base_set);
+                    if (bs == NULL) { Py_DECREF(el); goto h_err; }
+                    int base_set = PyObject_IsTrue(bs);
+                    Py_DECREF(bs);
+                    PyObject *eattrs = PyObject_GetAttr(el, s_attrs);
+                    if (eattrs == NULL) { Py_DECREF(el); goto h_err; }
+                    PyObject *hv = PyDict_GetItemWithError(eattrs, s_h_href);
+                    int has_href = hv != NULL;
+                    if (hv == NULL && PyErr_Occurred()) {
+                        Py_DECREF(eattrs); Py_DECREF(el); goto h_err;
+                    }
+                    if (!base_set && has_href) {
+                        PyObject *rel = (hv == Py_None) ? s_h_empty : hv;
+                        PyObject *bu = PyObject_GetAttr(tb, s_base_uri);
+                        if (bu == NULL) {
+                            Py_DECREF(eattrs); Py_DECREF(el); goto h_err;
+                        }
+                        PyObject *resolved = PyObject_CallFunctionObjArgs(
+                            g_h_resolve, bu, rel, NULL);
+                        Py_DECREF(bu);
+                        if (resolved == NULL) {
+                            Py_DECREF(eattrs); Py_DECREF(el); goto h_err;
+                        }
+                        if (PyUnicode_Check(resolved) &&
+                            PyUnicode_GET_LENGTH(resolved) > 0) {
+                            if (PyObject_SetAttr(tb, s_base_uri, resolved) < 0 ||
+                                PyObject_SetAttr(tb, s_base_set, Py_True) < 0 ||
+                                PyObject_SetAttr(c->doc, s_base, resolved) < 0) {
+                                Py_DECREF(resolved); Py_DECREF(eattrs);
+                                Py_DECREF(el); goto h_err;
+                            }
+                        }
+                        Py_DECREF(resolved);
+                    }
+                    Py_DECREF(eattrs);
+                }
+                Py_DECREF(el);
+                handled = 1;
+            } else if (PyUnicode_Compare(normal, s_h_meta) == 0) {
+                PyObject *el = insert_element(c, normal, flags, attrs, 0);
+                if (el == NULL) goto h_err;
+                Py_DECREF(el);
+                handled = 1;
+            } else if (PyUnicode_Compare(normal, s_h_title) == 0 ||
+                       PyUnicode_Compare(normal, s_h_script) == 0 ||
+                       PyUnicode_Compare(normal, s_h_style) == 0 ||
+                       PyUnicode_Compare(normal, s_h_noframes) == 0) {
+                /* _handle_text_state: switch tokenizer, remember mode,
+                 * enter TEXT, insert (push) */
+                long tzstate =
+                    PyUnicode_Compare(normal, s_h_title) == 0 ? g_tz_rcdata :
+                    PyUnicode_Compare(normal, s_h_script) == 0 ? g_tz_scriptdata
+                    : g_tz_rawtext;
+                PyObject *tok_o = PyObject_GetAttr(tb, s_tok);
+                if (tok_o == NULL) goto h_err;
+                PyObject *tzv = PyLong_FromLong(tzstate);
+                PyObject *osv = PyLong_FromLong(*state);
+                if (tzv == NULL || osv == NULL ||
+                    PyObject_SetAttr(tok_o, s_state, tzv) < 0 ||
+                    PyObject_SetAttr(tb, s_original_state, osv) < 0) {
+                    Py_XDECREF(tzv); Py_XDECREF(osv); Py_DECREF(tok_o);
+                    goto h_err;
+                }
+                Py_DECREF(tzv); Py_DECREF(osv); Py_DECREF(tok_o);
+                PyObject *el = insert_element(c, normal, flags, attrs, 1);
+                if (el == NULL) goto h_err;
+                Py_DECREF(el);
+                *state = g_text_mode;
+                handled = 1;
+            }
+        } else if (*state == g_after_head) {
+            if (PyUnicode_Compare(normal, s_h_body) == 0) {
+                PyObject *el = insert_element(c, normal, flags, attrs, 1);
+                if (el == NULL) goto h_err;
+                Py_DECREF(el);
+                if (c->frameset_ok) {
+                    c->frameset_ok = 0;
+                    c->frameset_dirty = 1;
+                }
+                *state = g_in_body;
+                handled = 1;
+            }
+        }
+        Py_DECREF(attrs);
+        Py_DECREF(normal);
+        return handled;
+    h_err:
+        Py_DECREF(attrs);
+        Py_DECREF(normal);
+        return -1;
+    }
+    if (ttype == TOK_END && *state == g_in_head) {
+        PyObject *normal = PyObject_GetAttr(token, s_normal);
+        if (normal == NULL)
+            return -1;
+        int is_head = PyUnicode_Compare(normal, s_h_head) == 0;
+        Py_DECREF(normal);
+        if (is_head) {
+            if (pop_top(c) < 0)
+                return -1;
+            *state = g_after_head;
+            return 1;
+        }
+        return 0;
+    }
+    return 0;
+}
+
 /* ---- the applier ----
  * apply(tb, token, q) -> leftover token (new ref) or None if everything
  * (token + all queued tokens) was consumed. On the FIRST token it cannot
@@ -551,8 +811,12 @@ apply(PyObject *self, PyObject *args)
 #define GETA(name) if ((tmp = PyObject_GetAttr(tb, name)) == NULL) return NULL
     GETA(s_state);
     long state = PyLong_AS_LONG(tmp);
+    long entry_state = state;
     Py_DECREF(tmp);
-    if (state != g_in_body)
+    if (state != g_in_body &&
+        !(g_in_head != -1 &&
+          (state == g_before_head || state == g_in_head ||
+           state == g_after_head || state == g_text_mode)))
         goto bail_entry;
     GETA(s_noscript);
     int ok = (tmp == Py_None);
@@ -615,6 +879,15 @@ apply(PyObject *self, PyObject *args)
             goto error_tok;
         long ttype = PyLong_AS_LONG(tp);
         Py_DECREF(tp);
+
+        if (state != g_in_body) {
+            int hrc = head_phase(&c, tb, token, ttype, &state);
+            if (hrc < 0)
+                goto error_tok;
+            if (hrc == 1)
+                goto next_token;
+            goto bail_tok;
+        }
 
         if (ttype == TOK_CHAR) {
             /* exact-type check: CData subclass carries T_CDATA code, so
@@ -1010,7 +1283,15 @@ apply(PyObject *self, PyObject *args)
             goto error_ctx;
     }
 
-    /* ---- success exit: write back frameset_ok ---- */
+    /* ---- success exit: write back frameset_ok + state ---- */
+    if (state != entry_state) {
+        PyObject *sv = PyLong_FromLong(state);
+        if (sv == NULL || PyObject_SetAttr(tb, s_state, sv) < 0) {
+            Py_XDECREF(sv);
+            goto error_ctx;
+        }
+        Py_DECREF(sv);
+    }
     if (c.frameset_dirty &&
         PyObject_SetAttr(tb, s_frameset_ok, Py_False) < 0)
         goto error_ctx;
@@ -1021,6 +1302,14 @@ apply(PyObject *self, PyObject *args)
     return token; /* already owned */
 
 bail_tok:
+    if (state != entry_state) {
+        PyObject *sv = PyLong_FromLong(state);
+        if (sv == NULL || PyObject_SetAttr(tb, s_state, sv) < 0) {
+            Py_XDECREF(sv);
+            goto error_ctx;
+        }
+        Py_DECREF(sv);
+    }
     if (c.frameset_dirty &&
         PyObject_SetAttr(tb, s_frameset_ok, Py_False) < 0)
         goto error_ctx;
@@ -1611,6 +1900,8 @@ static PyMethodDef methods[] = {
      "configure(actions, ns_html, Element, TextNode, errs7, in_body, flag_data)"},
     {"apply", apply, METH_VARARGS,
      "apply(tb, token, q) -> leftover token or None"},
+    {"configure_head", configure_head, METH_VARARGS,
+     "configure_head(head_empty_set, resolve, DataNode, CData, before_head, in_head, after_head, text, rcdata, rawtext, scriptdata)"},
     {"configure_walk", configure_walk, METH_VARARGS,
      "configure_walk(media_set, data_set, resolve, CData, DataNode, Comment, BLOCK, TEXT_BOUNDARY, PRESERVE_WS)"},
     {"walk_spans", walk_spans, METH_VARARGS,

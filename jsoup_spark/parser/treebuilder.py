@@ -480,7 +480,7 @@ class HtmlTreeBuilder:
                 chars.clear()
             else:
                 token = popleft()
-            if _FT is not None and self.state == IN_BODY \
+            if _FT is not None and self.state in _FT_STATES \
                     and self.noscript is None and not self.track \
                     and self.on_close is None and self.tagset is None:
                 token = _FT.apply(self, token, q)
@@ -2735,6 +2735,21 @@ if _FT is not None:
          "unexpected open elements", "li not in scope", "no p to close",
          "no matching element", "cannot close through special element"),
         IN_BODY, tags.DATA)
+    if hasattr(_FT, "configure_head"):
+        from .nodes import CDataNode as _CDataNode, DataNode as _DataNode
+        from .nodes import resolve_url as _resolve_url
+
+        _FT.configure_head(
+            C_IN_HEAD_EMPTY, _resolve_url, _DataNode, _CDataNode,
+            BEFORE_HEAD, IN_HEAD, AFTER_HEAD, TEXT,
+            tz.RCDATA, tz.RAWTEXT, tz.SCRIPT_DATA)
+        #: insertion modes the C applier may enter with
+        _FT_STATES = frozenset(
+            (IN_BODY, BEFORE_HEAD, IN_HEAD, AFTER_HEAD, TEXT))
+    else:  # pragma: no cover - stale .so
+        _FT_STATES = frozenset((IN_BODY,))
+else:
+    _FT_STATES = frozenset()
 
 
 def parse(html: str, base_uri: str = "",
