@@ -9,7 +9,8 @@ UDF workers and plain-Python use.
 """
 
 from .parser.treebuilder import (  # noqa: F401
-    parse, parse_body_fragment, parse_fragment,
+    HTML_DEFAULT, PRESERVE_CASE, ParseSettings, parse, parse_body_fragment,
+    parse_fragment,
 )
 from .parser.tags import Tag, TagSet  # noqa: F401
 from .helper.w3cdom import W3CDom  # noqa: F401
@@ -25,6 +26,7 @@ from .select.selector import (  # noqa: F401
 
 __all__ = [
     "parse", "parse_fragment", "parse_body_fragment", "parse_xml",
+    "ParseSettings", "HTML_DEFAULT", "PRESERVE_CASE",
     "StreamParser", "Tag", "TagSet", "W3CDom", "load_file", "load_stream", "clean",
     "Safelist", "select", "select_first", "select_multi", "filter_out",
     "elements_not", "compile_query",

@@ -486,14 +486,21 @@ def outer_html(node: Node, settings: OutputSettings | None = None) -> str:
         # Document.outerHtml() == html(): the synthetic #root container
         # never serializes (nodes/Document.java outerHtml -> html())
         if settings is None:
-            settings = OutputSettings(pretty=False, syntax="xml") \
-                if node.parse_mode == "xml" else DEFAULT
+            if node.output_settings is not None:
+                settings = node.output_settings
+            else:
+                settings = OutputSettings(pretty=False, syntax="xml") \
+                    if node.parse_mode == "xml" else DEFAULT
         return document_html(node, settings)
     if settings is None:
         # XML-parsed documents serialize with xml syntax + no pretty-print
-        # (XmlTreeBuilder.initialiseParse, XmlTreeBuilder.java:49-52)
+        # (XmlTreeBuilder.initialiseParse, XmlTreeBuilder.java:49-52);
+        # a Document with explicit OutputSettings governs all its nodes
+        # (NodeUtils.outputSettings)
         doc = node.owner_document()
-        if doc is not None and doc.parse_mode == "xml":
+        if doc is not None and doc.output_settings is not None:
+            settings = doc.output_settings
+        elif doc is not None and doc.parse_mode == "xml":
             settings = OutputSettings(pretty=False, syntax="xml")
         else:
             settings = DEFAULT

@@ -11,10 +11,14 @@ declared get a fake ``xmlns:prefix='undefined'`` declaration so
 serialization stays well-formed, and every created W3C node links back to
 its source node via ``source_map``.
 
-Known divergence (documented in parser/tags.py): this engine does not
-track per-attribute namespaces, so foreign-content-adjusted attributes
-(``xlink:href`` etc.) and XML-declared prefixed attributes take the
-undeclared-prefix path rather than a true namespaced attribute.
+Per-attribute namespaces (reference Attribute.namespace(), set by the XML
+parser only — Attribute.java:146-159): XML parses record resolved
+prefix->namespace maps per element (xmlbuilder attr_ns); prefixed
+attributes with a declared namespace become true namespaced W3C
+attributes via setAttributeNS. HTML parses never bind attribute
+namespaces (same as the reference), so HTML-side prefixed attributes
+(``xlink:href``, ``v-bind:x``) take the stack-walk / fake
+``xmlns:prefix='undefined'`` path, exactly like W3CDom.java:444-466.
 
 The engine's native XPath subset (select/xpath.py) remains the query
 path — this bridge exists for DOM-API interop, mirroring the reference's
@@ -159,6 +163,11 @@ class W3CDom:
         return ns
 
     def _copy_attributes(self, j_el: Element, w_el, syntax: str) -> None:
+        # XML parses record resolved per-attribute-prefix namespaces on the
+        # element (xmlbuilder attr_ns; reference Attributes.userData
+        # "jsoup.xmlns-"+prefix) — those become true namespaced W3C attrs
+        # (W3CDom.java:425-433 setAttributeNS)
+        attr_ns = getattr(j_el, "attr_ns", None)
         for key, val in j_el.attrs.items():
             k = get_valid_key(key, syntax)
             if k is None:
@@ -169,6 +178,12 @@ class W3CDom:
                 k = get_valid_key(key, "xml")
                 if k is None:
                     continue
+            ns = None
+            if self.namespace_aware and attr_ns is not None and ":" in k:
+                ns = attr_ns.get(k.split(":", 1)[0])
+            if ns:
+                w_el.setAttributeNS(ns, k, val if val is not None else "")
+                continue  # namespace known: no undeclared-prefix fix-up
             w_el.setAttribute(k, val if val is not None else "")
             self._maybe_add_undeclared_ns(k, j_el, w_el)
 

@@ -239,7 +239,7 @@ _HTML_FLAGS_GET = tags._HTML_FLAGS.get
 
 class Element(Node):
     __slots__ = ("name", "ns", "attrs", "children", "flags", "tag_name_case", "opts",
-                 "attr_ranges")
+                 "attr_ranges", "attr_ns")
 
     def __init__(self, name: str, ns: str = NS_HTML, attrs: dict | None = None):
         self.parent = None
@@ -579,7 +579,8 @@ class PseudoTextElement(Element):
 
 
 class Document(Element):
-    __slots__ = ("base", "quirks_mode", "errors", "parse_mode", "line_map")
+    __slots__ = ("base", "quirks_mode", "errors", "parse_mode", "line_map",
+                 "output_settings")
 
     def __init__(self, base_uri: str = ""):
         super().__init__("#root", NS_HTML)
@@ -589,6 +590,9 @@ class Document(Element):
         self.parse_mode = "html"
         # LineMap for offset->line/col when parsed with track_positions
         self.line_map = None
+        # per-document OutputSettings (nodes/Document.java outputSettings);
+        # None = serializer defaults (which already special-case XML parses)
+        self.output_settings = None
 
     def _first(self, name: str) -> Element | None:
         for el in self.elements():
@@ -640,6 +644,100 @@ class Document(Element):
         accum: list[str] = []
         _append_normalised(accum, t.text())
         return java_trim("".join(accum))
+
+    # ---- output charset (nodes/Document.java:270-335) ----
+    def _ensure_output_settings(self):
+        if self.output_settings is None:
+            from ..clean.serializer import OutputSettings
+            # mirror the serializer's per-parse-mode defaults so setting
+            # the charset doesn't silently change syntax/pretty behavior
+            if self.parse_mode == "xml":
+                self.output_settings = OutputSettings(pretty=False,
+                                                      syntax="xml")
+            else:
+                self.output_settings = OutputSettings()
+        return self.output_settings
+
+    def charset(self, name: str | None = None) -> str:
+        """Get or set the output charset (Document.charset()/charset(cs),
+        nodes/Document.java:270-335). Setting also adds or updates the
+        in-document charset element: `<meta charset>` for HTML syntax
+        (obsolete `<meta name=charset>` elements removed), the
+        `<?xml ... encoding?>` declaration for XML syntax."""
+        if name is None:
+            os_ = self.output_settings
+            return charset_display_name(os_.charset if os_ else "utf-8")
+        os_ = self._ensure_output_settings()
+        os_.charset = name
+        self._ensure_meta_charset()
+        return charset_display_name(name)
+
+    def _ensure_head(self) -> Element:
+        """Document.head() creation side-effect (Document.java:114-144)."""
+        html = self._html_el()
+        if html is None:
+            html = Element("html", NS_HTML)
+            self.append(html)
+        for c in html.child_elements():
+            if c.name == "head":
+                return c
+        head = Element("head", NS_HTML)
+        html.insert(0, head)
+        return head
+
+    def _ensure_meta_charset(self) -> None:
+        """ensureMetaCharsetElement (Document.java:304-321)."""
+        os_ = self.output_settings
+        display = charset_display_name(os_.charset)
+        if os_.syntax == "html":
+            from ..select.selector import select
+            metas = select(self, "meta[charset]")
+            if metas:
+                metas[0].attrs["charset"] = display
+            else:
+                head = self._ensure_head()
+                meta = Element("meta", NS_HTML)
+                meta.attrs["charset"] = display
+                head.append(meta)
+            for obsolete in select(self, "meta[name=charset]"):
+                obsolete.remove()
+        else:  # xml syntax: sync the <?xml?> declaration
+            first = self.children[0] if self.children else None
+            if isinstance(first, XmlDeclNode) and first.value == "xml" \
+                    and not first.is_declaration:
+                decl = first
+            else:
+                decl = XmlDeclNode("xml", {}, False)
+                self.insert(0, decl)
+            decl.attrs["version"] = "1.0"
+            decl.attrs["encoding"] = display
+
+
+# Java Charset.displayName() for the charsets the pipeline meets in the
+# wild (the Python codec registry canonicalizes differently, e.g.
+# 'iso8859-1'/'cp1252'); unknown charsets pass through as given.
+_JAVA_CHARSET_DISPLAY = {
+    "utf-8": "UTF-8", "utf-16": "UTF-16", "utf-16-be": "UTF-16BE",
+    "utf-16-le": "UTF-16LE", "utf-32": "UTF-32", "ascii": "US-ASCII",
+    "iso8859-1": "ISO-8859-1", "iso8859-2": "ISO-8859-2",
+    "iso8859-15": "ISO-8859-15", "cp1250": "windows-1250",
+    "cp1251": "windows-1251", "cp1252": "windows-1252",
+    "cp1254": "windows-1254", "shift_jis": "Shift_JIS",
+    "euc_jp": "EUC-JP", "euc_kr": "EUC-KR", "gbk": "GBK",
+    "gb2312": "GB2312", "gb18030": "GB18030", "big5": "Big5",
+    "koi8-r": "KOI8-R",
+}
+
+
+def charset_display_name(name: str) -> str:
+    """Java Charset.forName(name).displayName() equivalent for common
+    charsets, via the Python codec registry's canonical name."""
+    import codecs
+    try:
+        canonical = codecs.lookup(name).name
+    except LookupError:
+        return name
+    return _JAVA_CHARSET_DISPLAY.get(canonical, name)
 
 
 def java_trim(s: str) -> str:

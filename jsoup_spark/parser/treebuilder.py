@@ -279,6 +279,32 @@ class _NoscriptState:
         self.saved_form = saved_form
 
 
+class ParseSettings:
+    """Parser case settings (reference parser/ParseSettings.java:1-88):
+    optionally preserve tag and/or attribute name case. Tree-construction
+    logic always runs on the normalized (lowercased) name; these settings
+    only control the name the built Element reports/serializes and whether
+    attribute keys are lowercased (and deduped case-sensitively)."""
+
+    __slots__ = ("preserve_tag_case", "preserve_attribute_case")
+
+    def __init__(self, tag: bool, attribute: bool):
+        self.preserve_tag_case = tag
+        self.preserve_attribute_case = attribute
+
+    def normalize_tag(self, name: str) -> str:
+        name = name.strip()
+        return name if self.preserve_tag_case else name.lower()
+
+    def normalize_attribute(self, name: str) -> str:
+        name = name.strip()
+        return name if self.preserve_attribute_case else name.lower()
+
+
+HTML_DEFAULT = ParseSettings(False, False)   # ParseSettings.htmlDefault
+PRESERVE_CASE = ParseSettings(True, True)    # ParseSettings.preserveCase
+
+
 class HtmlTreeBuilder:
     """One instance per parse (single document)."""
 
@@ -306,6 +332,9 @@ class HtmlTreeBuilder:
         # through it so customizers/registered tags drive tokenisation
         # (Data/RcData), self-closing, void, whitespace and text semantics
         self.tagset = None
+        # parser case settings; None = htmlDefault (the hot path checks
+        # identity so the default costs nothing per element)
+        self.settings: ParseSettings | None = None
         self._flags = tags.flags
         self._is_known = tags.is_known
         self.track = False  # source-range tracking (Parser.setTrackPosition)
@@ -482,7 +511,8 @@ class HtmlTreeBuilder:
                 token = popleft()
             if _FT is not None and self.state in _FT_STATES \
                     and self.noscript is None and not self.track \
-                    and self.on_close is None and self.tagset is None:
+                    and self.on_close is None and self.tagset is None \
+                    and self.settings is None:
                 token = _FT.apply(self, token, q)
                 if token is None:
                     continue
@@ -616,8 +646,16 @@ class HtmlTreeBuilder:
         return out
 
     def _create_element(self, start, ns: str, preserve_case: bool) -> Element:
-        attrs = self._finalize_attrs(start.attrs, preserve_case)
-        name = start.name if preserve_case else start.normal
+        # preserve_case=True is the foreign-element path (forcePreserveCase,
+        # HtmlTreeBuilder.java:369-388); otherwise the builder's
+        # ParseSettings decide per-facet (tag vs attribute) preservation
+        if preserve_case or self.settings is None:
+            ptag = pattr = preserve_case
+        else:
+            ptag = self.settings.preserve_tag_case
+            pattr = self.settings.preserve_attribute_case
+        attrs = self._finalize_attrs(start.attrs, pattr)
+        name = start.name if ptag else start.normal
         el = Element(start.normal, ns, attrs)
         el.tag_name_case = name
         if ns != NS_HTML or self.tagset is not None:
@@ -627,7 +665,7 @@ class HtmlTreeBuilder:
             # (Token.finaliseAttributeRanges, Token.java:240-268)
             out = {}
             for nm, ans, ane, avs, ave in start.attr_ranges:
-                key = nm if preserve_case else nm.lower()
+                key = nm if pattr else nm.lower()
                 if key not in out and key in attrs:
                     out[key] = (ans, ane, avs, ave)
             el.attr_ranges = out
@@ -2755,7 +2793,8 @@ else:
 def parse(html: str, base_uri: str = "",
           track_positions: bool = False,
           utf16_offsets: bool = False,
-          tag_set=None) -> Document:
+          tag_set=None,
+          settings: ParseSettings | None = None) -> Document:
     """Parse an HTML document (Jsoup.parse equivalent).
 
     track_positions enables source-range tracking
@@ -2768,10 +2807,17 @@ def parse(html: str, base_uri: str = "",
     inputs (post-pass; see positions.convert_ranges_utf16).
 
     tag_set: optional tags.TagSet customizing per-tag parse options
-    (reference Parser.tagSet; see tags.TagSet.on_new_tag/register_tag)."""
+    (reference Parser.tagSet; see tags.TagSet.on_new_tag/register_tag).
+
+    settings: optional ParseSettings (reference Parser.settings /
+    parser/ParseSettings.java:1) — e.g. PRESERVE_CASE keeps original tag
+    and attribute name case instead of the HTML default lowercasing."""
     tb = HtmlTreeBuilder()
     if tag_set is not None:
         tb.set_tag_set(tag_set)
+    if settings is not None and (settings.preserve_tag_case
+                                 or settings.preserve_attribute_case):
+        tb.settings = settings
     doc = tb.parse(html, base_uri, track_positions)
     if track_positions and utf16_offsets:
         from .positions import convert_ranges_utf16
@@ -2782,11 +2828,15 @@ def parse(html: str, base_uri: str = "",
 def parse_fragment(html: str, context: str | None = None,
                    base_uri: str = "",
                    track_positions: bool = False,
-                   tag_set=None) -> list:
+                   tag_set=None,
+                   settings: ParseSettings | None = None) -> list:
     """Parse an HTML fragment in an optional context element."""
     tb = HtmlTreeBuilder()
     if tag_set is not None:
         tb.set_tag_set(tag_set)
+    if settings is not None and (settings.preserve_tag_case
+                                 or settings.preserve_attribute_case):
+        tb.settings = settings
     return tb.parse_fragment(html, context, base_uri, track_positions)
 
 

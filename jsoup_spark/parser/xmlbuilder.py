@@ -21,7 +21,8 @@ class XmlTreeBuilder:
     def __init__(self):
         self.doc: Document | None = None
         self.stack: list[Element] = []
-        self.ns_stack: list[dict[str, str]] = [{"": NS_XML}]
+        # the xml prefix is implicitly bound (XmlTreeBuilder.java:56)
+        self.ns_stack: list[dict[str, str]] = [{"": NS_XML, "xml": NS_XML}]
         self.tok: tz.Tokeniser | None = None
         self.track = False
         self.current_token = None
@@ -129,6 +130,21 @@ class XmlTreeBuilder:
         el = Element(name.lower(), ns, attrs)
         el.tag_name_case = name
         el.flags = 0
+        # record resolved namespaces for prefixed attributes (reference
+        # XmlTreeBuilder.applyNamespacesToAttributes, XmlTreeBuilder.java:193
+        # -> Attributes.userData("jsoup.xmlns-"+prefix, ns)); consumed by
+        # helper/w3cdom.py for true namespaced W3C attributes
+        attr_ns = None
+        for k in attrs:
+            p = k.partition(":")[0] if ":" in k else ""
+            if p and p != "xmlns":
+                ns_v = namespaces.get(p)
+                if ns_v is not None:
+                    if attr_ns is None:
+                        attr_ns = {}
+                    attr_ns[p] = ns_v
+        if attr_ns:
+            el.attr_ns = attr_ns
         if self.track and getattr(start, "attr_ranges", None):
             rng = {}
             for nm, ans, ane, avs, ave in start.attr_ranges:

@@ -398,10 +398,25 @@ def customtag_inputs() -> list[str]:
 def w3c_inputs() -> list[tuple[str, str]]:
     """Inputs for the W3CDom-conversion differential (Harness op w3ctree;
     mirrored by tests/test_w3cdom.py). mode '' = html parse, 'xml' = xml.
-    Per-attribute namespaces (xlink:, XML-declared prefixes) are out of
-    scope — this engine keeps prefixed attribute NAMES (tags.py note)."""
+    Per-attribute namespaces: XML-declared prefixed attributes resolve to
+    true namespaced W3C attrs (XmlTreeBuilder applyNamespacesToAttributes
+    -> W3CDom setAttributeNS); HTML parses never bind attr namespaces."""
     import random
     cases = [
+        # XML-declared attribute namespaces (true setAttributeNS path)
+        ("<svg xmlns='http://www.w3.org/2000/svg' "
+         "xmlns:xlink='http://www.w3.org/1999/xlink'>"
+         "<use xlink:href='#a'/></svg>", "xml"),
+        ("<r xmlns:p='http://p.example'><c p:k='1' k='2'/></r>", "xml"),
+        ("<r xml:lang='en'><c xml:space='preserve'>t</c></r>", "xml"),
+        ("<a:r xmlns:a='http://a.example' a:x='1'><a:c a:y='2'/></a:r>",
+         "xml"),
+        ("<r><c undeclared:k='v'/></r>", "xml"),
+        ("<r xmlns:o='http://o.example'><c xmlns:i='http://i.example' "
+         "o:a='1' i:b='2'/><d o:c='3'/></r>", "xml"),
+        # HTML parse keeps prefixed NAMES, no attr namespace binding
+        ("<svg><use xlink:href='#b'/></svg>", ""),
+        ("<p xml:lang='en'>h</p>", ""),
         ("<p>One</p>", ""),
         ("<!DOCTYPE html><html><head><title>T</title></head>"
          "<body><p class=a id=b>x<br>y</p></body></html>", ""),
@@ -432,6 +447,72 @@ def w3c_inputs() -> list[tuple[str, str]]:
             parts.append(f % tuple([i] * f.count("%d")))
         cases.append(("".join(parts), ""))
     return cases
+
+
+CASETREE_MODES = ["tt", "tf", "ft", "ff"]
+
+
+def casetree_inputs() -> list[str]:
+    """Inputs for the ParseSettings case-preservation differential
+    (Harness op casetree; parser/ParseSettings.java). Each input is run
+    under all four (preserveTagCase, preserveAttributeCase) combos."""
+    cases = [
+        "<DIV Class=Up ID=One><P>x</P></DIV>",
+        "<p CLASS=a class=b Class=c>dedupe</p>",
+        "<TABLE><TR><TD Colspan=2>t</TABLE>",
+        "<SVG viewBox='0 0 1 1'><FOREIGNOBJECT><P>h</P></FOREIGNOBJECT></SVG>",
+        "<svg><feMerge/><altGlyph/></svg><math><mi>x</mi></math>",
+        "<A HREF=/x TITLE=Zed>l</A><IMG SRC=y ALT=z>",
+        "<SCRIPT>var A=1;</SCRIPT><STYLE>B{}</STYLE>",
+        "<Body><UL><LI>a<LI>b</UL>",
+        "<FORM Action=/f><INPUT Type=Text Name=Q Value=V></FORM>",
+        "<SPAN Data-Foo=Bar DATA-FOO=baz>dd</SPAN>",
+        "<B><I>nest</B></I>",
+        "<TeXtArEa>RaW &amp;</tExTaReA>after",
+        "<TITLE>T</TITLE><META Charset=UTF-8>",
+        "<CUSTOM-Tag Attr=1>c</CUSTOM-Tag>",
+        "<p TITLE=a title=b>first-wins vs case</p>",
+        "<NOSCRIPT><P>ns</P></NOSCRIPT>",
+        "<Pre>  sp  </Pre>",
+        "<H1 ID=UP>h</H1><EM>e</EM><Strong>s</Strong>",
+        "<DL><DT>t<DD>d</DL>",
+        "<OBJECT Data=x><PARAM Name=N Value=V></OBJECT>",
+    ]
+    rng = random.Random(77)
+    frag = ["<DiV iD=d%d>", "</dIv>", "<P Class='C%d c'>t%d</P>",
+            "<B>x%d", "<Span TITLE=s%d>s</Span>", "<BR>", "Word%d ",
+            "<TABLE><TR><TD>c%d</TABLE>", "<SVG><RECT W='%d'/></SVG>"]
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randint(2, 6)):
+            f = rng.choice(frag)
+            parts.append(f % tuple([i] * f.count("%d")))
+        cases.append("".join(parts))
+    return cases
+
+
+CHARSETDOC_CASES = [
+    # (html, charset-arg) — charset-arg is "CHARSET" or "CHARSET|xml"
+    ("<html><head><title>T</title></head><body>x</body></html>", "UTF-8"),
+    ("<p>no head structure", "ISO-8859-1"),
+    ("<html><head><meta charset=UTF-8><title>T</title></head>"
+     "<body>b</body></html>", "windows-1252"),
+    ("<html><head><meta name=charset content=x><meta charset=old>"
+     "</head><body>y</body></html>", "UTF-16"),
+    ("<html><head><meta name=CharSet content=a></head><body>z</body>"
+     "</html>", "US-ASCII"),
+    ("<!DOCTYPE html><html><head></head><body>d</body></html>", "UTF-8"),
+    ("plain text only", "Shift_JIS"),
+    ("<html><head><title>x</title></head><body>b</body></html>",
+     "UTF-8|xml"),
+    ("<?xml version='1.0' encoding='old'?><html><body>p</body></html>",
+     "ISO-8859-1|xml"),
+    ("<html><body>noxmldecl</body></html>", "EUC-KR|xml"),
+    ("<html><head><meta charset=a><meta charset=b></head><body>m</body>"
+     "</html>", "GBK"),
+    ("<head><meta http-equiv=Content-Type content='text/html; charset=x'>"
+     "</head><body>he</body>", "KOI8-R"),
+]
 
 
 def main() -> None:
@@ -478,6 +559,9 @@ def main() -> None:
     ops += [("customtree", h) for h in customtag_cases]
     w3c_cases = w3c_inputs()
     ops += [("w3ctree", h, m) for h, m in w3c_cases]
+    case_cases = casetree_inputs()
+    ops += [("casetree", h, m) for h in case_cases for m in CASETREE_MODES]
+    ops += [("charsetdoc", h, a) for h, a in CHARSETDOC_CASES]
 
     results = run_harness(cp, ops)
     i = 0
@@ -503,6 +587,8 @@ def main() -> None:
     pos_xml_gold = take(len(pos_xml))
     customtag_gold = take(len(customtag_cases))
     w3c_gold = take(len(w3c_cases))
+    case_gold = take(len(case_cases) * len(CASETREE_MODES))
+    charsetdoc_gold = take(len(CHARSETDOC_CASES))
     assert i == len(results)
 
     def dump(name, obj):
@@ -546,6 +632,18 @@ def main() -> None:
     dump("golden_w3cdom.json", [
         {"html": h, "mode": m, "out": g}
         for (h, m), g in zip(w3c_cases, w3c_gold)])
+    case_items = []
+    gi = iter(case_gold)
+    for h in case_cases:
+        for m in CASETREE_MODES:
+            g = next(gi)
+            tree, _, html_out = g.partition("")
+            case_items.append(
+                {"html": h, "mode": m, "tree": tree, "out": html_out})
+    dump("golden_casetree.json", case_items)
+    dump("golden_charsetdoc.json", [
+        {"html": h, "arg": a, "out": g}
+        for (h, a), g in zip(CHARSETDOC_CASES, charsetdoc_gold)])
 
     # wild corpus: hashes only (content stays in the reference tree)
     wild = []
