@@ -90,17 +90,32 @@ def run_extraction(spark, sf_dir: str, replicate: int = REPLICATE) -> tuple[floa
     return time.time() - t0, n
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+QUERY_NAMES = ("extract_spans", "select_article_p", "clean_basic",
+               "token_count", "quality", "lang_id", "fingerprint",
+               "dedup_exact", "minhash", "lsh_buckets", "simhash",
+               "ann_brute", "ann_ivf")
+
+
+def run_queries(spark, sf_dir: str, reps: int = BENCH_REPS) -> dict[str, float]:
+    """Per-query wall seconds, min over `reps` interleaved passes.
+
+    The host VM loses the CPU to external load in bursts (identical runs
+    have spread up to 4.8x — BENCH.md round-1 methodology); min-wall over
+    interleaved passes is the robust capability estimator, and
+    interleaving means one steal burst degrades one pass of many queries
+    instead of every pass of one query."""
     import __spark_entry__ as mod
     qs = mod.queries()
     out: dict[str, float] = {}
-    for name in ("extract_spans", "select_article_p", "clean_basic",
-                 "token_count", "quality", "lang_id", "fingerprint",
-                 "dedup_exact", "minhash", "lsh_buckets", "simhash",
-                 "ann_brute", "ann_ivf"):
-        t0 = time.time()
-        _count(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
+    for _rep in range(reps):
+        for name in QUERY_NAMES:
+            t0 = time.time()
+            _count(qs[name](spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            if name not in out or dt < out[name]:
+                out[name] = dt
     return out
 
 
@@ -109,7 +124,12 @@ def main_bench() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm up the JVM + python workers on a small slice
     run_extraction(spark, "/root/testdata/sf0.001", replicate=1)
-    wall, n_docs = run_extraction(spark, SF_DIR)
+    walls = []
+    n_docs = 0
+    for _rep in range(BENCH_REPS):
+        wall, n_docs = run_extraction(spark, SF_DIR)
+        walls.append(wall)
+    wall = min(walls)  # min-wall: robust to host CPU steal (BENCH.md)
     queries = run_queries(spark, SF_DIR)
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else None)
     print(json.dumps({
@@ -120,6 +140,9 @@ def main_bench() -> None:
         "sf": sf,
         "docs": n_docs,
         "extract_wall_sec": round(wall, 3),
+        "extract_walls_all_reps": [round(w, 3) for w in walls],
+        "reps": BENCH_REPS,
+        "estimator": "min_wall",
         "cpus": int(CPUS),
     }))
 
