@@ -117,16 +117,44 @@ def minhash_lsh_buckets(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(documents: DataFrame,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0,
+                        max_bucket: int | None = None) -> DataFrame:
     """Pairwise n-gram Jaccard among LSH candidates (same band-0 key).
+    See ngram_jaccard_pairs_with_stats for the scale knobs."""
+    pairs, _stats = ngram_jaccard_pairs_with_stats(
+        documents, threshold, max_bucket)
+    return pairs
 
-    The candidate join is bucketed — never a full cross join.
+
+def ngram_jaccard_pairs_with_stats(
+        documents: DataFrame,
+        threshold: float = 0.0,
+        max_bucket: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Pairwise n-gram Jaccard among LSH candidates (same band-0 key),
+    plus a capped-bucket report.
+
+    Scale shape (100 TB):
+    * Candidates form from (doc_id, band_key) ONLY — the self-join that
+      used to shuffle full shingle arrays on both sides now shuffles two
+      8-byte/32-byte columns; the arrays are fetched afterwards for just
+      the candidate pairs via two doc_id-keyed joins, and dropped in the
+      same projection that computes the jaccard.
+    * max_bucket caps the O(bucket^2) blowup on skewed band keys (web
+      boilerplate: million-doc identical-band clusters). Buckets with
+      n_docs <= max_bucket keep the exact all-pairs behavior; oversized
+      buckets switch to representative pairing — every member pairs with
+      the bucket's min doc_id only, O(bucket) pairs. Near-dup clusters
+      this size are cliques in practice, so membership survives; the
+      dropped member-member pairs are REPORTED, not silent: the second
+      return value lists every capped bucket with its size and
+      dropped-pair count. max_bucket=None (default) is exact and returns
+      an empty report.
     """
     # Materialize the shingle array through a Generate (explode of a
     # 1-element array): `sh` becomes a plain attribute downstream, so the
     # split/zip_with chain runs exactly once per row no matter how many
     # consumers reference it (projection collapse would otherwise re-inline
-    # it into array_distinct + both band minhash transforms = 3x per row).
+    # it into array_distinct + the band minhash transform).
     # array_min over the distinct set equals array_min over the raw set, so
     # the band key is computed from the deduped array — one array, not two.
     shingled = documents.select(
@@ -148,21 +176,54 @@ def ngram_jaccard_pairs(documents: DataFrame,
             F.array(F.transform(F.col("sh"), lambda s: F.md5(s))),
             _band_key)[0].alias("band_key"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    compact = sh.select("doc_id", "band_key")
+    if max_bucket is None:
+        a, b = compact.alias("a"), compact.alias("b")
+        cand = a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id"))) \
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+        stats = (compact.groupBy("band_key")
+                 .agg(F.count("*").alias("n_docs"))
+                 .filter(F.lit(False))
+                 .select("band_key", "n_docs",
+                         F.lit(0).cast("long").alias("dropped_pairs")))
+    else:
+        sizes = compact.groupBy("band_key").agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"))
+        member = compact.join(sizes, "band_key")
+        small = member.filter(F.col("n_docs") <= max_bucket) \
+            .select("doc_id", "band_key")
+        a, b = small.alias("a"), small.alias("b")
+        cand_small = a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                            & (F.col("a.doc_id") < F.col("b.doc_id"))) \
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+        cand_big = (member.filter((F.col("n_docs") > max_bucket)
+                                  & (F.col("doc_id") != F.col("rep_doc_id")))
+                    .select(F.col("rep_doc_id").alias("doc_a"),
+                            F.col("doc_id").alias("doc_b")))
+        cand = cand_small.unionByName(cand_big)
+        n = F.col("n_docs").cast("long")
+        stats = (sizes.filter(F.col("n_docs") > max_bucket)
+                 .select("band_key", "n_docs",
+                         (n * (n - 1) / 2 - (n - 1)).cast("long")
+                         .alias("dropped_pairs")))
+    arrays = sh.select("doc_id", "sh")
+    pairs = (cand
+             .join(arrays.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("sh").alias("sh_a")), "doc_a")
+             .join(arrays.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("sh").alias("sh_b")), "doc_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = F.round(inter.cast("double") / union, 6)
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+    out = (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return out, stats
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
@@ -206,7 +267,8 @@ def embedding_near_dup(embeddings: DataFrame,
                        threshold: float = 0.9,
                        probe_hamming: int = 0,
                        nbits: int | None = 8,
-                       n_tables: int = 1) -> DataFrame:
+                       n_tables: int = 1,
+                       max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup candidates, LSH-bucketed by sign patterns
     of embedding dimensions (random-hyperplane style).
 
@@ -225,7 +287,28 @@ def embedding_near_dup(embeddings: DataFrame,
       quantization boundary. One side explodes into its probe set (keys
       only, nbits+1 small rows per vector), the other keeps one row; true
       near-dups have cosine ~1 so almost all lie within Hamming distance 1.
+    * max_bucket caps O(bucket^2) on degenerate buckets (e.g. a zero
+      vector repeated millions of times): in a (tbl, bucket) with
+      n > max_bucket the probe side keeps only the bucket representative
+      (min vec_id), so the bucket yields O(n) rep-member pairs instead of
+      all pairs; smaller buckets keep the exact behavior. Use
+      embedding_near_dup_with_stats for the capped-bucket report.
     """
+    pairs, _stats = embedding_near_dup_with_stats(
+        embeddings, threshold, probe_hamming, nbits, n_tables, max_bucket)
+    return pairs
+
+
+def embedding_near_dup_with_stats(
+        embeddings: DataFrame,
+        threshold: float = 0.9,
+        probe_hamming: int = 0,
+        nbits: int | None = 8,
+        n_tables: int = 1,
+        max_bucket: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """embedding_near_dup plus a report of capped buckets
+    (tbl, bucket, n_docs, dropped_pairs) — empty when max_bucket=None
+    or nothing exceeded it. No silent truncation."""
     from jsoup_spark.operators.similarity import (
         _table_bucket, _probe_set, suggest_nbits)
     if nbits is None:
@@ -245,13 +328,35 @@ def embedding_near_dup(embeddings: DataFrame,
     ).select("vec_id", "embedding",
              F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     b = e.alias("b")
+    if max_bucket is not None:
+        sizes = e.groupBy("tbl", "bucket").agg(
+            F.count("*").alias("n_docs"),
+            F.min("vec_id").alias("rep_vec_id"))
+        # oversized buckets: only the representative probes (O(n) pairs,
+        # since b keeps every member); small buckets stay exact
+        a_src = (e.join(sizes, ["tbl", "bucket"])
+                 .filter((F.col("n_docs") <= max_bucket)
+                         | (F.col("vec_id") == F.col("rep_vec_id")))
+                 .select("vec_id", "embedding", "tbl", "bucket"))
+        n = F.col("n_docs").cast("long")
+        stats = (sizes.filter(F.col("n_docs") > max_bucket)
+                 .select("tbl", "bucket", "n_docs",
+                         (n * (n - 1) / 2 - (n - 1)).cast("long")
+                         .alias("dropped_pairs")))
+    else:
+        a_src = e
+        stats = (e.groupBy("tbl", "bucket")
+                 .agg(F.count("*").alias("n_docs"))
+                 .filter(F.lit(False))
+                 .select("tbl", "bucket", "n_docs",
+                         F.lit(0).cast("long").alias("dropped_pairs")))
     if probe_hamming >= 1:
-        a = e.select(
+        a = a_src.select(
             "vec_id", "embedding", "tbl",
             F.explode(_probe_set(F.col("bucket"), nbits, probe_hamming))
             .alias("bucket")).alias("a")
     else:
-        a = e.alias("a")
+        a = a_src.alias("a")
     pairs = a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -273,7 +378,7 @@ def embedding_near_dup(embeddings: DataFrame,
         # a pair colliding in several tables appears once per table; cosine
         # is deterministic so the duplicate rows are identical
         out = out.distinct()
-    return out
+    return out, stats
 
 
 def contamination(documents: DataFrame, n_eval: int = 10) -> DataFrame:
