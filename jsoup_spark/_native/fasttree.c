@@ -36,6 +36,8 @@
 #define SA_UNKNOWN 5       /* insert, no reconstruct (unknown tags) */
 #define SA_LI 6
 #define SA_FORMATTING 7    /* the 12 formatting tags: insert + push (Noah) */
+#define SA_A 8             /* <a>: formatting unless nested-a pending */
+#define SA_HEADING 9       /* h1-h6: close p, pop nested heading, insert */
 
 /* end actions */
 #define EA_BAIL 0
@@ -44,6 +46,8 @@
 #define EA_P 3
 #define EA_ANY 4           /* _any_other_end_tag (default) */
 #define EA_DD_DT 5
+#define EA_FMT 6           /* adoption-agency formatters: fast paths only */
+#define EA_HEADING 7       /* h1-h6 end: implied end + pop-to-close any */
 
 /* packed action-table value: start | end<<4 | opts<<8 | flags<<16 */
 #define PACK_START(v) ((v) & 0xF)
@@ -60,6 +64,7 @@
 
 #define MAX_DEPTH 512
 #define MAX_QUEUE_DEPTH 256
+#define MAX_USED_FORMATTING 12
 #define MAX_ERRORS 64
 
 static PyObject *g_actions = NULL;   /* dict: normal -> packed int */
@@ -92,6 +97,8 @@ static PyObject *g_err_li_not_in_scope = NULL;
 static PyObject *g_err_no_p = NULL;
 static PyObject *g_err_no_match = NULL;
 static PyObject *g_err_special = NULL;
+static PyObject *g_err_nested_heading = NULL;
+static PyObject *g_err_no_heading = NULL;
 
 /* interned attribute names */
 static PyObject *s_stack, *s_doc, *s_state, *s_noscript, *s_track,
@@ -101,6 +108,8 @@ static PyObject *s_stack, *s_doc, *s_state, *s_noscript, *s_track,
     *s_self_closing, *s_type;
 
 static PyObject *g_minus_one = NULL;
+
+static int headings_init(void);
 
 static int
 init_interned(void)
@@ -128,8 +137,8 @@ configure(PyObject *self, PyObject *args)
     if (!PyArg_ParseTuple(args, "OOOOOll", &actions, &ns_html, &element,
                           &textnode, &errs, &in_body, &flag_data))
         return NULL;
-    if (!PyTuple_Check(errs) || PyTuple_GET_SIZE(errs) != 7) {
-        PyErr_SetString(PyExc_ValueError, "errs must be a 7-tuple");
+    if (!PyTuple_Check(errs) || PyTuple_GET_SIZE(errs) != 9) {
+        PyErr_SetString(PyExc_ValueError, "errs must be a 9-tuple");
         return NULL;
     }
 #define SET(g, v) Py_XDECREF(g); Py_INCREF(v); g = v
@@ -144,9 +153,13 @@ configure(PyObject *self, PyObject *args)
     SET(g_err_no_p, PyTuple_GET_ITEM(errs, 4));
     SET(g_err_no_match, PyTuple_GET_ITEM(errs, 5));
     SET(g_err_special, PyTuple_GET_ITEM(errs, 6));
+    SET(g_err_nested_heading, PyTuple_GET_ITEM(errs, 7));
+    SET(g_err_no_heading, PyTuple_GET_ITEM(errs, 8));
 #undef SET
     g_in_body = in_body;
     g_flag_data = flag_data;
+    if (headings_init() < 0)
+        return NULL;
     Py_RETURN_NONE;
 }
 
@@ -392,6 +405,200 @@ reconstruct_is_noop(Ctx *c)
         if (PyList_GET_ITEM(c->stack, i) == last)
             return 1;
     return 0;
+}
+
+static PyObject *make_element(PyObject *normal, long flags,
+                              PyObject *attrs_dict);
+static int append_child(PyObject *parent, PyObject *node);
+static PyObject *current_parent(Ctx *c);
+
+/* ---- h1-h6 helpers ---- */
+static PyObject *g_heading_names[6];
+
+static int
+headings_init(void)
+{
+    static const char *names[6] = {"h1", "h2", "h3", "h4", "h5", "h6"};
+    if (g_heading_names[0] != NULL)
+        return 0;
+    for (int i = 0; i < 6; i++) {
+        g_heading_names[i] = PyUnicode_InternFromString(names[i]);
+        if (g_heading_names[i] == NULL)
+            return -1;
+    }
+    return 0;
+}
+
+static int
+is_heading_name(PyObject *name)
+{
+    for (int i = 0; i < 6; i++)
+        if (PyUnicode_Compare(name, g_heading_names[i]) == 0)
+            return 1;
+    return PyErr_Occurred() ? -1 : 0;
+}
+
+/* current element is an h1-h6? (ns HTML by entry precondition) */
+static int
+current_is_heading(Ctx *c)
+{
+    Py_ssize_t n = PyList_GET_SIZE(c->stack);
+    if (n == 0)
+        return 0;
+    PyObject *name = PyObject_GetAttr(PyList_GET_ITEM(c->stack, n - 1),
+                                      s_name);
+    if (name == NULL)
+        return -1;
+    int r = is_heading_name(name);
+    Py_DECREF(name);
+    return r;
+}
+
+/* treebuilder.heading_in_scope: any h1-h6 before an OPT_SCOPE boundary */
+static int
+heading_in_scope(Ctx *c)
+{
+    Py_ssize_t n = PyList_GET_SIZE(c->stack);
+    for (Py_ssize_t i = n - 1; i >= 0; i--) {
+        PyObject *el = PyList_GET_ITEM(c->stack, i);
+        PyObject *name = PyObject_GetAttr(el, s_name);
+        if (name == NULL)
+            return -1;
+        int h = is_heading_name(name);
+        Py_DECREF(name);
+        if (h)
+            return h < 0 ? -1 : 1;
+        long o = opts_of(el);
+        if (o < 0)
+            return -1;
+        if (o & OPT_SCOPE)
+            return 0;
+    }
+    return 0;
+}
+
+/* treebuilder.pop_to_close_set(C_HEADINGS) */
+static int
+pop_to_close_heading(Ctx *c)
+{
+    for (;;) {
+        Py_ssize_t n = PyList_GET_SIZE(c->stack);
+        if (n == 0)
+            return 0;
+        PyObject *name = PyObject_GetAttr(PyList_GET_ITEM(c->stack, n - 1),
+                                          s_name);
+        if (name == NULL)
+            return -1;
+        int h = is_heading_name(name);
+        Py_DECREF(name);
+        if (h < 0)
+            return -1;
+        if (pop_top(c) < 0)
+            return -1;
+        if (h)
+            return 0;
+    }
+}
+
+/* full reconstruct_formatting (treebuilder.reconstruct_formatting /
+ * HtmlTreeBuilder.java reconstructFormattingElements): clone every
+ * formatting entry above the last on-stack/marker entry, insert + push +
+ * replace in the list. Returns 1 done (incl. no-op), 0 bail to Python
+ * (unclonable entry), -1 error. Partial completion is CONSISTENT state:
+ * the algorithm is resumable (Python restarts from the last entry that is
+ * now on the stack), so a mid-walk bail never corrupts the tree. */
+static int
+reconstruct_run(Ctx *c)
+{
+    int noop = reconstruct_is_noop(c);
+    if (noop != 0)
+        return noop < 0 ? -1 : 1;
+    PyObject *f = c->formatting;
+    Py_ssize_t size = PyList_GET_SIZE(f);
+    Py_ssize_t ceil_ = size - MAX_USED_FORMATTING;
+    if (ceil_ < 0)
+        ceil_ = 0;
+    Py_ssize_t pos = size - 1;
+    int skip = 0;
+    PyObject *entry = PyList_GET_ITEM(f, pos);
+    for (;;) {
+        if (pos == ceil_) {
+            skip = 1;
+            break;
+        }
+        pos--;
+        entry = PyList_GET_ITEM(f, pos);
+        if (entry == Py_None)
+            break;
+        Py_ssize_t ns = PyList_GET_SIZE(c->stack);
+        int on = 0;
+        for (Py_ssize_t i = ns - 1; i >= 0; i--)
+            if (PyList_GET_ITEM(c->stack, i) == entry) {
+                on = 1;
+                break;
+            }
+        if (on)
+            break;
+    }
+    for (;;) {
+        if (!skip) {
+            pos++;
+            entry = PyList_GET_ITEM(f, pos);
+        }
+        skip = 0;
+        /* clonable: exact Element in the HTML namespace (tracking, custom
+         * tagsets and foreign entries are excluded by the apply() gate or
+         * never reach the formatting list; guard anyway) */
+        if (Py_TYPE(entry) != (PyTypeObject *)g_element)
+            return 0;
+        {
+            int h = is_html_ns(entry);
+            if (h < 0)
+                return -1;
+            if (!h)
+                return 0;
+        }
+        PyObject *eattrs = PyObject_GetAttr(entry, s_attrs);
+        if (eattrs == NULL)
+            return -1;
+        PyObject *attrs_copy = PyDict_Copy(eattrs);
+        Py_DECREF(eattrs);
+        if (attrs_copy == NULL)
+            return -1;
+        PyObject *ename = PyObject_GetAttr(entry, s_name);
+        PyObject *eflags = PyObject_GetAttr(entry, s_flags);
+        PyObject *etagcase = PyObject_GetAttr(entry, s_tagcase);
+        if (ename == NULL || eflags == NULL || etagcase == NULL) {
+            Py_XDECREF(ename); Py_XDECREF(eflags); Py_XDECREF(etagcase);
+            Py_DECREF(attrs_copy);
+            return -1;
+        }
+        long flv = PyLong_AS_LONG(eflags);
+        Py_DECREF(eflags);
+        PyObject *new_el = make_element(ename, flv, attrs_copy);
+        Py_DECREF(attrs_copy);
+        Py_DECREF(ename);
+        if (new_el == NULL) {
+            Py_DECREF(etagcase);
+            return -1;
+        }
+        if (PyObject_SetAttr(new_el, s_tagcase, etagcase) < 0) {
+            Py_DECREF(etagcase); Py_DECREF(new_el);
+            return -1;
+        }
+        Py_DECREF(etagcase);
+        if (append_child(current_parent(c), new_el) < 0 ||
+            PyList_Append(c->stack, new_el) < 0) {
+            Py_DECREF(new_el);
+            return -1;
+        }
+        /* PyList_SetItem steals our reference */
+        if (PyList_SetItem(f, pos, new_el) < 0)
+            return -1;
+        if (pos == size - 1)
+            break;
+    }
+    return 1;
 }
 
 /* data string all-whitespace? (" \t\n\r\f") */
@@ -899,9 +1106,9 @@ apply(PyObject *self, PyObject *args)
                 Py_DECREF(data);
                 goto bail_tok;
             }
-            int noop = reconstruct_is_noop(&c);
-            if (noop < 0) { Py_DECREF(data); goto error_tok; }
-            if (!noop) { Py_DECREF(data); goto bail_tok; }
+            int rr = reconstruct_run(&c);
+            if (rr < 0) { Py_DECREF(data); goto error_tok; }
+            if (rr == 0) { Py_DECREF(data); goto bail_tok; }
             /* parent with Data flag (script/style) never current here by
              * action whitelist, but guard anyway */
             {
@@ -922,13 +1129,6 @@ apply(PyObject *self, PyObject *args)
             }
             Py_DECREF(data);
         } else if (ttype == TOK_START) {
-            PyObject *sc = PyObject_GetAttr(token, s_self_closing);
-            if (sc == NULL)
-                goto error_tok;
-            int selfc = PyObject_IsTrue(sc);
-            Py_DECREF(sc);
-            if (selfc)
-                goto bail_tok;
             PyObject *normal = PyObject_GetAttr(token, s_normal);
             if (normal == NULL)
                 goto error_tok;
@@ -937,6 +1137,17 @@ apply(PyObject *self, PyObject *args)
             if (packed < 0) { Py_DECREF(normal); goto error_tok; }
             long act = PACK_START(packed);
             long flags = PACK_FLAGS(packed);
+            PyObject *sc = PyObject_GetAttr(token, s_self_closing);
+            if (sc == NULL) { Py_DECREF(normal); goto error_tok; }
+            int selfc = PyObject_IsTrue(sc);
+            Py_DECREF(sc);
+            if (selfc && act != SA_VOID_RECON && act != SA_MEDIA_EMPTY) {
+                /* empty-insert paths ignore self-closing (Python
+                 * insert_empty_element); everything else needs the
+                 * SEEN_SELF_CLOSE / error handling -> Python */
+                Py_DECREF(normal);
+                goto bail_tok;
+            }
             PyObject *attrs = PyObject_GetAttr(token, s_attrs);
             if (attrs == NULL) { Py_DECREF(normal); goto error_tok; }
             if (PyList_GET_SIZE(c.stack) >= MAX_DEPTH - 1) {
@@ -966,9 +1177,9 @@ apply(PyObject *self, PyObject *args)
                 break;
             }
             case SA_PLAIN_RECON: {
-                int noop = reconstruct_is_noop(&c);
-                if (noop < 0) goto error_start;
-                if (!noop) { handled = 0; break; }
+                int rr = reconstruct_run(&c);
+                if (rr < 0) goto error_start;
+                if (rr == 0) { handled = 0; break; }
                 PyObject *el = insert_element(&c, normal, flags, attrs, 1);
                 if (el == NULL) goto error_start;
                 Py_DECREF(el);
@@ -980,10 +1191,29 @@ apply(PyObject *self, PyObject *args)
                 Py_DECREF(el);
                 break;
             }
+            case SA_A: {
+                /* nested-<a> check (treebuilder._in_body_start "a"): any
+                 * open a entry after the last marker -> python handles the
+                 * error + adoption close; else exactly SA_FORMATTING */
+                Py_ssize_t nf = PyList_GET_SIZE(c.formatting);
+                int nested = 0;
+                for (Py_ssize_t i = nf - 1; i >= 0; i--) {
+                    PyObject *cand = PyList_GET_ITEM(c.formatting, i);
+                    if (cand == Py_None)
+                        break;
+                    PyObject *cn = PyObject_GetAttr(cand, s_name);
+                    if (cn == NULL) goto error_start;
+                    int eq = PyUnicode_Compare(cn, normal) == 0;
+                    Py_DECREF(cn);
+                    if (eq) { nested = 1; break; }
+                }
+                if (nested) { handled = 0; break; }
+            }
+            /* fall through */
             case SA_FORMATTING: {
-                int noop = reconstruct_is_noop(&c);
-                if (noop < 0) goto error_start;
-                if (!noop) { handled = 0; break; }
+                int rr = reconstruct_run(&c);
+                if (rr < 0) goto error_start;
+                if (rr == 0) { handled = 0; break; }
                 PyObject *el = insert_element(&c, normal, flags, attrs, 1);
                 if (el == NULL) goto error_start;
                 /* Noah's Ark (treebuilder._check_noahs_ark): at most 3
@@ -1027,9 +1257,9 @@ apply(PyObject *self, PyObject *args)
                 break;
             }
             case SA_VOID_RECON: {
-                int noop = reconstruct_is_noop(&c);
-                if (noop < 0) goto error_start;
-                if (!noop) { handled = 0; break; }
+                int rr = reconstruct_run(&c);
+                if (rr < 0) goto error_start;
+                if (rr == 0) { handled = 0; break; }
                 PyObject *el = insert_element(&c, normal, flags, attrs, 0);
                 if (el == NULL) goto error_start;
                 Py_DECREF(el);
@@ -1114,6 +1344,34 @@ apply(PyObject *self, PyObject *args)
                     if (!cur)
                         err(&c, g_err_unexpected_open);
                     if (pop_to_close(&c, p_str3) < 0) goto error_start;
+                }
+                PyObject *el = insert_element(&c, normal, flags, attrs, 1);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                break;
+            }
+            case SA_HEADING: {
+                /* h1-h6 start (treebuilder._in_body_start C_HEADINGS):
+                 * close p in button scope; pop a nested open heading */
+                static PyObject *p_str4 = NULL;
+                if (p_str4 == NULL)
+                    p_str4 = PyUnicode_InternFromString("p");
+                int in_p = in_scope_walk(&c, p_str4,
+                                         OPT_SCOPE | OPT_BUTTON_SCOPE);
+                if (in_p < 0) goto error_start;
+                if (in_p) {
+                    if (implied_end(&c, p_str4) < 0) goto error_start;
+                    int cur = current_is(&c, p_str4);
+                    if (cur < 0) goto error_start;
+                    if (!cur)
+                        err(&c, g_err_unexpected_open);
+                    if (pop_to_close(&c, p_str4) < 0) goto error_start;
+                }
+                int curh = current_is_heading(&c);
+                if (curh < 0) goto error_start;
+                if (curh) {
+                    err(&c, g_err_nested_heading);
+                    if (pop_top(&c) < 0) goto error_start;
                 }
                 PyObject *el = insert_element(&c, normal, flags, attrs, 1);
                 if (el == NULL) goto error_start;
@@ -1254,6 +1512,61 @@ apply(PyObject *self, PyObject *args)
                         break;
                     }
                 }
+                break;
+            }
+            case EA_FMT: {
+                /* adoption-agency formatting end tags: the two provable
+                 * fast paths of treebuilder._adoption_agency; everything
+                 * else (real adoption work) bails to Python */
+                Py_ssize_t n = PyList_GET_SIZE(c.stack);
+                if (n == 0) { handled = 0; break; }
+                PyObject *cur = PyList_GET_ITEM(c.stack, n - 1);
+                PyObject *cn = PyObject_GetAttr(cur, s_name);
+                if (cn == NULL) goto error_end;
+                int name_eq = PyUnicode_Compare(cn, normal) == 0;
+                Py_DECREF(cn);
+                if (!name_eq) { handled = 0; break; }
+                /* in_formatting(cur): bounded identity window */
+                Py_ssize_t nf = PyList_GET_SIZE(c.formatting);
+                Py_ssize_t lo = nf - 1 - MAX_QUEUE_DEPTH;
+                if (lo < 0) lo = 0;
+                int in_f = 0;
+                for (Py_ssize_t i = nf - 1; i >= lo; i--)
+                    if (PyList_GET_ITEM(c.formatting, i) == cur) {
+                        in_f = 1;
+                        break;
+                    }
+                if (!in_f) {
+                    /* current matches and is NOT an active formatting
+                     * entry: plain pop (WHATWG AA any-other-end shortcut) */
+                    if (pop_top(&c) < 0) goto error_end;
+                    break;
+                }
+                if (nf && PyList_GET_ITEM(c.formatting, nf - 1) == cur) {
+                    /* well-nested: cur is both stack top and the last
+                     * formatting entry -> the general algorithm collapses
+                     * to pop + remove (no furthest block possible) */
+                    if (pop_top(&c) < 0) goto error_end;
+                    if (PyList_SetSlice(c.formatting, nf - 1, nf, NULL) < 0)
+                        goto error_end;
+                    break;
+                }
+                handled = 0;
+                break;
+            }
+            case EA_HEADING: {
+                int s = heading_in_scope(&c);
+                if (s < 0) goto error_end;
+                if (!s) {
+                    err(&c, g_err_no_heading);
+                    break;
+                }
+                if (implied_end(&c, normal) < 0) goto error_end;
+                int cur = current_is(&c, normal);
+                if (cur < 0) goto error_end;
+                if (!cur)
+                    err(&c, g_err_unexpected_open);
+                if (pop_to_close_heading(&c) < 0) goto error_end;
                 break;
             }
             default:

@@ -167,14 +167,19 @@ def _build_fasttree_actions() -> dict:
     replicating the _in_body_start/_in_body_end dispatch classification."""
     import sys as _sys
     SA_BAIL, SA_PLAIN_RECON, SA_P_CLOSER, SA_VOID_RECON, SA_MEDIA_EMPTY, \
-        SA_UNKNOWN, SA_LI, SA_FORMATTING = 0, 1, 2, 3, 4, 5, 6, 7
-    EA_BAIL, EA_CLOSER, EA_LI, EA_P, EA_ANY, EA_DD_DT = 0, 1, 2, 3, 4, 5
+        SA_UNKNOWN, SA_LI, SA_FORMATTING, SA_A, SA_HEADING = \
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9
+    EA_BAIL, EA_CLOSER, EA_LI, EA_P, EA_ANY, EA_DD_DT, EA_FMT, \
+        EA_HEADING = 0, 1, 2, 3, 4, 5, 6, 7
     start_bail = {
-        "a", "html", "body", "frameset", "form", "plaintext", "button",
+        "html", "body", "frameset", "form", "plaintext", "button",
         "nobr", "table", "input", "hr", "image", "textarea", "xmp",
         "iframe", "noembed", "noscript", "select", "math", "svg", "pre",
         "listing", "optgroup", "option", "rb", "rtc", "rp", "rt",
     }
+
+    import os as _os
+    _disable = set(_os.environ.get("JSOUP_FT_DISABLE", "").split(","))
 
     def sact(name):
         fl = tags.flags(name)
@@ -184,11 +189,15 @@ def _build_fasttree_actions() -> dict:
             return SA_FORMATTING
         if name in C_SIMPLE_VOIDS:
             return SA_VOID_RECON
+        if name == "a":
+            return SA_BAIL if "a" in _disable else SA_A
+        if name in C_HEADINGS:
+            return SA_BAIL if "heading" in _disable else SA_HEADING
         if name == "span":
             return SA_PLAIN_RECON
         if name == "li":
             return SA_LI
-        if name in start_bail or name in C_HEADINGS or name in C_DD_DT:
+        if name in start_bail or name in C_DD_DT:
             return SA_BAIL
         if fl & (tags.RCDATA | tags.DATA):
             return SA_BAIL
@@ -203,10 +212,13 @@ def _build_fasttree_actions() -> dict:
     def eact(name):
         if name in C_END_CLOSERS:
             return EA_CLOSER
-        if name in C_ADOPTION_FORMATTERS or name in (
-                "template", "body", "html", "form", "br"):
+        if name in C_ADOPTION_FORMATTERS:
+            return EA_BAIL if "fmt" in _disable else EA_FMT
+        if name in ("template", "body", "html", "form", "br"):
             return EA_BAIL
-        if name in C_HEADINGS or name in C_APPLETS:
+        if name in C_HEADINGS:
+            return EA_BAIL if "heading" in _disable else EA_HEADING
+        if name in C_APPLETS:
             return EA_BAIL
         if name == "li":
             return EA_LI
@@ -335,6 +347,9 @@ class HtmlTreeBuilder:
         # parser case settings; None = htmlDefault (the hot path checks
         # identity so the default costs nothing per element)
         self.settings: ParseSettings | None = None
+        # (name, ns) pairs that saw self-closing syntax this parse
+        # (reference Tag.SeenSelfClose stickiness; see _record_sticky_sc)
+        self.sticky_sc: set | None = None
         self._flags = tags.flags
         self._is_known = tags.is_known
         self.track = False  # source-range tracking (Parser.setTrackPosition)
@@ -381,6 +396,7 @@ class HtmlTreeBuilder:
             self.current_token = virt
             self._track(self.doc, True)
         self._run()
+        self._apply_sticky_sc((self.doc,))
         return self.doc
 
     def parse_stream(self, html: str, base_uri: str = ""):
@@ -486,8 +502,11 @@ class HtmlTreeBuilder:
                 sibs = [n for n in parent.children if n is not self.context_el]
                 for n in sibs:
                     self.context_el.append(n)
-            return list(self.context_el.children)
-        return list(self.doc.children)
+            out = list(self.context_el.children)
+        else:
+            out = list(self.doc.children)
+        self._apply_sticky_sc(out)
+        return out
 
     def _run(self) -> None:
         # tok.read() inlined (token-coalescing semantics identical,
@@ -676,6 +695,7 @@ class HtmlTreeBuilder:
         self._do_insert(el)
         if start.self_closing:
             el.flags |= tags.SEEN_SELF_CLOSE
+            self._record_sticky_sc(el)
             fl = el.flags
             if fl & tags.VOID:
                 pass  # handled below
@@ -694,8 +714,36 @@ class HtmlTreeBuilder:
         self._do_insert(el)
         if start.self_closing:
             el.flags |= tags.SEEN_SELF_CLOSE  # remembered for xml-mode output
+            self._record_sticky_sc(el)
             self.pop()
         return el
+
+    # seen-self-close is STICKY per tag per parse in the reference: it sets
+    # Tag.SeenSelfClose on the parser TagSet's shared Tag instance
+    # (HtmlTreeBuilder.java:398,426; Tag.java:337), so EVERY element with
+    # that (name, ns) in the same parse — including ones built before the
+    # self-closing token — serializes ` />` when empty. Flags here are
+    # per-element, so record the names and retro-apply in a final walk.
+    # (parse_stream cannot retro-flag elements already yielded/pruned —
+    # documented streaming divergence, serialization-only.)
+    def _record_sticky_sc(self, el: Element) -> None:
+        if self.sticky_sc is None:
+            self.sticky_sc = set()
+        # the reference Tag cache keys on the (possibly case-preserved)
+        # tag name + namespace
+        self.sticky_sc.add((el.tag_name_case, el.ns))
+
+    def _apply_sticky_sc(self, nodes) -> None:
+        if not self.sticky_sc:
+            return
+        sticky = self.sticky_sc
+        stack = list(nodes)
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                if (n.tag_name_case, n.ns) in sticky:
+                    n.flags |= tags.SEEN_SELF_CLOSE
+                stack.extend(n.children)
 
     def insert_empty_element(self, start) -> Element:
         el = self._create_element(start, NS_HTML, False)
@@ -2771,7 +2819,8 @@ if _FT is not None:
         _build_fasttree_actions(), NS_HTML, Element, _TextNode,
         ("dropped duplicate attributes", "not in scope",
          "unexpected open elements", "li not in scope", "no p to close",
-         "no matching element", "cannot close through special element"),
+         "no matching element", "cannot close through special element",
+         "nested heading", "no heading in scope"),
         IN_BODY, tags.DATA)
     if hasattr(_FT, "configure_head"):
         from .nodes import CDataNode as _CDataNode, DataNode as _DataNode

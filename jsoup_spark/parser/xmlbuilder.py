@@ -23,6 +23,9 @@ class XmlTreeBuilder:
         self.stack: list[Element] = []
         # the xml prefix is implicitly bound (XmlTreeBuilder.java:56)
         self.ns_stack: list[dict[str, str]] = [{"": NS_XML, "xml": NS_XML}]
+        # (tag_name_case, ns) pairs that saw self-closing syntax (sticky
+        # SeenSelfClose, XmlTreeBuilder.java:170)
+        self.sticky_sc: set | None = None
         self.tok: tz.Tokeniser | None = None
         self.track = False
         self.current_token = None
@@ -70,6 +73,16 @@ class XmlTreeBuilder:
                 self._pop()
                 self._track(el, False)
             self._track(self.doc, False)
+        if self.sticky_sc:
+            from . import tags as _t
+            sticky = self.sticky_sc
+            work = [self.doc]
+            while work:
+                n = work.pop()
+                if isinstance(n, Element):
+                    if (n.tag_name_case, n.ns) in sticky:
+                        n.flags |= _t.SEEN_SELF_CLOSE
+                    work.extend(n.children)
         return self.doc
 
     def _append_leaf(self, node) -> None:
@@ -158,6 +171,11 @@ class XmlTreeBuilder:
         if start.self_closing:
             from . import tags as _t
             el.flags |= _t.SEEN_SELF_CLOSE
+            # sticky per tag per parse (XmlTreeBuilder.java:170 sets the
+            # shared Tag's SeenSelfClose) — retro-applied at parse end
+            if self.sticky_sc is None:
+                self.sticky_sc = set()
+            self.sticky_sc.add((el.tag_name_case, el.ns))
             self._pop()
             if self.track:
                 self._track(el, False)
