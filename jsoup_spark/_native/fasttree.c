@@ -1906,6 +1906,61 @@ fail:
     return NULL;
 }
 
+/* Element.has_text(): any non-blank TextNode in the subtree (blank =
+ * all chars in " \t\n\f\r\xa0​­" — nodes._WS_CHARS+_INVISIBLE).
+ * Returns 1/0/-1. */
+static int
+w_has_text(PyObject *el)
+{
+    PyObject *ch0 = PyObject_GetAttr(el, s_children);
+    if (ch0 == NULL)
+        return -1;
+    PyObject *stack = PySequence_List(ch0);
+    Py_DECREF(ch0);
+    if (stack == NULL)
+        return -1;
+    int found = 0;
+    while (PyList_GET_SIZE(stack) > 0 && !found) {
+        Py_ssize_t last = PyList_GET_SIZE(stack) - 1;
+        PyObject *n = PyList_GET_ITEM(stack, last); /* borrowed */
+        Py_INCREF(n);
+        if (PyList_SetSlice(stack, last, last + 1, NULL) < 0) {
+            Py_DECREF(n); Py_DECREF(stack);
+            return -1;
+        }
+        if (PyObject_TypeCheck(n, (PyTypeObject *)g_textnode)) {
+            PyObject *v = PyObject_GetAttr(n, s_value);
+            if (v == NULL) { Py_DECREF(n); Py_DECREF(stack); return -1; }
+            Py_ssize_t vn = PyUnicode_GET_LENGTH(v);
+            int kind = PyUnicode_KIND(v);
+            const void *buf = PyUnicode_DATA(v);
+            for (Py_ssize_t i = 0; i < vn; i++) {
+                Py_UCS4 c = PyUnicode_READ(kind, buf, i);
+                if (c != ' ' && c != '\t' && c != '\n' && c != '\f' &&
+                    c != '\r' && c != 0xa0 && c != 0x200b && c != 0xad) {
+                    found = 1;
+                    break;
+                }
+            }
+            Py_DECREF(v);
+        } else if (PyObject_TypeCheck(n, (PyTypeObject *)g_element)) {
+            PyObject *nch = PyObject_GetAttr(n, s_children);
+            if (nch == NULL) { Py_DECREF(n); Py_DECREF(stack); return -1; }
+            Py_ssize_t add = PySequence_Length(nch);
+            if (add < 0 ||
+                PyList_SetSlice(stack, PyList_GET_SIZE(stack),
+                                PyList_GET_SIZE(stack), nch) < 0) {
+                Py_DECREF(nch); Py_DECREF(n); Py_DECREF(stack);
+                return -1;
+            }
+            Py_DECREF(nch);
+        }
+        Py_DECREF(n);
+    }
+    Py_DECREF(stack);
+    return found;
+}
+
 /* needs_trailing_sep */
 static int
 w_needs_trailing(PyObject *el, long flags)
@@ -2131,7 +2186,8 @@ walk_spans(PyObject *self, PyObject *args)
                     if (erc < 0) { Py_DECREF(nm); rc = -1; break; }
                 }
             } else {
-                /* leading separator */
+                /* leading separator (_needs_leading_sep: BLOCK, br, or
+                 * TEXT_BOUNDARY with children and non-blank subtree text) */
                 if (acc.len > 0) {
                     int lead = 0;
                     if (flags & g_f_block) {
@@ -2143,7 +2199,11 @@ walk_spans(PyObject *self, PyObject *args)
                         if (ch == NULL) { Py_DECREF(nm); rc = -1; break; }
                         int has_kids = PyList_GET_SIZE(ch) > 0;
                         Py_DECREF(ch);
-                        if (has_kids) { Py_DECREF(nm); rc = W_BAIL; break; }
+                        if (has_kids) {
+                            int ht = w_has_text(child);
+                            if (ht < 0) { Py_DECREF(nm); rc = -1; break; }
+                            lead = ht;
+                        }
                     }
                     if (lead && !acc_ends_space(&acc)) {
                         if (acc_reserve(&acc, 1) < 0) {
@@ -2151,12 +2211,6 @@ walk_spans(PyObject *self, PyObject *args)
                         }
                         acc.buf[acc.len++] = ' ';
                     }
-                } else if (flags & g_f_boundary) {
-                    PyObject *ch = PyObject_GetAttr(child, s_children);
-                    if (ch == NULL) { Py_DECREF(nm); rc = -1; break; }
-                    int has_kids = PyList_GET_SIZE(ch) > 0;
-                    Py_DECREF(ch);
-                    if (has_kids) { Py_DECREF(nm); rc = W_BAIL; break; }
                 }
             }
             Py_DECREF(nm);
