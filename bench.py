@@ -38,7 +38,12 @@ def make_spark(cpus: str):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # one Arrow batch per task on the 100k-doc/31-partition bench corpus
+        # (~3200 1KB docs/task): fewer batch boundaries + one RecordBatch
+        # assembly per task; swept 1k/2k/4k/8k/16k at sf0.1 — 16k min-wall
+        # 1.75s vs 2.0s+ below 8k. For giant-doc corpora the extract
+        # stage's stream_threshold is the memory backstop, not this knob.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16000")
         .getOrCreate()
     )
 
@@ -126,7 +131,9 @@ def main_bench() -> None:
     run_extraction(spark, "/root/testdata/sf0.001", replicate=1)
     walls = []
     n_docs = 0
-    for _rep in range(BENCH_REPS):
+    ereps = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPS",
+                               str(max(BENCH_REPS, 5))))
+    for _rep in range(ereps):
         wall, n_docs = run_extraction(spark, SF_DIR)
         walls.append(wall)
     wall = min(walls)  # min-wall: robust to host CPU steal (BENCH.md)
@@ -141,7 +148,7 @@ def main_bench() -> None:
         "docs": n_docs,
         "extract_wall_sec": round(wall, 3),
         "extract_walls_all_reps": [round(w, 3) for w in walls],
-        "reps": BENCH_REPS,
+        "reps": {"extract": ereps, "queries": BENCH_REPS},
         "estimator": "min_wall",
         "cpus": int(CPUS),
     }))
