@@ -276,6 +276,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir))
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Bucket-capped variant (max_bucket=2): buckets larger than the cap
+    switch to representative pairing — every member pairs with the
+    bucket's min doc_id only (operators/dedup.py O(bucket) policy for
+    100 TB boilerplate clusters). At sf0.01 this exercises both paths:
+    one 3-doc band bucket (capped) plus the 2-doc buckets (exact)."""
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir),
+                                     max_bucket=2)
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_documents(spark, sf_dir))
 
@@ -341,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "lsh_buckets": q_lsh_buckets,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
         "ann_brute": q_ann_brute,
@@ -531,6 +542,33 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM sh a JOIN sh b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "ngram_jaccard_capped": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct({_SHINGLE_SQL}) AS sh,
+                     md5({_mh_sql(0)} || '|' || {_mh_sql(1)}) AS band_key
+              FROM documents),
+            sizes AS (
+              SELECT band_key, count(*) AS n_docs,
+                     min(doc_id) AS rep_doc_id
+              FROM sh GROUP BY band_key),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+              JOIN sizes s ON s.band_key = a.band_key
+              WHERE s.n_docs <= 2
+              UNION ALL
+              SELECT s.rep_doc_id AS doc_a, m.doc_id AS doc_b
+              FROM sh m JOIN sizes s ON s.band_key = m.band_key
+              WHERE s.n_docs > 2 AND m.doc_id <> s.rep_doc_id)
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b""",
         "embed_neardup": """
             WITH e AS (
               SELECT vec_id, embedding,
