@@ -2,10 +2,18 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct. The
 Spark-side plumbing (schema, batching, partitioning-by-size, Arrow batch
-shapes) is real and tested; the actual codec work is STUBBED — the
-container has no image/audio libraries — behind `decode_image`, which
-raises NotImplementedError unless `fake=True` produces a deterministic
-fake decode (dimensions derived from the payload hash).
+shapes) is real and tested. Codec work is two-tier:
+
+* REAL decode (operators/codecs.py, stdlib zlib/wave + numpy, no
+  external libraries): PNG (filters 0-4), uncompressed BMP, binary
+  netpbm, PCM WAV — `decode_image`/`decode_audio` sniff magic bytes and
+  decode these natively, `resize_stage` really resamples (area average)
+  and re-encodes PNG, and `decode_stage` extracts real per-channel
+  mean/std features.
+* STUB for formats that need external codec libraries (JPEG, WebP,
+  MP3, H.264, ...): NotImplementedError unless `fake=True` produces a
+  deterministic hash-derived decode (for plumbing tests) — per the
+  environment contract (no PIL/opencv/ffmpeg in this container).
 """
 
 from __future__ import annotations
@@ -13,8 +21,11 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import codecs
 
 MEDIA_META = T.StructType([
     T.StructField("media_type", T.StringType(), False),   # image|audio|video
@@ -33,50 +44,126 @@ DECODED = T.StructType([
 ])
 
 
-def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Attach a deterministic fake binary payload per doc (md5-derived) —
-    stands in for fetched image bytes so the pipeline shape is testable."""
-    payload = F.to_binary(F.md5(F.col("doc_id")), F.lit("hex"))
-    meta = F.struct(
-        F.lit("image").alias("media_type"),
-        F.lit("image/x-fake").alias("mime"),
-        F.length(payload).cast("long").alias("n_bytes"),
-        F.concat(F.lit("mem://"), F.col("doc_id")).alias("source_ref"),
-    )
-    return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+def synthesize_media(docs: DataFrame, *, real: bool = False) -> DataFrame:
+    """Attach a deterministic binary payload per doc.
+
+    real=False (default): md5-derived opaque bytes, pure Catalyst —
+    stands in for fetched bytes so the pipeline shape is testable.
+    real=True: genuine decodable payloads (alternating PNG / BMP images
+    whose pixels derive from the doc_id hash) built in a mapInPandas
+    stage, so the REAL decoders run end-to-end with zero fixtures."""
+    if not real:
+        payload = F.to_binary(F.md5(F.col("doc_id")), F.lit("hex"))
+        meta = F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("image/x-fake").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.concat(F.lit("mem://"), F.col("doc_id")).alias("source_ref"),
+        )
+        return docs.select("doc_id", payload.alias("payload"),
+                           meta.alias("meta"))
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", MEDIA_META, False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id in pdf["doc_id"]:
+                img = _hash_image(str(doc_id))
+                if int(hashlib.md5(str(doc_id).encode())
+                       .hexdigest(), 16) % 2 == 0:
+                    b, mime = codecs.encode_png(img), "image/png"
+                else:
+                    b, mime = codecs.encode_bmp(img), "image/bmp"
+                ids.append(doc_id)
+                payloads.append(b)
+                metas.append({"media_type": "image", "mime": mime,
+                              "n_bytes": len(b),
+                              "source_ref": f"mem://{doc_id}"})
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "meta": metas})
+
+    return docs.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+def _hash_image(doc_id: str) -> "np.ndarray":
+    """Deterministic small RGB image from the doc_id hash: size and a
+    smooth gradient both derive from the digest."""
+    h = hashlib.sha256(doc_id.encode()).digest()
+    w, ht = 16 + h[0] % 48, 16 + h[1] % 48
+    yy, xx = np.mgrid[0:ht, 0:w]
+    r = (xx * 255 // max(w - 1, 1) + h[2]) % 256
+    g = (yy * 255 // max(ht - 1, 1) + h[3]) % 256
+    b = (xx + yy + h[4]) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
 def decode_image(payload: bytes, *, fake: bool = False):
-    """Decode an image payload. STUB: real decoding requires an image
-    library not present in this container. `fake=True` derives
-    deterministic dimensions from the payload hash (for plumbing tests)."""
+    """Decode an image payload -> (width, height). PNG / uncompressed
+    BMP / binary netpbm decode NATIVELY (operators/codecs.py — stdlib +
+    numpy). Other formats (JPEG, WebP, ...) need an external codec
+    library: NotImplementedError, or a deterministic hash-derived fake
+    when `fake=True` (plumbing tests)."""
+    arr = decode_image_array(payload)
+    if arr is not None:
+        return arr.shape[1], arr.shape[0]
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library (PIL/opencv); "
-            "install on the cluster and replace this stub")
+            "payload is not PNG/BMP/netpbm; decoding other image formats "
+            "requires an imaging library (PIL/opencv) on the cluster")
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     return width, height
 
 
+def decode_image_array(payload: bytes):
+    """Real pixel decode for the natively-supported formats; None when
+    the format needs an external codec."""
+    fmt = codecs.sniff_format(payload)
+    try:
+        if fmt == "png":
+            return codecs.decode_png(payload)
+        if fmt == "bmp":
+            return codecs.decode_bmp(payload)
+        if fmt == "ppm":
+            return codecs.decode_ppm(payload)
+    except ValueError:
+        return None  # esoteric variant (interlaced/16-bit/...) -> stub tier
+    return None
+
+
 def decode_stage(media: DataFrame, *, fake: bool = True) -> DataFrame:
-    """mapInPandas decode/feature-extract stage. Batched over Arrow;
-    yields fixed-shape feature vectors (8 floats from payload hash)."""
+    """mapInPandas decode/feature-extract stage, batched over Arrow.
+
+    Natively-decodable payloads yield REAL 8-dim features
+    ([mean_r, mean_g, mean_b, mean_all, std_r, std_g, std_b, std_all]
+    / 255, gray broadcast across channels); stub-tier payloads fall back
+    to the deterministic hash feature (fake mode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, mtypes, ws, hs, frames, feats = [], [], [], [], [], []
             for doc_id, payload, meta in zip(
                     pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                w, h = decode_image(bytes(payload), fake=fake)
-                digest = hashlib.sha256(bytes(payload)).digest()
+                b = bytes(payload)
+                arr = decode_image_array(b)
+                if arr is not None:
+                    h_, w = arr.shape[0], arr.shape[1]
+                    feats.append(_image_feature(arr))
+                else:
+                    w, h_ = decode_image(b, fake=fake)
+                    digest = hashlib.sha256(b).digest()
+                    feats.append([x / 255.0 for x in digest[:8]])
                 ids.append(doc_id)
                 mtypes.append(meta["media_type"])
                 ws.append(w)
-                hs.append(h)
+                hs.append(h_)
                 frames.append(1)
-                feats.append([b / 255.0 for b in digest[:8]])
             yield pd.DataFrame({
                 "doc_id": ids,
                 "media_type": mtypes,
@@ -89,14 +176,35 @@ def decode_stage(media: DataFrame, *, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=DECODED)
 
 
+def _image_feature(arr: "np.ndarray") -> list:
+    px = arr.astype(np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] >= 3:
+        chans = [px[:, :, i] for i in range(3)]
+    else:
+        chans = [px[:, :, 0]] * 3
+    means = [float(c.mean()) for c in chans] + [float(px.mean())]
+    stds = [float(c.std()) for c in chans] + [float(px.std())]
+    return [v / 255.0 for v in means + stds]
+
+
 def decode_audio(payload: bytes, *, fake: bool = False):
-    """Decode an audio payload -> (sample_rate, n_samples). STUB: real
-    decoding requires an audio library not present in this container;
-    `fake=True` derives deterministic values from the payload hash."""
+    """Decode an audio payload -> (sample_rate, n_samples). PCM WAV
+    decodes NATIVELY via the stdlib wave module (operators/codecs.py);
+    compressed formats (MP3/AAC/...) need an external library:
+    NotImplementedError, or deterministic fake when `fake=True`."""
+    if codecs.sniff_format(payload) == "wav":
+        import wave as _wave
+        try:
+            rate, n_frames, _samples = codecs.decode_wav(payload)
+            return rate, n_frames
+        except (ValueError, EOFError, _wave.Error):
+            pass  # malformed/unsupported WAV variant -> stub tier
     if not fake:
         raise NotImplementedError(
-            "audio decoding requires an audio library (soundfile/ffmpeg); "
-            "install on the cluster and replace this stub")
+            "payload is not PCM WAV; decoding compressed audio requires "
+            "an audio library (soundfile/ffmpeg) on the cluster")
     h = hashlib.sha256(payload).digest()
     sample_rate = (8000, 16000, 22050, 44100)[h[2] % 4]
     n_samples = sample_rate * (1 + h[3] % 30)
@@ -125,23 +233,32 @@ RESIZED = T.StructType([
 def resize_stage(media: DataFrame, max_side: int = 128, *,
                  fake: bool = True) -> DataFrame:
     """Image resize as an Arrow-batched mapInPandas stage: aspect-
-    preserving clamp of the longer side to `max_side`. The geometry is
-    real; the pixel resample is the stubbed codec (fake mode re-hashes
-    the payload to a size-proportional deterministic blob)."""
+    preserving clamp of the longer side to `max_side`.
+
+    Natively-decodable payloads are REALLY resampled (codecs.resize_area
+    box filter) and re-encoded as PNG. Stub-tier payloads keep the real
+    geometry but a deterministic hash blob for pixels (fake mode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, outs = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                w, h = decode_image(b, fake=fake)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                blob = hashlib.sha256(b).digest() * (1 + nw * nh // 32)
+                arr = decode_image_array(b)
+                if arr is not None:
+                    small = codecs.resize_area(arr, max_side)
+                    nh, nw = small.shape[0], small.shape[1]
+                    out = codecs.encode_png(small)
+                else:
+                    w, h = decode_image(b, fake=fake)
+                    scale = min(1.0, max_side / max(w, h))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    blob = hashlib.sha256(b).digest() * (1 + nw * nh // 32)
+                    out = blob[: max(1, nw * nh // 8)]
                 ids.append(doc_id)
                 ws.append(nw)
                 hs.append(nh)
-                outs.append(blob[: max(1, nw * nh // 8)])
+                outs.append(out)
             yield pd.DataFrame({
                 "doc_id": ids,
                 "width": pd.array(ws, dtype="int32"),

@@ -1,0 +1,180 @@
+"""Native media codecs (operators/codecs.py): PNG/BMP/netpbm/WAV.
+
+PNG unfiltering is validated against an independent per-byte filter
+encoder (straight transcription of the RFC 2083 filter spec) over
+random images with every filter type forced per scanline — decode must
+invert it exactly — plus encode->decode round-trips for all formats.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from jsoup_spark.operators import codecs, multimodal
+
+
+def _png_with_filters(img, filters):
+    """Encode img applying the given per-scanline filter types."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(int)
+    raws = []
+    for y in range(h):
+        f = filters[y]
+        line = []
+        for x in range(stride):
+            v = flat[y][x]
+            a = flat[y][x - ch] if x >= ch else 0
+            b = flat[y - 1][x] if y > 0 else 0
+            c = flat[y - 1][x - ch] if (y > 0 and x >= ch) else 0
+            if f == 0:
+                e = v
+            elif f == 1:
+                e = v - a
+            elif f == 2:
+                e = v - b
+            elif f == 3:
+                e = v - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                e = v - pred
+            line.append(e & 0xFF)
+        raws.append(bytes([f]) + bytes(line))
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_all_filters_vs_naive_reference():
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, (11, 7, ch), dtype=np.uint8)
+        for filters in ([0] * 11, [1] * 11, [2] * 11, [3] * 11, [4] * 11,
+                        [rng.randint(0, 5) for _ in range(11)]):
+            payload = _png_with_filters(img, filters)
+            got = codecs.decode_png(payload)
+            assert np.array_equal(got, img), (ch, filters[:3])
+
+
+def test_png_roundtrip_and_sniff():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (20, 33, 3), dtype=np.uint8)
+    p = codecs.encode_png(img)
+    assert codecs.sniff_format(p) == "png"
+    assert np.array_equal(codecs.decode_png(p), img)
+
+
+def test_png_rejects_interlaced():
+    img = np.zeros((4, 4, 3), np.uint8)
+    p = bytearray(codecs.encode_png(img))
+    # IHDR interlace byte is the last IHDR data byte (offset 8+8+4+13-1... )
+    # IHDR data starts at 16; interlace is data[12]
+    p[16 + 12] = 1
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(p))
+
+
+def test_bmp_roundtrip_and_padding():
+    rng = np.random.RandomState(2)
+    for w in (5, 8, 3):  # odd widths exercise row padding
+        img = rng.randint(0, 256, (6, w, 3), dtype=np.uint8)
+        p = codecs.encode_bmp(img)
+        assert codecs.sniff_format(p) == "bmp"
+        assert np.array_equal(codecs.decode_bmp(p), img)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (9, 13, 3), dtype=np.uint8)
+    p = codecs.encode_ppm(img)
+    assert codecs.sniff_format(p) == "ppm"
+    assert np.array_equal(codecs.decode_ppm(p), img)
+    gray = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    p5 = codecs.encode_ppm(gray)
+    assert np.array_equal(codecs.decode_ppm(p5)[:, :, 0], gray)
+
+
+def test_ppm_comments():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    p = b"P6\n# a comment\n2 2\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(codecs.decode_ppm(p), img)
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(4)
+    samples = (rng.rand(1600).astype(np.float32) - 0.5)
+    p = codecs.encode_wav(samples, rate=8000)
+    assert codecs.sniff_format(p) == "wav"
+    rate, n, got = codecs.decode_wav(p)
+    assert rate == 8000 and n == 1600
+    # PCM16 quantization: 0.5 LSB rounding + the 32767-encode/32768-decode
+    # scale mismatch
+    assert np.abs(got - samples).max() < 1 / 16000
+
+
+def test_resize_area():
+    # exact integral-ratio average: 4x4 blocks of constant value
+    img = np.repeat(np.repeat(
+        np.arange(16, dtype=np.uint8).reshape(4, 4) * 16, 4, 0), 4, 1)
+    img = np.stack([img] * 3, axis=-1)  # 16x16x3
+    small = codecs.resize_area(img, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small[:, :, 0],
+                          np.arange(16, dtype=np.uint8).reshape(4, 4) * 16)
+    # no upscaling
+    assert codecs.resize_area(small, 100) is small
+
+
+# --------------------------------------------------- multimodal two-tier
+
+def test_decode_image_real_vs_stub():
+    img = np.full((10, 12, 3), 7, np.uint8)
+    assert multimodal.decode_image(codecs.encode_png(img)) == (12, 10)
+    assert multimodal.decode_image(codecs.encode_bmp(img)) == (12, 10)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    w, h = multimodal.decode_image(b"\xff\xd8\xff\xe0 fake jpeg", fake=True)
+    assert 64 <= w < 256 and 64 <= h < 256
+
+
+def test_decode_audio_real_vs_stub():
+    p = codecs.encode_wav(np.zeros(800, np.float32), rate=16000)
+    assert multimodal.decode_audio(p) == (16000, 800)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3 fake mp3")
+
+
+def test_real_payload_pipeline(spark):
+    """End-to-end: synthesize REAL PNG/BMP payloads -> decode_stage
+    returns true dimensions + real pixel features -> resize_stage output
+    is a decodable PNG at the clamped geometry."""
+    from jsoup_spark.operators.multimodal import (
+        _hash_image, decode_stage, resize_stage, synthesize_media)
+    docs = spark.createDataFrame(
+        [(str(i), "t") for i in range(12)], "doc_id string, text string")
+    media = synthesize_media(docs, real=True)
+    rows = {r.doc_id: r for r in decode_stage(media).collect()}
+    assert len(rows) == 12
+    for doc_id, r in rows.items():
+        img = _hash_image(doc_id)
+        assert (r.width, r.height) == (img.shape[1], img.shape[0])
+        # real per-channel means, not hash bytes
+        exp = [img[:, :, 0].mean(), img[:, :, 1].mean(), img[:, :, 2].mean()]
+        got = [v * 255.0 for v in r.feature[:3]]
+        assert max(abs(a - b) for a, b in zip(exp, got)) < 0.5
+    rs = {r.doc_id: r for r in resize_stage(media, max_side=16).collect()}
+    for doc_id, r in rs.items():
+        arr = codecs.decode_png(bytes(r.payload))
+        assert arr.shape[:2] == (r.height, r.width)
+        assert max(r.width, r.height) <= 16
