@@ -59,6 +59,20 @@ class OutputSettings:
 DEFAULT = OutputSettings()
 
 
+_FAST_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+_FAST_TEXT_RX = re.compile("[&<>\xa0\x00-\x08\x0b\x0c\x0e-\x1f]")
+_FAST_ATTR_RX = re.compile("[&<>\"\xa0\x00-\x08\x0b\x0c\x0e-\x1f]")
+_FAST_ATTR_TEXT_RX = re.compile("[&<>\"'\xa0\x00-\x08\x0b\x0c\x0e-\x1f]")
+_FAST_ESC_MAP = {"&": "&amp;", "<": "&lt;", ">": "&gt;", "\xa0": "&nbsp;",
+                 '"': "&quot;", "'": "&apos;"}
+
+
+def _fast_esc_repl(m: "re.Match") -> str:
+    c = m.group()
+    r = _FAST_ESC_MAP.get(c)
+    return r if r is not None else f"&#x{ord(c):x};"
+
+
 def escape_entities(data: str, options: int, settings: OutputSettings,
                     out: list[str]) -> None:
     """Entities.doEscape: contextual (minimal) escaping, honoring the
@@ -68,6 +82,27 @@ def escape_entities(data: str, options: int, settings: OutputSettings,
     xhtml = settings.escape_mode == "xhtml"
     cs = settings.charset
     encode_all = cs.lower().startswith("utf")
+    if encode_all and not xhtml:
+        # bulk fast path for the dominant configuration (base/extended
+        # mode, UTF output): regex replacement over the whole string —
+        # the per-character loop below was 40%+ of clean-stage wall.
+        # Byte-equivalent to the loop: collapse runs to one " ", drop the
+        # leading run under TRIM_LEADING, drop the trailing run under
+        # TRIM_TRAILING (the loop's `skipped` flag emits internal runs
+        # lazily — same output order), then escape &<> nbsp controls,
+        # plus quotes per attribute context.
+        if options & NORMALISE:
+            data = _FAST_WS_RUN.sub(" ", data)
+            if options & TRIM_LEADING and data.startswith(" "):
+                data = data[1:]
+            if options & TRIM_TRAILING and data.endswith(" "):
+                data = data[:-1]
+        if options & FOR_ATTRIBUTE:
+            rx = _FAST_ATTR_TEXT_RX if options & FOR_TEXT else _FAST_ATTR_RX
+        else:
+            rx = _FAST_TEXT_RX
+        out.append(rx.sub(_fast_esc_repl, data))
+        return
     if not encode_all and not xhtml:
         from ..parser.entities import _CP_BASE, _CP_FULL
         cp_table = _CP_FULL if settings.escape_mode == "extended" \
