@@ -38,6 +38,8 @@
 #define SA_FORMATTING 7    /* the 12 formatting tags: insert + push (Noah) */
 #define SA_A 8             /* <a>: formatting unless nested-a pending */
 #define SA_HEADING 9       /* h1-h6: close p, pop nested heading, insert */
+#define SA_INPUT 10        /* input: empty insert, frameset_ok unless hidden */
+#define SA_TO_HEAD_EMPTY 11 /* in-body link/meta/...: plain empty insert */
 
 /* end actions */
 #define EA_BAIL 0
@@ -110,6 +112,7 @@ static PyObject *s_stack, *s_doc, *s_state, *s_noscript, *s_track,
 static PyObject *g_minus_one = NULL;
 
 static int headings_init(void);
+static PyObject *g_comment_t;  /* defined with the walker globals below */
 
 static int
 init_interned(void)
@@ -133,9 +136,10 @@ static PyObject *
 configure(PyObject *self, PyObject *args)
 {
     PyObject *actions, *ns_html, *element, *textnode, *errs;
+    PyObject *comment = NULL;
     long in_body, flag_data;
-    if (!PyArg_ParseTuple(args, "OOOOOll", &actions, &ns_html, &element,
-                          &textnode, &errs, &in_body, &flag_data))
+    if (!PyArg_ParseTuple(args, "OOOOOll|O", &actions, &ns_html, &element,
+                          &textnode, &errs, &in_body, &flag_data, &comment))
         return NULL;
     if (!PyTuple_Check(errs) || PyTuple_GET_SIZE(errs) != 9) {
         PyErr_SetString(PyExc_ValueError, "errs must be a 9-tuple");
@@ -158,6 +162,11 @@ configure(PyObject *self, PyObject *args)
 #undef SET
     g_in_body = in_body;
     g_flag_data = flag_data;
+    if (comment != NULL) {
+        Py_XDECREF(g_comment_t);
+        Py_INCREF(comment);
+        g_comment_t = comment;
+    }
     if (headings_init() < 0)
         return NULL;
     Py_RETURN_NONE;
@@ -856,8 +865,22 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
             return -1;
         int selfc = PyObject_IsTrue(sc);
         Py_DECREF(sc);
-        if (selfc)
-            return 0;
+        if (selfc) {
+            /* empty inserts ignore self-closing (insert_empty_element);
+             * everything else (head insert, text-state switches) bails */
+            if (*state != g_in_head)
+                return 0;
+            PyObject *normal0 = PyObject_GetAttr(token, s_normal);
+            if (normal0 == NULL)
+                return -1;
+            int is_empty0 = PySet_Contains(g_head_empty, normal0);
+            int is_meta0 = PyUnicode_Compare(normal0, s_h_meta) == 0;
+            Py_DECREF(normal0);
+            if (is_empty0 < 0)
+                return -1;
+            if (!is_empty0 && !is_meta0)
+                return 0;
+        }
         PyObject *normal = PyObject_GetAttr(token, s_normal);
         if (normal == NULL)
             return -1;
@@ -1141,7 +1164,8 @@ apply(PyObject *self, PyObject *args)
             if (sc == NULL) { Py_DECREF(normal); goto error_tok; }
             int selfc = PyObject_IsTrue(sc);
             Py_DECREF(sc);
-            if (selfc && act != SA_VOID_RECON && act != SA_MEDIA_EMPTY) {
+            if (selfc && act != SA_VOID_RECON && act != SA_MEDIA_EMPTY
+                    && act != SA_INPUT && act != SA_TO_HEAD_EMPTY) {
                 /* empty-insert paths ignore self-closing (Python
                  * insert_empty_element); everything else needs the
                  * SEEN_SELF_CLOSE / error handling -> Python */
@@ -1348,6 +1372,49 @@ apply(PyObject *self, PyObject *args)
                 PyObject *el = insert_element(&c, normal, flags, attrs, 1);
                 if (el == NULL) goto error_start;
                 Py_DECREF(el);
+                break;
+            }
+            case SA_TO_HEAD_EMPTY: {
+                /* in-body link/meta/basefont/bgsound: the C_TO_HEAD
+                 * branch routes to _in_head, which for these is a plain
+                 * empty insert at the current position (no error, no
+                 * reconstruct, no base rebase — base itself bails) */
+                PyObject *el = insert_element(&c, normal, flags, attrs, 0);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                break;
+            }
+            case SA_INPUT: {
+                /* treebuilder._in_body_start "input": reconstruct +
+                 * insert_empty; frameset_ok=False unless type=hidden
+                 * (case-insensitive) */
+                int rr = reconstruct_run(&c);
+                if (rr < 0) goto error_start;
+                if (rr == 0) { handled = 0; break; }
+                PyObject *el = insert_element(&c, normal, flags, attrs, 0);
+                if (el == NULL) goto error_start;
+                PyObject *eattrs = PyObject_GetAttr(el, s_attrs);
+                Py_DECREF(el);
+                if (eattrs == NULL) goto error_start;
+                static PyObject *type_str = NULL, *hidden_str = NULL;
+                if (type_str == NULL) {
+                    type_str = PyUnicode_InternFromString("type");
+                    hidden_str = PyUnicode_InternFromString("hidden");
+                }
+                PyObject *tv = PyDict_GetItemWithError(eattrs, type_str);
+                Py_DECREF(eattrs);
+                if (tv == NULL && PyErr_Occurred()) goto error_start;
+                int hidden = 0;
+                if (tv != NULL && tv != Py_None && PyUnicode_Check(tv)) {
+                    PyObject *low = PyObject_CallMethod(tv, "lower", NULL);
+                    if (low == NULL) goto error_start;
+                    hidden = PyUnicode_Compare(low, hidden_str) == 0;
+                    Py_DECREF(low);
+                }
+                if (!hidden && c.frameset_ok) {
+                    c.frameset_ok = 0;
+                    c.frameset_dirty = 1;
+                }
                 break;
             }
             case SA_HEADING: {
@@ -1580,8 +1647,23 @@ apply(PyObject *self, PyObject *args)
         error_end:
             Py_DECREF(normal);
             goto error_tok;
+        } else if (ttype == 3 && g_comment_t != NULL) {
+            /* in-body comment: insert_comment == CommentNode(token.data)
+             * appended to the current element (track off by gate) */
+            PyObject *data = PyObject_GetAttr(token, s_data);
+            if (data == NULL)
+                goto error_tok;
+            PyObject *node = bare_instance(g_comment_t);
+            if (node == NULL) { Py_DECREF(data); goto error_tok; }
+            if (PyObject_SetAttr(node, s_value, data) < 0 ||
+                append_child(current_parent(&c), node) < 0) {
+                Py_DECREF(node); Py_DECREF(data);
+                goto error_tok;
+            }
+            Py_DECREF(node);
+            Py_DECREF(data);
         } else {
-            goto bail_tok; /* comment/doctype/EOF/CDATA: python path */
+            goto bail_tok; /* doctype/EOF/CDATA: python path */
         }
 
     next_token:
@@ -1665,7 +1747,7 @@ error_pre:
 static PyObject *g_w_media = NULL;   /* frozenset of media tag names */
 static PyObject *g_w_data = NULL;    /* frozenset of data tag names */
 static PyObject *g_w_resolve = NULL; /* nodes.resolve_url */
-static PyObject *g_cdata_t = NULL, *g_datanode_t = NULL, *g_comment_t = NULL;
+static PyObject *g_cdata_t = NULL, *g_datanode_t = NULL;
 static long g_f_block = 0, g_f_boundary = 0, g_f_preserve = 0;
 static PyObject *s_src = NULL, *s_alt = NULL, *s_kind_text = NULL,
     *s_kind_media = NULL, *s_kind_data = NULL, *s_empty = NULL,

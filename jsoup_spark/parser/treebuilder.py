@@ -167,13 +167,13 @@ def _build_fasttree_actions() -> dict:
     replicating the _in_body_start/_in_body_end dispatch classification."""
     import sys as _sys
     SA_BAIL, SA_PLAIN_RECON, SA_P_CLOSER, SA_VOID_RECON, SA_MEDIA_EMPTY, \
-        SA_UNKNOWN, SA_LI, SA_FORMATTING, SA_A, SA_HEADING = \
-        0, 1, 2, 3, 4, 5, 6, 7, 8, 9
+        SA_UNKNOWN, SA_LI, SA_FORMATTING, SA_A, SA_HEADING, SA_INPUT, \
+        SA_TO_HEAD_EMPTY = 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11
     EA_BAIL, EA_CLOSER, EA_LI, EA_P, EA_ANY, EA_DD_DT, EA_FMT, \
         EA_HEADING = 0, 1, 2, 3, 4, 5, 6, 7
     start_bail = {
         "html", "body", "frameset", "form", "plaintext", "button",
-        "nobr", "table", "input", "hr", "image", "textarea", "xmp",
+        "nobr", "table", "hr", "image", "textarea", "xmp",
         "iframe", "noembed", "noscript", "select", "math", "svg", "pre",
         "listing", "optgroup", "option", "rb", "rtc", "rp", "rt",
     }
@@ -193,6 +193,12 @@ def _build_fasttree_actions() -> dict:
             return SA_BAIL if "a" in _disable else SA_A
         if name in C_HEADINGS:
             return SA_BAIL if "heading" in _disable else SA_HEADING
+        if name == "input":
+            return SA_BAIL if "input" in _disable else SA_INPUT
+        if name in ("link", "meta", "basefont", "bgsound"):
+            # in-body -> in-head rules -> plain empty insert ("base" keeps
+            # bailing: it carries the maybe_set_base rebase side-effect)
+            return SA_BAIL if "tohead" in _disable else SA_TO_HEAD_EMPTY
         if name == "span":
             return SA_PLAIN_RECON
         if name == "li":
@@ -2813,7 +2819,7 @@ _MODES = [
 
 
 if _FT is not None:
-    from .nodes import TextNode as _TextNode
+    from .nodes import CommentNode as _CommentNode, TextNode as _TextNode
 
     _FT.configure(
         _build_fasttree_actions(), NS_HTML, Element, _TextNode,
@@ -2821,7 +2827,7 @@ if _FT is not None:
          "unexpected open elements", "li not in scope", "no p to close",
          "no matching element", "cannot close through special element",
          "nested heading", "no heading in scope"),
-        IN_BODY, tags.DATA)
+        IN_BODY, tags.DATA, _CommentNode)
     if hasattr(_FT, "configure_head"):
         from .nodes import CDataNode as _CDataNode, DataNode as _DataNode
         from .nodes import resolve_url as _resolve_url
