@@ -40,6 +40,7 @@
 #define SA_HEADING 9       /* h1-h6: close p, pop nested heading, insert */
 #define SA_INPUT 10        /* input: empty insert, frameset_ok unless hidden */
 #define SA_TO_HEAD_EMPTY 11 /* in-body link/meta/...: plain empty insert */
+#define SA_BUTTON 12       /* button: insert unless a button is in scope */
 
 /* end actions */
 #define EA_BAIL 0
@@ -1372,6 +1373,26 @@ apply(PyObject *self, PyObject *args)
                 PyObject *el = insert_element(&c, normal, flags, attrs, 1);
                 if (el == NULL) goto error_start;
                 Py_DECREF(el);
+                break;
+            }
+            case SA_BUTTON: {
+                /* treebuilder._in_body_start "button": nested-button (in
+                 * button scope) -> python closes + reprocesses; else
+                 * reconstruct + insert + frameset_ok=False */
+                int s = in_scope_walk(&c, normal,
+                                      OPT_SCOPE | OPT_BUTTON_SCOPE);
+                if (s < 0) goto error_start;
+                if (s) { handled = 0; break; }
+                int rr = reconstruct_run(&c);
+                if (rr < 0) goto error_start;
+                if (rr == 0) { handled = 0; break; }
+                PyObject *el = insert_element(&c, normal, flags, attrs, 1);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                if (c.frameset_ok) {
+                    c.frameset_ok = 0;
+                    c.frameset_dirty = 1;
+                }
                 break;
             }
             case SA_TO_HEAD_EMPTY: {

@@ -168,11 +168,12 @@ def _build_fasttree_actions() -> dict:
     import sys as _sys
     SA_BAIL, SA_PLAIN_RECON, SA_P_CLOSER, SA_VOID_RECON, SA_MEDIA_EMPTY, \
         SA_UNKNOWN, SA_LI, SA_FORMATTING, SA_A, SA_HEADING, SA_INPUT, \
-        SA_TO_HEAD_EMPTY = 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11
+        SA_TO_HEAD_EMPTY, SA_BUTTON = 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, \
+        11, 12
     EA_BAIL, EA_CLOSER, EA_LI, EA_P, EA_ANY, EA_DD_DT, EA_FMT, \
         EA_HEADING = 0, 1, 2, 3, 4, 5, 6, 7
     start_bail = {
-        "html", "body", "frameset", "form", "plaintext", "button",
+        "html", "body", "frameset", "form", "plaintext",
         "nobr", "table", "hr", "image", "textarea", "xmp",
         "iframe", "noembed", "noscript", "select", "math", "svg", "pre",
         "listing", "optgroup", "option", "rb", "rtc", "rp", "rt",
@@ -199,6 +200,8 @@ def _build_fasttree_actions() -> dict:
             # in-body -> in-head rules -> plain empty insert ("base" keeps
             # bailing: it carries the maybe_set_base rebase side-effect)
             return SA_BAIL if "tohead" in _disable else SA_TO_HEAD_EMPTY
+        if name == "button":
+            return SA_BAIL if "button" in _disable else SA_BUTTON
         if name == "span":
             return SA_PLAIN_RECON
         if name == "li":
