@@ -41,6 +41,7 @@
 #define SA_INPUT 10        /* input: empty insert, frameset_ok unless hidden */
 #define SA_TO_HEAD_EMPTY 11 /* in-body link/meta/...: plain empty insert */
 #define SA_BUTTON 12       /* button: insert unless a button is in scope */
+#define SA_TEXT_SWITCH 13  /* title/script/style/noframes: enter TEXT mode */
 
 /* end actions */
 #define EA_BAIL 0
@@ -1373,6 +1374,34 @@ apply(PyObject *self, PyObject *args)
                 PyObject *el = insert_element(&c, normal, flags, attrs, 1);
                 if (el == NULL) goto error_start;
                 Py_DECREF(el);
+                break;
+            }
+            case SA_TEXT_SWITCH: {
+                /* in-body title/script/style/noframes route to the
+                 * in-head rules == _handle_text_state: switch the
+                 * tokenizer, remember IN_BODY as original_state, enter
+                 * TEXT, insert (push). These tags stop the tokenizer
+                 * batch, so this is always the last token in the queue. */
+                if (g_text_mode == -1) { handled = 0; break; }
+                long tzstate =
+                    PyUnicode_Compare(normal, s_h_title) == 0 ? g_tz_rcdata :
+                    PyUnicode_Compare(normal, s_h_script) == 0
+                        ? g_tz_scriptdata : g_tz_rawtext;
+                PyObject *tok_o = PyObject_GetAttr(tb, s_tok);
+                if (tok_o == NULL) goto error_start;
+                PyObject *tzv = PyLong_FromLong(tzstate);
+                PyObject *osv = PyLong_FromLong(state);
+                if (tzv == NULL || osv == NULL ||
+                    PyObject_SetAttr(tok_o, s_state, tzv) < 0 ||
+                    PyObject_SetAttr(tb, s_original_state, osv) < 0) {
+                    Py_XDECREF(tzv); Py_XDECREF(osv); Py_DECREF(tok_o);
+                    goto error_start;
+                }
+                Py_DECREF(tzv); Py_DECREF(osv); Py_DECREF(tok_o);
+                PyObject *el = insert_element(&c, normal, flags, attrs, 1);
+                if (el == NULL) goto error_start;
+                Py_DECREF(el);
+                state = g_text_mode;
                 break;
             }
             case SA_BUTTON: {

@@ -168,8 +168,8 @@ def _build_fasttree_actions() -> dict:
     import sys as _sys
     SA_BAIL, SA_PLAIN_RECON, SA_P_CLOSER, SA_VOID_RECON, SA_MEDIA_EMPTY, \
         SA_UNKNOWN, SA_LI, SA_FORMATTING, SA_A, SA_HEADING, SA_INPUT, \
-        SA_TO_HEAD_EMPTY, SA_BUTTON = 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, \
-        11, 12
+        SA_TO_HEAD_EMPTY, SA_BUTTON, SA_TEXT_SWITCH = \
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13
     EA_BAIL, EA_CLOSER, EA_LI, EA_P, EA_ANY, EA_DD_DT, EA_FMT, \
         EA_HEADING = 0, 1, 2, 3, 4, 5, 6, 7
     start_bail = {
@@ -202,6 +202,10 @@ def _build_fasttree_actions() -> dict:
             return SA_BAIL if "tohead" in _disable else SA_TO_HEAD_EMPTY
         if name == "button":
             return SA_BAIL if "button" in _disable else SA_BUTTON
+        if name in ("title", "script", "style", "noframes"):
+            # in-body -> in-head rules -> _handle_text_state (tokenizer
+            # switch + TEXT mode with original_state = IN_BODY)
+            return SA_BAIL if "textswitch" in _disable else SA_TEXT_SWITCH
         if name == "span":
             return SA_PLAIN_RECON
         if name == "li":
