@@ -37,7 +37,17 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synthesize(_documents(spark, sf_dir))
+    docs = _documents(spark, sf_dir)
+    # The sf* test tables are single parquet files = ONE scan split, which
+    # would serialize the per-doc parse stage on a single core. A
+    # production-scale table has thousands of splits, so restoring input
+    # parallelism here is scale-representative; the guard makes it a no-op
+    # whenever the scan already carries enough splits (as a 100 TB table
+    # does), so the big job never pays this exchange.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return synthesize(docs)
 
 
 # SQL fragment: the heavy-tail repeat factor + repeated body (mirrors
@@ -317,6 +327,38 @@ def q_embed_neardup_mp(spark, sf_dir):
                                     threshold=-1.0, probe_hamming=1)
 
 
+# ------------------------------------------------------------ multimodal
+
+_FEATURE_NAMES = ("r_mean", "g_mean", "b_mean", "all_mean",
+                  "r_std", "g_std", "b_std", "all_std")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Real media pipeline end-to-end: synthesize genuine PNG/BMP payloads
+    (pixels a deterministic function of sha256(doc_id)) -> binary column ->
+    decode_stage (operators/codecs.py native decoders) -> geometry + 8
+    per-channel mean/std features. The DuckDB oracle recomputes the same
+    stats symbolically from sha256(doc_id) over a generated pixel grid, so
+    a hash match proves the encode -> Spark binary transport -> decode ->
+    feature path is pixel-exact. fake=False: any stub-tier fallback
+    raises rather than silently passing."""
+    from jsoup_spark.operators.multimodal import (
+        decode_stage, synthesize_media)
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    dec = decode_stage(synthesize_media(docs, real=True), fake=False)
+    f = F.col("feature")
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        *[F.round(f[i], 5).alias(n) for i, n in enumerate(_FEATURE_NAMES)],
+    )
+
+
 # ------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -358,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_mp": q_ann_ivf_mp,
         "embed_neardup_mp": q_embed_neardup_mp,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -678,4 +721,46 @@ def oracle_sql() -> dict[str, str]:
             f")) > 0 THEN {1 << j} ELSE 0 END)"
             for j in range(16)
         ) + ")::BIGINT AS simhash FROM documents",
+        # multimodal: recompute the deterministic synth image symbolically
+        # (multimodal._hash_image) from sha256(doc_id) over a generated
+        # pixel grid; means/stds two-pass exactly as numpy computes them.
+        # A hash match proves encode_png/encode_bmp -> binary column ->
+        # decode -> feature extraction is pixel-exact end to end.
+        "multimodal_features": """
+            WITH p AS (
+              SELECT doc_id,
+                     16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 48) AS w,
+                     16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 3, 2))::INT % 48) AS ht,
+                     ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 5, 2))::INT AS h2,
+                     ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 7, 2))::INT AS h3,
+                     ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 9, 2))::INT AS h4
+              FROM documents),
+            ax AS (SELECT x FROM generate_series(0, 63) AS t(x)),
+            grid AS (
+              SELECT p.doc_id, p.w, p.ht,
+                     ((gx.x * 255) // (p.w - 1) + p.h2) % 256 AS r,
+                     ((gy.x * 255) // (p.ht - 1) + p.h3) % 256 AS g,
+                     ((gx.x + gy.x + p.h4) % 256) AS b
+              FROM p JOIN ax gx ON gx.x < p.w JOIN ax gy ON gy.x < p.ht),
+            m AS (
+              SELECT doc_id, any_value(w) AS w, any_value(ht) AS ht,
+                     count(*) AS n,
+                     avg(r) AS mr, avg(g) AS mg, avg(b) AS mb,
+                     (sum(r) + sum(g) + sum(b)) / (3.0 * count(*)) AS ma
+              FROM grid GROUP BY doc_id)
+            SELECT g.doc_id AS doc_id,
+                   any_value(m.w) AS width, any_value(m.ht) AS height,
+                   round(any_value(m.mr) / 255.0, 5) AS r_mean,
+                   round(any_value(m.mg) / 255.0, 5) AS g_mean,
+                   round(any_value(m.mb) / 255.0, 5) AS b_mean,
+                   round(any_value(m.ma) / 255.0, 5) AS all_mean,
+                   round(sqrt(sum((g.r - m.mr) * (g.r - m.mr)) / any_value(m.n)) / 255.0, 5) AS r_std,
+                   round(sqrt(sum((g.g - m.mg) * (g.g - m.mg)) / any_value(m.n)) / 255.0, 5) AS g_std,
+                   round(sqrt(sum((g.b - m.mb) * (g.b - m.mb)) / any_value(m.n)) / 255.0, 5) AS b_std,
+                   round(sqrt((sum((g.r - m.ma) * (g.r - m.ma))
+                               + sum((g.g - m.ma) * (g.g - m.ma))
+                               + sum((g.b - m.ma) * (g.b - m.ma)))
+                              / (3.0 * any_value(m.n))) / 255.0, 5) AS all_std
+            FROM grid g JOIN m USING (doc_id)
+            GROUP BY g.doc_id""",
     }

@@ -10,6 +10,7 @@ normalize/trim options (nodes/Entities.java:186-300). UTF-8 output charset
 
 from __future__ import annotations
 
+import os
 import re
 
 from ..parser import tags
@@ -57,6 +58,37 @@ class OutputSettings:
 
 
 DEFAULT = OutputSettings()
+
+
+# Optional C pretty-printer (same strict-subset/bail design as the parser
+# accelerators; the Python printer below remains the source of truth and
+# the fallback for every non-dominant configuration).
+_CSER = None
+if not os.environ.get("JSOUP_FASTSER_DISABLE"):
+    try:
+        from .._native import jsoup_fastser as _mod
+
+        if hasattr(_mod, "serialize_pretty"):
+            _mod.configure(
+                Element, PseudoTextElement, Document, TextNode, CDataNode,
+                DataNode, CommentNode, DoctypeNode, XmlDeclNode,
+                tags._HTML_FLAGS, tags.TAG_FLAGS, NS_HTML, BOOLEAN_ATTRS,
+                tags.KNOWN, tags.VOID, tags.BLOCK, tags.INLINE_CONTAINER,
+                tags.SELF_CLOSE, tags.SEEN_SELF_CLOSE, tags.PRESERVE_WS)
+            _CSER = _mod
+    except ImportError:  # pragma: no cover - extension not built
+        _CSER = None
+
+
+def _c_eligible(settings: OutputSettings) -> bool:
+    """The C printer covers only the dominant configuration; everything
+    else (outline, xml syntax, custom indents, non-UTF charsets, xhtml
+    escape mode) takes the Python path."""
+    return (_CSER is not None and settings.pretty and not settings.outline
+            and settings.indent_amount == 1 and settings.max_padding == 30
+            and settings.syntax == "html"
+            and settings.escape_mode in ("base", "extended")
+            and settings.charset.lower().startswith("utf"))
 
 
 _FAST_WS_RUN = re.compile(r"[ \t\n\f\r]+")
@@ -510,6 +542,10 @@ def inner_html(el: Element, settings: OutputSettings = DEFAULT) -> str:
     if not el.children:
         return ""
     first = el.children[0]
+    if _c_eligible(settings):
+        res = _CSER.serialize_pretty(el.children, first)
+        if res is not None:
+            return java_trim(res)
     printer = _Pretty(first, settings) if settings.pretty else _Plain(first, settings)
     _traverse(printer, list(el.children), settings)
     html = "".join(printer.out)
@@ -539,6 +575,10 @@ def outer_html(node: Node, settings: OutputSettings | None = None) -> str:
             settings = OutputSettings(pretty=False, syntax="xml")
         else:
             settings = DEFAULT
+    if _c_eligible(settings):
+        res = _CSER.serialize_pretty([node], node)
+        if res is not None:
+            return java_trim(res)
     printer = _Pretty(node, settings) if settings.pretty else _Plain(node, settings)
     _traverse(printer, [node], settings)
     html = "".join(printer.out)

@@ -40,7 +40,10 @@ DECODED = T.StructType([
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("n_frames", T.IntegerType(), True),
-    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    # double, not float: the feature stats are exactly recomputable from
+    # the deterministic synth images, and the driver oracle compares them
+    # value-rounded — float32 truncation would straddle rounding boundaries
+    T.StructField("feature", T.ArrayType(T.DoubleType()), True),
 ])
 
 

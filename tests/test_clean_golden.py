@@ -52,3 +52,71 @@ def test_output_charset_fallback():
         == '<p title="&pi; &angst;">&pi; &angst; &#x65b0;</p>'
     assert inner_html(body, OutputSettings(pretty=False)) \
         == '<p title="π Å">π Å 新</p>'
+
+
+def test_c_serializer_differential():
+    """The optional C pretty-printer (fastser.c) must be byte-equal to the
+    Python printer across every parse tree in the golden corpora, including
+    full-document serialization. Skips if the extension isn't built."""
+    import json
+
+    import pytest
+
+    from jsoup_spark.clean import serializer as ser
+    from jsoup_spark.parser.nodes import java_trim
+
+    if ser._CSER is None:
+        pytest.skip("fastser extension not built")
+
+    def py_pretty(roots, first):
+        p = ser._Pretty(first, ser.DEFAULT)
+        ser._traverse(p, list(roots), ser.DEFAULT)
+        return java_trim("".join(p.out))
+
+    with open("tests/fixtures/golden_bodyhtml.json") as f:
+        cases = [c["html"] for c in json.load(f)]
+    with open("tests/fixtures/golden_tree.json") as f:
+        cases += [c["html"] for c in json.load(f)]
+    bails = checked = 0
+    for html in cases:
+        doc = parse(html)
+        for el in (doc.body, doc):
+            if el is None or not el.children:
+                continue
+            res = ser._CSER.serialize_pretty(el.children, el.children[0])
+            if res is None:
+                bails += 1
+                continue
+            checked += 1
+            assert java_trim(res) == py_pretty(el.children, el.children[0]), html
+    assert checked > 3000
+    # the corpus is plain HTML trees: the C path must cover it all
+    assert bails == 0, f"{bails} unexpected bails"
+
+
+def test_c_serializer_disabled_fallback():
+    """JSOUP_FASTSER_DISABLE must leave the pure-Python printer standing
+    alone with identical golden output (import-blocked fallback)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import json\n"
+        "from jsoup_spark.clean import serializer as ser\n"
+        "assert ser._CSER is None\n"
+        "from jsoup_spark.parser.treebuilder import parse\n"
+        "bad = 0\n"
+        "for case in json.load(open('tests/fixtures/golden_bodyhtml.json'))[:120]:\n"
+        "    doc = parse(case['html'])\n"
+        "    mine = ser.inner_html(doc.body) if doc.body is not None else ''\n"
+        "    bad += mine != case['out']\n"
+        "print('BAD', bad)\n"
+    )
+    env = dict(os.environ, JSOUP_FASTSER_DISABLE="1")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, cwd=os.path.dirname(
+                           os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    assert "BAD 0" in r.stdout

@@ -11,4 +11,6 @@ gcc -O2 -fPIC -shared -I"$INC" jsoup_spark/_native/fastscan.c \
     -o "jsoup_spark/_native/jsoup_fastscan${EXT}"
 gcc -O2 -fPIC -shared -I"$INC" jsoup_spark/_native/fasttree.c \
     -o "jsoup_spark/_native/jsoup_fasttree${EXT}"
-echo "built jsoup_spark/_native/jsoup_fastscan${EXT} + jsoup_fasttree${EXT}"
+gcc -O2 -fPIC -shared -I"$INC" jsoup_spark/_native/fastser.c \
+    -o "jsoup_spark/_native/jsoup_fastser${EXT}"
+echo "built jsoup_spark/_native/jsoup_fastscan${EXT} + jsoup_fasttree${EXT} + jsoup_fastser${EXT}"
