@@ -359,6 +359,28 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """Baseline-JPEG media path: every payload is a real JPEG from the
+    native encoder (codecs.encode_jpeg, Annex K tables), decoded back by
+    the native Huffman+IDCT decoder. JPEG is lossy, so the oracle checks
+    the decode-invariant geometry; pixel fidelity is bounded by the
+    round-trip pytest suite (tests/test_codecs.py)."""
+    from jsoup_spark.operators.multimodal import (
+        decode_stage, synthesize_media)
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    media = synthesize_media(docs, real=True, codec="jpeg")
+    dec = decode_stage(media, fake=False)
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
+
+
 # ------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -401,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_mp": q_ann_ivf_mp,
         "embed_neardup_mp": q_embed_neardup_mp,
         "multimodal_features": q_multimodal_features,
+        "multimodal_jpeg": q_multimodal_jpeg,
     }
 
 
@@ -763,4 +786,11 @@ def oracle_sql() -> dict[str, str]:
                               / (3.0 * any_value(m.n))) / 255.0, 5) AS all_std
             FROM grid g JOIN m USING (doc_id)
             GROUP BY g.doc_id""",
+        # JPEG geometry survives the lossy round-trip exactly; dims are
+        # the same sha256-derived function as multimodal_features
+        "multimodal_jpeg": """
+            SELECT doc_id,
+                   16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 48) AS width,
+                   16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 3, 2))::INT % 48) AS height
+            FROM documents""",
     }

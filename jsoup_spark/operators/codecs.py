@@ -6,16 +6,21 @@ Real decoders for the formats that need no external codec library:
          8-bit gray/gray+alpha/RGB/RGBA, non-interlaced.
 * BMP  — uncompressed 24/32-bit BI_RGB, bottom-up or top-down.
 * PPM/PGM — binary netpbm (P5/P6), maxval <= 255.
+* JPEG — baseline sequential DCT (SOF0): Huffman entropy decode,
+         dequantize, float IDCT, 4:4:4/4:2:2/4:4:0/4:2:0 sampling with
+         nearest chroma upsampling, restart markers.
 * WAV  — stdlib `wave` (PCM 8/16/32-bit), samples as float32 in [-1, 1].
 
-Formats that require external codecs (JPEG, WebP, MP3, H.264, ...)
-remain stubbed in operators/multimodal.py per the environment contract —
-`sniff_format` returns None for them and the caller decides
-(fake-decode for plumbing tests, NotImplementedError otherwise).
+Formats that require external codecs (progressive/arithmetic JPEG,
+WebP, MP3, H.264, ...) remain stubbed in operators/multimodal.py per
+the environment contract — decode raises ValueError / `sniff_format`
+returns None and the caller decides (fake-decode for plumbing tests,
+NotImplementedError otherwise).
 
-Encoders for the same formats (PNG filter-0, BMP 24-bit, P6, PCM16 WAV)
-exist so tests and `synthesize_media` can round-trip REAL payloads
-through the real decoders with zero fixtures on disk.
+Encoders for the same formats (PNG filter-0, BMP 24-bit, P6, baseline
+JPEG 4:4:4 or 4:2:0 with Annex K tables, PCM16 WAV) exist so tests and
+`synthesize_media` can round-trip REAL payloads through the real
+decoders with zero fixtures on disk.
 """
 
 from __future__ import annotations
@@ -42,6 +47,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(b"\xff\xd8"):
+        return "jpeg"
     return None
 
 
@@ -264,6 +271,517 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# ------------------------------------------------------------------- JPEG
+#
+# Baseline sequential DCT (SOF0), pure stdlib + numpy — no external codec
+# library. Decoder: DQT/DHT/SOF0/SOS/DRI markers, 8-bit precision, 1 or 3
+# components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 with
+# nearest-neighbor chroma upsampling), restart markers. Encoder: 4:4:4
+# interleaved with the Annex K quantization + Huffman tables (quality
+# scaling as in libjpeg jcparam.c). Progressive/arithmetic/12-bit JPEGs
+# raise ValueError -> the multimodal stub tier handles them.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA_SPEC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_DC_CHROMA_SPEC = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+_AC_LUMA_SPEC = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROMA_SPEC = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# forward F = A f A^T, inverse f = A^T F A
+_DCT_A = np.array([[
+    (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+    for x in range(8)] for u in range(8)])
+
+
+def _huff_decode_table(bits, values):
+    """Canonical Huffman: (code, length) -> value lookup dict."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits, values):
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 unstuffing; stops at
+    any non-RST marker (handing control back to the marker parser)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1          # stuffed 0xFF
+                else:
+                    # marker inside ECS (EOI / next scan): pad with zeros,
+                    # rewind so the caller's parser sees the marker
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) & 0xFFFFFFFFFFFF
+                    self.nbits += 8
+                    continue
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFFFF
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def huff(self, table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("bad JPEG Huffman code")
+
+    def align_restart(self):
+        """Skip to and consume an RSTn marker (after byte alignment)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _extend(v: int, n: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map an n-bit magnitude to its signed value."""
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> uint8 (H, W, 3|1). Raises ValueError on
+    progressive/arithmetic/12-bit or unsupported sampling."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    n = len(payload)
+    quant = {}
+    huff_dc = {}
+    huff_ac = {}
+    frame = None       # (h, w, [(comp_id, hs, vs, tq)])
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        while payload[pos + 1] == 0xFF:    # fill bytes
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:      # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue            # standalone markers
+        seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:      # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant table")
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(seg[p:p + 64], np.uint8)
+                quant[tq] = tbl.reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:    # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                cnt = sum(bits)
+                vals = list(seg[p + 17:p + 17 + cnt])
+                tbl = _huff_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                p += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("non-8-bit JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/extended JPEG unsupported")
+        elif marker == 0xDD:    # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:    # SOS
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((cs, tdta >> 4, tdta & 0xF))
+            scan = (scomps, pos)
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    scomps, ecs_pos = scan
+    if len(comps) not in (1, 3) or len(scomps) != len(comps):
+        raise ValueError("unsupported JPEG component layout")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
+        raise ValueError("unsupported JPEG sampling factors")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    # per-component pixel planes at component resolution
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8),
+                               np.float64))
+    dc_tab = {}
+    ac_tab = {}
+    for (cs, td, ta), (cid, hs, vs, tq) in zip(scomps, comps):
+        if cs != cid:
+            raise ValueError("JPEG scan/frame component order mismatch")
+        dc_tab[cid] = huff_dc.get(td)
+        ac_tab[cid] = huff_ac.get(ta)
+        if dc_tab[cid] is None or ac_tab[cid] is None or tq not in quant:
+            raise ValueError("JPEG missing Huffman/quant table")
+    br = _BitReader(payload, ecs_pos)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    A = _DCT_A
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_restart()
+                pred = {cid: 0 for cid, _, _, _ in comps}
+            mcu_count += 1
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        t = br.huff(dc_tab[cid])
+                        diff = _extend(br.read(t), t) if t else 0
+                        pred[cid] += diff
+                        coeffs = np.zeros(64, np.float64)
+                        coeffs[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(ac_tab[cid])
+                            r, ssss = rs >> 4, rs & 0xF
+                            if ssss == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break       # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coeffs[_ZIGZAG[k]] = _extend(br.read(ssss), ssss)
+                            k += 1
+                        # note: coeffs[0] set pre-zigzag (index 0 == DC)
+                        block = (coeffs.reshape(8, 8) * quant[tq])
+                        px = A.T @ block @ A + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    # upsample to full resolution (nearest) + crop
+    full = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)      # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # 1-fill to byte boundary
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _encode_block(bw, block, qtab, dc_table, ac_table, pred):
+    A = _DCT_A
+    coeffs = A @ (block - 128.0) @ A.T
+    quantized = np.rint(coeffs / qtab).astype(np.int32).ravel()[_ZIGZAG]
+    diff = int(quantized[0]) - pred
+    mag = abs(diff)
+    nbits = mag.bit_length()
+    code, length = dc_table[nbits]
+    bw.write(code, length)
+    if nbits:
+        bw.write(diff if diff >= 0 else diff + (1 << nbits) - 1, nbits)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(quantized[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            break
+        v = int(quantized[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_table[0xF0]
+            bw.write(code, length)
+            run -= 16
+        mag = abs(v)
+        nbits = mag.bit_length()
+        code, length = ac_table[(run << 4) | nbits]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << nbits) - 1, nbits)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_table[0x00]
+        bw.write(code, length)
+    return int(quantized[0])
+
+
+def _box_down2(p: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample with edge replication for odd dims."""
+    h, w = p.shape
+    if h % 2:
+        p = np.vstack([p, p[-1:]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+            + p[1::2, 1::2]) / 4.0
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """uint8 (H, W, 3) RGB or (H, W) / (H, W, 1) gray -> baseline JPEG,
+    Annex K tables scaled by `quality` (libjpeg mapping). subsampling:
+    "444" (default) or "420" (2x2 luma sampling, box-filtered chroma)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_jpeg expects 1 or 3 channels")
+    px = img.astype(np.float64)
+    if ch == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        planes = [px[:, :, 0]]
+    if ch == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _box_down2(planes[1]), _box_down2(planes[2])]
+    elif subsampling == "444" or ch == 1:
+        samp = [(1, 1)] * ch
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    qt_l = _scaled_quant(_QUANT_LUMA, quality).reshape(8, 8)
+    qt_c = _scaled_quant(_QUANT_CHROMA, quality).reshape(8, 8)
+    out = bytearray(b"\xff\xd8")                      # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+
+    def dqt(tid, tab):
+        zz = tab.ravel()[_ZIGZAG].astype(np.uint8).tobytes()
+        return (b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+                + bytes([tid]) + zz)
+
+    out += dqt(0, qt_l)
+    if ch == 3:
+        out += dqt(1, qt_c)
+    # SOF0
+    nc = ch
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hs, vs = samp[i]
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
+    if ch == 3:
+        out += dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
+    # SOS
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    enc_dc = [_huff_encode_table(*_DC_LUMA_SPEC),
+              _huff_encode_table(*_DC_CHROMA_SPEC)]
+    enc_ac = [_huff_encode_table(*_AC_LUMA_SPEC),
+              _huff_encode_table(*_AC_CHROMA_SPEC)]
+    bw = _BitWriter()
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    pred = [0] * nc
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
+        sh, sw = p.shape
+        pp = np.empty((ph, pw), np.float64)
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[sh - 1:sh, :]    # edge-replicate padding
+        pp[:, sw:] = pp[:, sw - 1:sw]
+        padded.append(pp)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                t = 0 if ci == 0 else 1
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        pred[ci] = _encode_block(
+                            bw, block, qt_l if ci == 0 else qt_c,
+                            enc_dc[t], enc_ac[t], pred[ci])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
 
 
 # ---------------------------------------------------------------- resize

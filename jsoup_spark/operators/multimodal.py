@@ -6,14 +6,15 @@ shapes) is real and tested. Codec work is two-tier:
 
 * REAL decode (operators/codecs.py, stdlib zlib/wave + numpy, no
   external libraries): PNG (filters 0-4), uncompressed BMP, binary
-  netpbm, PCM WAV — `decode_image`/`decode_audio` sniff magic bytes and
-  decode these natively, `resize_stage` really resamples (area average)
-  and re-encodes PNG, and `decode_stage` extracts real per-channel
+  netpbm, baseline JPEG (SOF0 huffman+IDCT, 4:4:4/4:2:2/4:2:0), PCM WAV
+  — `decode_image`/`decode_audio` sniff magic bytes and decode these
+  natively, `resize_stage` really resamples (area average) and
+  re-encodes PNG, and `decode_stage` extracts real per-channel
   mean/std features.
-* STUB for formats that need external codec libraries (JPEG, WebP,
-  MP3, H.264, ...): NotImplementedError unless `fake=True` produces a
-  deterministic hash-derived decode (for plumbing tests) — per the
-  environment contract (no PIL/opencv/ffmpeg in this container).
+* STUB for formats that need external codec libraries (progressive
+  JPEG, WebP, MP3, H.264, ...): NotImplementedError unless `fake=True`
+  produces a deterministic hash-derived decode (for plumbing tests) —
+  per the environment contract (no PIL/opencv/ffmpeg in this container).
 """
 
 from __future__ import annotations
@@ -47,14 +48,17 @@ DECODED = T.StructType([
 ])
 
 
-def synthesize_media(docs: DataFrame, *, real: bool = False) -> DataFrame:
+def synthesize_media(docs: DataFrame, *, real: bool = False,
+                     codec: str | None = None) -> DataFrame:
     """Attach a deterministic binary payload per doc.
 
     real=False (default): md5-derived opaque bytes, pure Catalyst —
     stands in for fetched bytes so the pipeline shape is testable.
     real=True: genuine decodable payloads (alternating PNG / BMP images
     whose pixels derive from the doc_id hash) built in a mapInPandas
-    stage, so the REAL decoders run end-to-end with zero fixtures."""
+    stage, so the REAL decoders run end-to-end with zero fixtures.
+    codec="jpeg" (with real=True): every payload is a baseline JPEG from
+    the native encoder instead of the lossless PNG/BMP mix."""
     if not real:
         payload = F.to_binary(F.md5(F.col("doc_id")), F.lit("hex"))
         meta = F.struct(
@@ -77,8 +81,10 @@ def synthesize_media(docs: DataFrame, *, real: bool = False) -> DataFrame:
             ids, payloads, metas = [], [], []
             for doc_id in pdf["doc_id"]:
                 img = _hash_image(str(doc_id))
-                if int(hashlib.md5(str(doc_id).encode())
-                       .hexdigest(), 16) % 2 == 0:
+                if codec == "jpeg":
+                    b, mime = codecs.encode_jpeg(img), "image/jpeg"
+                elif int(hashlib.md5(str(doc_id).encode())
+                         .hexdigest(), 16) % 2 == 0:
                     b, mime = codecs.encode_png(img), "image/png"
                 else:
                     b, mime = codecs.encode_bmp(img), "image/bmp"
@@ -107,17 +113,19 @@ def _hash_image(doc_id: str) -> "np.ndarray":
 
 def decode_image(payload: bytes, *, fake: bool = False):
     """Decode an image payload -> (width, height). PNG / uncompressed
-    BMP / binary netpbm decode NATIVELY (operators/codecs.py — stdlib +
-    numpy). Other formats (JPEG, WebP, ...) need an external codec
-    library: NotImplementedError, or a deterministic hash-derived fake
-    when `fake=True` (plumbing tests)."""
+    BMP / binary netpbm / baseline JPEG decode NATIVELY
+    (operators/codecs.py — stdlib + numpy). Other formats (progressive
+    JPEG, WebP, ...) need an external codec library:
+    NotImplementedError, or a deterministic hash-derived fake when
+    `fake=True` (plumbing tests)."""
     arr = decode_image_array(payload)
     if arr is not None:
         return arr.shape[1], arr.shape[0]
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/BMP/netpbm; decoding other image formats "
-            "requires an imaging library (PIL/opencv) on the cluster")
+            "payload is not PNG/BMP/netpbm/baseline-JPEG; decoding other "
+            "image formats requires an imaging library (PIL/opencv) on "
+            "the cluster")
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -135,8 +143,10 @@ def decode_image_array(payload: bytes):
             return codecs.decode_bmp(payload)
         if fmt == "ppm":
             return codecs.decode_ppm(payload)
+        if fmt == "jpeg":
+            return codecs.decode_jpeg(payload)
     except ValueError:
-        return None  # esoteric variant (interlaced/16-bit/...) -> stub tier
+        return None  # esoteric variant (interlaced/16-bit/progressive/...)
     return None
 
 

@@ -178,3 +178,84 @@ def test_real_payload_pipeline(spark):
         arr = codecs.decode_png(bytes(r.payload))
         assert arr.shape[:2] == (r.height, r.width)
         assert max(r.width, r.height) <= 16
+
+
+# ------------------------------------------------------------------- JPEG
+
+def _smooth_img(h, w, seed=0):
+    """Smooth gradient (no 255->0 hue wraps, where JPEG ringing is
+    expected and unbounded-max error is normal)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 200) // max(w - 1, 1) + 20
+    g = (yy * 180) // max(h - 1, 1) + 40
+    b = ((xx + yy) * 100) // max(h + w - 2, 1) + 80
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_rgb_444():
+    for h, w in ((16, 16), (24, 40), (33, 41), (7, 9)):
+        img = _smooth_img(h, w)
+        b = codecs.encode_jpeg(img, quality=90)
+        assert codecs.sniff_format(b) == "jpeg"
+        dec = codecs.decode_jpeg(b)
+        assert dec.shape == (h, w, 3)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 3.0 and err.max() < 32, (h, w, err.mean(),
+                                                     err.max())
+
+
+def test_jpeg_roundtrip_420_subsampling():
+    """4:2:0 encode exercises the decoder's multi-block MCU interleave +
+    chroma upsampling path."""
+    for h, w in ((32, 32), (33, 47), (17, 18)):
+        img = _smooth_img(h, w)
+        b = codecs.encode_jpeg(img, quality=90, subsampling="420")
+        dec = codecs.decode_jpeg(b)
+        assert dec.shape == (h, w, 3)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < 6.0, (h, w, err.mean())
+
+
+def test_jpeg_roundtrip_gray():
+    g = (np.mgrid[0:33, 0:41][0] * 5 + 16).clip(0, 255).astype(np.uint8)
+    b = codecs.encode_jpeg(g, quality=90)
+    dec = codecs.decode_jpeg(b)
+    assert dec.shape == (33, 41, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+
+
+def test_jpeg_quality_monotonic_size():
+    img = _smooth_img(48, 48)
+    sizes = [len(codecs.encode_jpeg(img, quality=q)) for q in (30, 75, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_jpeg_quantization_determinism():
+    img = _smooth_img(40, 24)
+    assert codecs.encode_jpeg(img) == codecs.encode_jpeg(img)
+    b = codecs.encode_jpeg(img)
+    assert np.array_equal(codecs.decode_jpeg(b), codecs.decode_jpeg(b))
+
+
+def test_jpeg_rejects_progressive():
+    img = _smooth_img(16, 16)
+    b = bytearray(codecs.encode_jpeg(img))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2          # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(b))
+
+
+def test_jpeg_in_multimodal_pipeline():
+    """decode_image_array routes JPEG to the native decoder; hash images
+    (the synth corpus content) keep exact geometry + close features."""
+    for i in range(8):
+        img = multimodal._hash_image(str(i))
+        payload = codecs.encode_jpeg(img, quality=90)
+        arr = multimodal.decode_image_array(payload)
+        assert arr is not None and arr.shape == img.shape
+        w, h = multimodal.decode_image(payload)
+        assert (w, h) == (img.shape[1], img.shape[0])
+        exp = multimodal._image_feature(img)
+        got = multimodal._image_feature(arr)
+        assert max(abs(a - b) for a, b in zip(exp, got)) < 0.05
