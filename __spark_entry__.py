@@ -327,6 +327,16 @@ def q_embed_neardup_mp(spark, sf_dir):
                                     threshold=-1.0, probe_hamming=1)
 
 
+def q_embed_neardup_scale(spark, sf_dir):
+    """The scale="large" profile (SCALE_PROFILES — the 100 TB defaults in
+    one word): corpus-scaled nbits via suggest_nbits (=4 at this sf),
+    2-table OR amplification over disjoint dimension blocks, capped
+    buckets. Oracle: pairs sharing a sign-bucket in EITHER table,
+    union-distinct."""
+    return dedup.embedding_near_dup(_embeddings(spark, sf_dir),
+                                    threshold=-1.0, scale="large")
+
+
 # ------------------------------------------------------------ multimodal
 
 _FEATURE_NAMES = ("r_mean", "g_mean", "b_mean", "all_mean",
@@ -422,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_mp": q_ann_ivf_mp,
         "embed_neardup_mp": q_embed_neardup_mp,
+        "embed_neardup_scale": q_embed_neardup_scale,
         "multimodal_features": q_multimodal_features,
         "multimodal_jpeg": q_multimodal_jpeg,
     }
@@ -693,6 +704,28 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b
               ON ((CASE WHEN substr(a.bucket, 1, 1) != substr(b.bucket, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 2, 1) != substr(b.bucket, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 3, 1) != substr(b.bucket, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 4, 1) != substr(b.bucket, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 5, 1) != substr(b.bucket, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 6, 1) != substr(b.bucket, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 7, 1) != substr(b.bucket, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substr(a.bucket, 8, 1) != substr(b.bucket, 8, 1) THEN 1 ELSE 0 END)) <= 1
              AND a.vec_id < b.vec_id""",
+        # scale="large" profile at this sf: suggest_nbits(500)=4 (the
+        # SQL pins the profile's small-corpus resolution; a bigger corpus
+        # widens nbits Spark-side by the same documented formula),
+        # n_tables=2 over disjoint dim blocks [0,4) and [4,8),
+        # max_bucket=4096 (uncapped at 500 vectors)
+        "embed_neardup_scale": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding[1:4],
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                         'string_agg', '') AS b0,
+                     list_aggregate(list_transform(embedding[5:8],
+                         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                         'string_agg', '') AS b1
+              FROM embeddings)
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                       AS cosine
+            FROM e a JOIN e b
+              ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id""",
         "ann_brute": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
                        FROM embeddings WHERE vec_id < 5),

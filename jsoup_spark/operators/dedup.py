@@ -18,6 +18,34 @@ from pyspark.sql import DataFrame, Window, functions as F
 MINHASH_PERMS = 4          # 4 disjoint 8-hex windows of md5(shingle)
 LSH_BANDS = 2              # 2 bands x 2 rows
 
+# Scale profiles (VERDICT r4 item 5): the historical defaults are exact
+# and small-scale (unbounded buckets, fixed narrow bucket keys) — right
+# for the pinned sf oracles, wrong for a 10^9+-doc corpus where one
+# degenerate bucket turns O(bucket^2). scale="large" flips every knob to
+# the bounded configuration in one word; explicitly-passed knobs always
+# win over the profile. The "large" values: max_bucket caps degenerate
+# buckets via representative pairing (no silent truncation — the
+# *_with_stats variants report every dropped pair), nbits=None grows the
+# bucket-key width with corpus size (similarity.suggest_nbits), and
+# n_tables=2 OR-amplifies recall lost to the wider keys.
+SCALE_PROFILES = {
+    "small": {"max_bucket": None, "nbits": 8, "n_tables": 1},
+    "large": {"max_bucket": 4096, "nbits": None, "n_tables": 2},
+}
+
+_UNSET = object()
+
+
+def _knob(value, scale: str, name: str):
+    """Resolve a knob: explicit value wins, else the profile default."""
+    if value is not _UNSET:
+        return value
+    try:
+        return SCALE_PROFILES[scale][name]
+    except KeyError:
+        raise ValueError(f"unknown scale profile {scale!r}; "
+                         f"expected one of {sorted(SCALE_PROFILES)}")
+
 
 def _shingles(text_col="text"):
     """3-word shingles as a Catalyst expression over space-split words.
@@ -118,18 +146,21 @@ def minhash_lsh_buckets(documents: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame,
                         threshold: float = 0.0,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket=_UNSET,
+                        scale: str = "small") -> DataFrame:
     """Pairwise n-gram Jaccard among LSH candidates (same band-0 key).
-    See ngram_jaccard_pairs_with_stats for the scale knobs."""
+    scale="large" selects the bounded-bucket profile (SCALE_PROFILES);
+    see ngram_jaccard_pairs_with_stats for the scale knobs."""
     pairs, _stats = ngram_jaccard_pairs_with_stats(
-        documents, threshold, max_bucket)
+        documents, threshold, max_bucket, scale)
     return pairs
 
 
 def ngram_jaccard_pairs_with_stats(
         documents: DataFrame,
         threshold: float = 0.0,
-        max_bucket: int | None = None) -> tuple[DataFrame, DataFrame]:
+        max_bucket=_UNSET,
+        scale: str = "small") -> tuple[DataFrame, DataFrame]:
     """Pairwise n-gram Jaccard among LSH candidates (same band-0 key),
     plus a capped-bucket report.
 
@@ -147,9 +178,11 @@ def ngram_jaccard_pairs_with_stats(
       this size are cliques in practice, so membership survives; the
       dropped member-member pairs are REPORTED, not silent: the second
       return value lists every capped bucket with its size and
-      dropped-pair count. max_bucket=None (default) is exact and returns
-      an empty report.
+      dropped-pair count. max_bucket=None (the "small"-profile default)
+      is exact and returns an empty report; scale="large" defaults it to
+      SCALE_PROFILES["large"]["max_bucket"].
     """
+    max_bucket = _knob(max_bucket, scale, "max_bucket")
     # Materialize the shingle array through a Generate (explode of a
     # 1-element array): `sh` becomes a plain attribute downstream, so the
     # split/zip_with chain runs exactly once per row no matter how many
@@ -266,9 +299,10 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 def embedding_near_dup(embeddings: DataFrame,
                        threshold: float = 0.9,
                        probe_hamming: int = 0,
-                       nbits: int | None = 8,
-                       n_tables: int = 1,
-                       max_bucket: int | None = None) -> DataFrame:
+                       nbits=_UNSET,
+                       n_tables=_UNSET,
+                       max_bucket=_UNSET,
+                       scale: str = "small") -> DataFrame:
     """Embedding-cosine near-dup candidates, LSH-bucketed by sign patterns
     of embedding dimensions (random-hyperplane style).
 
@@ -293,9 +327,14 @@ def embedding_near_dup(embeddings: DataFrame,
       (min vec_id), so the bucket yields O(n) rep-member pairs instead of
       all pairs; smaller buckets keep the exact behavior. Use
       embedding_near_dup_with_stats for the capped-bucket report.
+    * scale — one-word profile over the three knobs above: "small" (the
+      historical exact defaults, pinned by the sf oracles) or "large"
+      (SCALE_PROFILES["large"]: capped buckets, corpus-scaled nbits,
+      2-table OR amplification). Explicit knobs win over the profile.
     """
     pairs, _stats = embedding_near_dup_with_stats(
-        embeddings, threshold, probe_hamming, nbits, n_tables, max_bucket)
+        embeddings, threshold, probe_hamming, nbits, n_tables, max_bucket,
+        scale)
     return pairs
 
 
@@ -303,14 +342,18 @@ def embedding_near_dup_with_stats(
         embeddings: DataFrame,
         threshold: float = 0.9,
         probe_hamming: int = 0,
-        nbits: int | None = 8,
-        n_tables: int = 1,
-        max_bucket: int | None = None) -> tuple[DataFrame, DataFrame]:
+        nbits=_UNSET,
+        n_tables=_UNSET,
+        max_bucket=_UNSET,
+        scale: str = "small") -> tuple[DataFrame, DataFrame]:
     """embedding_near_dup plus a report of capped buckets
     (tbl, bucket, n_docs, dropped_pairs) — empty when max_bucket=None
     or nothing exceeded it. No silent truncation."""
     from jsoup_spark.operators.similarity import (
         _table_bucket, _probe_set, suggest_nbits)
+    nbits = _knob(nbits, scale, "nbits")
+    n_tables = _knob(n_tables, scale, "n_tables")
+    max_bucket = _knob(max_bucket, scale, "max_bucket")
     if nbits is None:
         nbits = suggest_nbits(embeddings.count())
     base = embeddings.select(

@@ -93,7 +93,7 @@ def _probe_set(bucket_col, nbits: int, probe_hamming: int):
 
 def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
              nbits: int | None = 6, probe_hamming: int = 0,
-             n_tables: int = 1) -> DataFrame:
+             n_tables: int = 1, scale: str | None = None) -> DataFrame:
     """IVF/LSH-bucketed ANN.
 
     Recall knobs (all exact-score the candidate set, so precision is 1 —
@@ -110,7 +110,20 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     Generate, no shuffle), the query side is broadcast with its probe set
     exploded, and the only exchanges are the candidate-dedup/top-k
     shuffles on q_id — never an all-pairs join.
+
+    scale="large" is the one-word recall/scale profile (corpus-scaled
+    nbits, multi-probe, 2 tables); explicit knobs keep their values —
+    the profile only replaces the signature defaults.
     """
+    if scale == "large":
+        if nbits == 6:
+            nbits = None
+        if probe_hamming == 0:
+            probe_hamming = 1
+        if n_tables == 1:
+            n_tables = 2
+    elif scale not in (None, "small"):
+        raise ValueError(f"unknown scale profile {scale!r}")
     if nbits is None:
         nbits = suggest_nbits(embeddings.count())
     base0 = embeddings.select(
