@@ -232,7 +232,12 @@ def main_scaling() -> None:
     # fixed cost — the north-rule jobs this models run for hours, not
     # seconds. Exported via env so the pinned child JVMs see it.
     if "SPARK_GRAFT_REPLICATE" not in os.environ:
-        os.environ["SPARK_GRAFT_REPLICATE"] = "180"
+        # r5: 360 (1.8M docs). The r4 rule — the corpus must grow with the
+        # engine so the 16-core leg stays >>10x the ~1.5-2s fixed session
+        # cost — triggered again: r5 worker speedups pushed the 900k-doc
+        # 16-core wall to ~12s, where fixed costs alone cost ~0.1 of
+        # measured efficiency.
+        os.environ["SPARK_GRAFT_REPLICATE"] = "360"
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     lo = child_throughput(str(n))
     hi = child_throughput(str(4 * n))
