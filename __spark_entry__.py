@@ -28,6 +28,27 @@ from jsoup_spark.operators.pipeline import (
 from jsoup_spark.sources.corpus import synthesize
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The sf* test tables are single parquet files = ONE scan split,
+    which serializes per-row work on a single core. A production-scale
+    table has thousands of splits, so restoring input parallelism is
+    scale-representative; the guard makes it a no-op whenever the scan
+    already carries enough splits (as a 100 TB table does), so the big
+    job never pays this exchange.
+
+    Applied SELECTIVELY — only where per-row work dominates the exchange
+    cost (measured r5, alternating min-wall A/B at sf0.1): the per-doc
+    Python parse corpus (clean_basic 3.6->1.2s), shingle-hashing LSH
+    (lsh_buckets 1.02->0.79s), and the brute-force cosine scan
+    (ann_brute 0.80->0.46s). Trivial Catalyst scans (token_count,
+    dedup_exact, simhash, ...) LOSE 0.05-0.3s to the added exchange at
+    this scale and keep the plain single-split read."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -37,17 +58,7 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _documents(spark, sf_dir)
-    # The sf* test tables are single parquet files = ONE scan split, which
-    # would serialize the per-doc parse stage on a single core. A
-    # production-scale table has thousands of splits, so restoring input
-    # parallelism here is scale-representative; the guard makes it a no-op
-    # whenever the scan already carries enough splits (as a 100 TB table
-    # does), so the big job never pays this exchange.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
-    return synthesize(docs)
+    return synthesize(_spread(spark, _documents(spark, sf_dir)))
 
 
 # SQL fragment: the heavy-tail repeat factor + repeated body (mirrors
@@ -279,7 +290,7 @@ def q_minhash(spark, sf_dir):
 
 
 def q_lsh_buckets(spark, sf_dir):
-    return dedup.minhash_lsh_buckets(_documents(spark, sf_dir))
+    return dedup.minhash_lsh_buckets(_spread(spark, _documents(spark, sf_dir)))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -307,7 +318,7 @@ def q_embed_neardup(spark, sf_dir):
 # ------------------------------------------------------------ similarity
 
 def q_ann_brute(spark, sf_dir):
-    return similarity.brute_force_topk(_embeddings(spark, sf_dir))
+    return similarity.brute_force_topk(_spread(spark, _embeddings(spark, sf_dir)))
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -354,11 +365,8 @@ def q_multimodal_features(spark, sf_dir):
     raises rather than silently passing."""
     from jsoup_spark.operators.multimodal import (
         decode_stage, synthesize_media)
-    docs = _documents(spark, sf_dir).select(
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
         F.col("doc_id").cast("string").alias("doc_id"))
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     dec = decode_stage(synthesize_media(docs, real=True), fake=False)
     f = F.col("feature")
     return dec.select(
@@ -377,11 +385,8 @@ def q_multimodal_jpeg(spark, sf_dir):
     round-trip pytest suite (tests/test_codecs.py)."""
     from jsoup_spark.operators.multimodal import (
         decode_stage, synthesize_media)
-    docs = _documents(spark, sf_dir).select(
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
         F.col("doc_id").cast("string").alias("doc_id"))
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     media = synthesize_media(docs, real=True, codec="jpeg")
     dec = decode_stage(media, fake=False)
     return dec.select(
