@@ -377,6 +377,40 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Full media chain: synthesize real PNG/BMP -> decode -> box-filter
+    resize (codecs.resize_area, max_side=16) -> PNG re-encode -> decode
+    again -> geometry + features of the RESIZED image. The DuckDB oracle
+    recomputes the whole chain symbolically with integer-exact banker's
+    rounding (np.rint half-even for cell means, Python round-half-even
+    for the target dims) — a hash match proves resample + re-encode +
+    re-decode are pixel-exact end to end."""
+    from jsoup_spark.operators.multimodal import (
+        decode_stage, resize_stage, synthesize_media)
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    media = synthesize_media(docs, real=True)
+    resized = resize_stage(media, max_side=16)
+    # resize_stage emits (doc_id, width, height, payload); decode_stage
+    # wants the (doc_id, payload, meta) media shape — rebuild the meta
+    remedia = resized.select(
+        "doc_id", "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("image/png").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(None).cast("string").alias("source_ref"),
+        ).alias("meta"))
+    dec = decode_stage(remedia, fake=False)
+    f = F.col("feature")
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        *[F.round(f[i], 5).alias(n) for i, n in enumerate(_FEATURE_NAMES)],
+    )
+
+
 def q_multimodal_jpeg(spark, sf_dir):
     """Baseline-JPEG media path: every payload is a real JPEG from the
     native encoder (codecs.encode_jpeg, Annex K tables), decoded back by
@@ -439,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_mp": q_embed_neardup_mp,
         "embed_neardup_scale": q_embed_neardup_scale,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_jpeg": q_multimodal_jpeg,
     }
 
@@ -824,6 +859,72 @@ def oracle_sql() -> dict[str, str]:
                               / (3.0 * any_value(m.n))) / 255.0, 5) AS all_std
             FROM grid g JOIN m USING (doc_id)
             GROUP BY g.doc_id""",
+        # resize chain: same symbolic grid, then target dims via
+        # Python-round (half-even) and per-cell box means via np.rint
+        # (half-even) -- both in exact integer arithmetic; features
+        # over the resized pixels as in multimodal_features
+        "multimodal_resize": """
+WITH p AS (
+  SELECT doc_id,
+         16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),1,2))::INT % 48) AS w,
+         16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),3,2))::INT % 48) AS ht,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),5,2))::INT AS h2,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),7,2))::INT AS h3,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),9,2))::INT AS h4
+  FROM documents),
+dims AS (
+  SELECT p.*, greatest(w, ht) AS mx FROM p),
+dims2 AS (
+  SELECT *, CASE WHEN mx <= 16 THEN w ELSE greatest(1, (CASE WHEN (2*(w*16)) % (2*mx) = mx
+      THEN CAST(((2*(w*16) - mx) / (2*mx)) AS BIGINT)
+           + CASE WHEN (CAST(((2*(w*16) - mx) / (2*mx)) AS BIGINT) % 2) = 1 THEN 1 ELSE 0 END
+      ELSE CAST(floor((2.0*(w*16) + mx) / (2*mx)) AS BIGINT) END)) END AS nw, CASE WHEN mx <= 16 THEN ht ELSE greatest(1, (CASE WHEN (2*(ht*16)) % (2*mx) = mx
+      THEN CAST(((2*(ht*16) - mx) / (2*mx)) AS BIGINT)
+           + CASE WHEN (CAST(((2*(ht*16) - mx) / (2*mx)) AS BIGINT) % 2) = 1 THEN 1 ELSE 0 END
+      ELSE CAST(floor((2.0*(ht*16) + mx) / (2*mx)) AS BIGINT) END)) END AS nh FROM dims),
+ax AS (SELECT x FROM generate_series(0, 63) AS t(x)),
+grid AS (
+  SELECT d.doc_id, d.w, d.ht, d.nw, d.nh,
+         least((gy.x * d.nh) // d.ht, d.nh - 1) AS yi,
+         least((gx.x * d.nw) // d.w,  d.nw - 1) AS xi,
+         ((gx.x * 255) // (d.w - 1) + d.h2) % 256 AS r,
+         ((gy.x * 255) // (d.ht - 1) + d.h3) % 256 AS g,
+         ((gx.x + gy.x + d.h4) % 256) AS b
+  FROM dims2 d JOIN ax gx ON gx.x < d.w JOIN ax gy ON gy.x < d.ht),
+cells AS (
+  SELECT doc_id, yi, xi, count(*) AS c,
+         sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+         any_value(nw) AS nw, any_value(nh) AS nh
+  FROM grid GROUP BY doc_id, yi, xi),
+px AS (
+  SELECT doc_id, nw, nh,
+         (CASE WHEN (2*sr) % (2*c) = c
+      THEN CAST(((2*sr - c) / (2*c)) AS BIGINT)
+           + CASE WHEN (CAST(((2*sr - c) / (2*c)) AS BIGINT) % 2) = 1 THEN 1 ELSE 0 END
+      ELSE CAST(floor((2.0*sr + c) / (2*c)) AS BIGINT) END) AS r, (CASE WHEN (2*sg) % (2*c) = c
+      THEN CAST(((2*sg - c) / (2*c)) AS BIGINT)
+           + CASE WHEN (CAST(((2*sg - c) / (2*c)) AS BIGINT) % 2) = 1 THEN 1 ELSE 0 END
+      ELSE CAST(floor((2.0*sg + c) / (2*c)) AS BIGINT) END) AS g, (CASE WHEN (2*sb) % (2*c) = c
+      THEN CAST(((2*sb - c) / (2*c)) AS BIGINT)
+           + CASE WHEN (CAST(((2*sb - c) / (2*c)) AS BIGINT) % 2) = 1 THEN 1 ELSE 0 END
+      ELSE CAST(floor((2.0*sb + c) / (2*c)) AS BIGINT) END) AS b
+  FROM cells),
+m AS (
+  SELECT doc_id, any_value(nw) AS nw, any_value(nh) AS nh, count(*) AS n,
+         avg(r) AS mr, avg(g) AS mg, avg(b) AS mb,
+         (sum(r)+sum(g)+sum(b)) / (3.0*count(*)) AS ma
+  FROM px GROUP BY doc_id)
+SELECT g.doc_id AS doc_id, any_value(m.nw) AS width, any_value(m.nh) AS height,
+       round(any_value(m.mr)/255.0, 5) AS r_mean,
+       round(any_value(m.mg)/255.0, 5) AS g_mean,
+       round(any_value(m.mb)/255.0, 5) AS b_mean,
+       round(any_value(m.ma)/255.0, 5) AS all_mean,
+       round(sqrt(sum((g.r-m.mr)*(g.r-m.mr))/any_value(m.n))/255.0, 5) AS r_std,
+       round(sqrt(sum((g.g-m.mg)*(g.g-m.mg))/any_value(m.n))/255.0, 5) AS g_std,
+       round(sqrt(sum((g.b-m.mb)*(g.b-m.mb))/any_value(m.n))/255.0, 5) AS b_std,
+       round(sqrt((sum((g.r-m.ma)*(g.r-m.ma)) + sum((g.g-m.ma)*(g.g-m.ma)) + sum((g.b-m.ma)*(g.b-m.ma)))/(3.0*any_value(m.n)))/255.0, 5) AS all_std
+FROM px g JOIN m USING (doc_id)
+GROUP BY g.doc_id""",
         # JPEG geometry survives the lossy round-trip exactly; dims are
         # the same sha256-derived function as multimodal_features
         "multimodal_jpeg": """
