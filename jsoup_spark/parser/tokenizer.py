@@ -790,6 +790,39 @@ def _data(t):
         t._emit_str(_consume_to_re(t, _P_DATA))
 
 
+def _fused_text_close(t) -> bool:
+    """Fused close-tag fast path for the text states (RCDATA / RAWTEXT /
+    SCRIPT_DATA), at a '<': when the input is exactly the appropriate
+    `</name>` (no attrs/ws/self-close, exact '>'), emit the end tag and
+    return to DATA in one step instead of the 4-state LT/END_OPEN/
+    END_NAME round-trip. Token stream and positions are identical: the
+    normal path also leaves markup_start stale (reference parity,
+    Tokeniser.java — RCDataLessthanSign never moves markupStartPos) and
+    ends with emit_tag + DATA."""
+    nm = t.last_start
+    if nm is None:
+        return False
+    if not (nm.isascii() and nm.isalpha()):
+        # END_NAME consumes letter sequences only: a custom text tag like
+        # `x-rc` reads back as `x`, never appropriate — `</x-rc>` must
+        # stay TEXT (reference TokeniserState consumeLetterSequence;
+        # golden_customtags.json pins this)
+        return False
+    s = t.s
+    pos = t.pos
+    if pos + 1 >= t.n or s[pos + 1] != "/":
+        return False
+    end = pos + 2 + len(nm)
+    if end >= t.n or s[end] != ">" or s[pos + 2:end].lower() != nm:
+        return False
+    t.create_tag(False)
+    t.append_tag_name(s[pos + 2:end])
+    t.pos = end + 1
+    t.emit_tag()
+    t.state = DATA
+    return True
+
+
 @_state(RCDATA)
 def _rcdata(t):
     c = _cur(t)
@@ -798,6 +831,8 @@ def _rcdata(t):
         decoded = t.consume_charref_tokens(None, False)
         t._emit_str(decoded if decoded is not None else "&")
     elif c == "<":
+        if _fused_text_close(t):
+            return
         t.pos += 1
         t.state = RCDATA_LT
     elif c == NULL:
@@ -813,6 +848,8 @@ def _rcdata(t):
 def _raw_data(t, lt_state):
     c = _cur(t)
     if c == "<":
+        if _fused_text_close(t):
+            return
         t.pos += 1
         t.state = lt_state
     elif c == NULL:
