@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from jsoup_spark.operators import dedup, similarity, textstats
+from jsoup_spark.operators import dedup, events, similarity, textstats
 from jsoup_spark.operators.pipeline import (
     clean_stage, extract_stage, fragment_stage, positions_stage,
     select_stage, spans_to_rows, xml_stage,
@@ -281,6 +281,21 @@ def q_contamination(spark, sf_dir):
 
 # ------------------------------------------------------------ dedup
 
+def q_events_windowed(spark, sf_dir):
+    """Tumbling-window telemetry rollup over the events table (the batch
+    twin of streaming.windowed_error_rates): epoch-aligned 1h windows,
+    per-type counts + value sums. operators/events.py."""
+    return events.windowed_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — lag -> boundary flag ->
+    running-sum window composition, no UDFs. operators/events.py."""
+    return events.sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_documents(spark, sf_dir))
 
@@ -472,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_mp": q_ann_ivf_mp,
         "embed_neardup_mp": q_embed_neardup_mp,
         "embed_neardup_scale": q_embed_neardup_scale,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -817,6 +834,33 @@ def oracle_sql() -> dict[str, str]:
             f")) > 0 THEN {1 << j} ELSE 0 END)"
             for j in range(16)
         ) + ")::BIGINT AS simhash FROM documents",
+        "events_windowed": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 5) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        # floor(epoch(ts)): duckdb's epoch()::BIGINT ROUNDS sub-second
+        # timestamps while Spark's timestamp->long cast FLOORS; ordering
+        # uses the full-precision ts in both engines
+        "events_sessionize": """
+            WITH t AS (
+              SELECT user_id, event_id, value, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev_ts
+              FROM events),
+            s AS (
+              SELECT *, sum(CASE WHEN prev_ts IS NULL
+                                      OR ts_sec - prev_ts > 1800
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM t)
+            SELECT user_id, session_idx, min(ts_sec) AS session_start,
+                   max(ts_sec) AS session_end, count(*) AS n_events,
+                   round(sum(value), 5) AS sum_value
+            FROM s GROUP BY user_id, session_idx""",
         # multimodal: recompute the deterministic synth image symbolically
         # (multimodal._hash_image) from sha256(doc_id) over a generated
         # pixel grid; means/stds two-pass exactly as numpy computes them.
