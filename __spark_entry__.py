@@ -255,6 +255,13 @@ def q_token_count(spark, sf_dir):
     return textstats.token_count(_documents(spark, sf_dir))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """Real BPE-ish pre-tokenizer token counts (textstats.BPE_SPLIT) —
+    regex verified token-identical between Spark (Java regex) and DuckDB
+    (RE2)."""
+    return textstats.token_count_bpe(_documents(spark, sf_dir))
+
+
 def q_quality(spark, sf_dir):
     return textstats.quality_score(_documents(spark, sf_dir))
 
@@ -470,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_title": q_positions_title,
         "clean_basic": q_clean_basic,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -834,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
             f")) > 0 THEN {1 << j} ELSE 0 END)"
             for j in range(16)
         ) + ")::BIGINT AS simhash FROM documents",
+        "token_count_bpe": "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens, len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_tokens FROM documents",
         "events_windowed": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
                    event_type, count(*) AS n_events,

@@ -37,6 +37,28 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer split, lookahead-free (the upstream pattern's
+# `\\s+(?!\\S)` tail needs negative lookahead, which RE2 lacks — dropping
+# it merges each token's leading space into the token, the dominant BPE
+# convention anyway). Verified token-for-token identical between Spark's
+# Java regex and DuckDB's RE2 on contraction/unicode/digit/punct edge
+# cases (tests + oracle).
+BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """Token counts under a real BPE-ish pre-tokenizer regex (BPE_SPLIT)
+    next to the whitespace count — the budget-accounting numbers a
+    training pipeline actually uses. Pure Catalyst (regexp_count in
+    whole-stage codegen), zero exchanges."""
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT))
+        .alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Length / stopword-ratio / duplication heuristics (Gopher-style rules
     reduced to the columns available)."""

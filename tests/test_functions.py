@@ -89,3 +89,4 @@ def test_entities_escape_modes():
     assert escape_full(supp, "ascii", "base") == "&#x1d559;"
     assert escape_full(supp, "ascii", "extended") == "&hopf;"
     assert escape_full(supp, "utf-8", "extended") == supp
+

@@ -398,3 +398,28 @@ def test_multimodal_resize_and_frames(spark):
         multimodal.decode_video(b"x", fake=False)
     sr, ns = multimodal.decode_audio(b"x", fake=True)
     assert sr in (8000, 16000, 22050, 44100) and ns % sr == 0
+
+
+def test_token_count_bpe(spark):
+    """BPE_SPLIT pre-tokenizer semantics on contraction/unicode/digit
+    edge cases (Java regex side; the RE2 parity is the driver oracle)."""
+    from pyspark.sql import functions as F
+
+    from jsoup_spark.operators.textstats import BPE_SPLIT, token_count_bpe
+    cases = [
+        ("Hello world, it's 2024!", 7),
+        ("don't stop", 3),
+        ("café 中文", 2),
+        ("a1b2", 4),
+        ("", 0),
+        ("   ", 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string")
+    got = {r.i: r.n for r in df.select(
+        "i", F.regexp_count("t", F.lit(BPE_SPLIT)).alias("n")).collect()}
+    for i, (t, n) in enumerate(cases):
+        assert got[i] == n, (t, got[i])
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = token_count_bpe(docs).limit(5).collect()
+    assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in out)
