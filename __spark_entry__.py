@@ -270,6 +270,13 @@ def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_documents(spark, sf_dir))
 
 
+def q_fingerprint_rolling(spark, sf_dir):
+    """True rolling-hash fingerprints (Rabin-Karp polynomial hash +
+    mod-p k-gram content-defined sketch) — textstats.fingerprint_rolling;
+    the md5-based variant is q_fingerprint."""
+    return textstats.fingerprint_rolling(_documents(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_documents(spark, sf_dir))
 
@@ -477,10 +484,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_title": q_positions_title,
         "clean_basic": q_clean_basic,
         "token_count": q_token_count,
+        "fingerprint_rolling": """
+            WITH g AS (
+              SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT,
+                  list_transform(string_split_regex(text, ''),
+                                 c -> ascii(c)::BIGINT)),
+                  (a, b) -> (a * 257 + b) % 1000000007) AS rolling_hash,
+                list_filter(
+                  CASE WHEN length(text) >= 8 THEN
+                    list_transform(range(1, length(text) - 8 + 2),
+                      i -> list_reduce(list_prepend(0::BIGINT,
+                             list_transform(string_split_regex(
+                                 substring(text, i::INT, 8), ''),
+                               c -> ascii(c)::BIGINT)),
+                             (a, b) -> (a * 257 + b) % 1000000007))
+                  ELSE [] END,
+                  h -> h % 16 = 0) AS sk
+              FROM documents)
+            SELECT doc_id, rolling_hash, len(sk) AS n_sketch,
+                   coalesce(list_min(sk), -1) AS sketch_min,
+                   coalesce(list_reduce(list_prepend(0::BIGINT, sk),
+                            (a, b) -> (a + b) % 1000000007), 0) AS sketch_sum
+            FROM g""",
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "fingerprint_rolling": q_fingerprint_rolling,
         "ngram_topk": q_ngram_topk,
         "contamination": q_contamination,
         "dedup_exact": q_dedup_exact,
@@ -842,6 +873,29 @@ def oracle_sql() -> dict[str, str]:
             f")) > 0 THEN {1 << j} ELSE 0 END)"
             for j in range(16)
         ) + ")::BIGINT AS simhash FROM documents",
+        "fingerprint_rolling": """
+            WITH g AS (
+              SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT,
+                  list_transform(string_split_regex(text, ''),
+                                 c -> ascii(c)::BIGINT)),
+                  (a, b) -> (a * 257 + b) % 1000000007) AS rolling_hash,
+                list_filter(
+                  CASE WHEN length(text) >= 8 THEN
+                    list_transform(range(1, length(text) - 8 + 2),
+                      i -> list_reduce(list_prepend(0::BIGINT,
+                             list_transform(string_split_regex(
+                                 substring(text, i::INT, 8), ''),
+                               c -> ascii(c)::BIGINT)),
+                             (a, b) -> (a * 257 + b) % 1000000007))
+                  ELSE [] END,
+                  h -> h % 16 = 0) AS sk
+              FROM documents)
+            SELECT doc_id, rolling_hash, len(sk) AS n_sketch,
+                   coalesce(list_min(sk), -1) AS sketch_min,
+                   coalesce(list_reduce(list_prepend(0::BIGINT, sk),
+                            (a, b) -> (a + b) % 1000000007), 0) AS sketch_sum
+            FROM g""",
         "token_count_bpe": "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens, len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_tokens FROM documents",
         "events_windowed": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,

@@ -120,6 +120,54 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+ROLL_B = 257            # polynomial rolling-hash base
+ROLL_M = 1000000007     # modulus: prime < 2^31 so acc*B fits a BIGINT
+
+
+def fingerprint_rolling(documents: DataFrame, k: int = 8,
+                        p: int = 16) -> DataFrame:
+    """True rolling-hash fingerprints (Rabin-Karp polynomial hash):
+
+    * rolling_hash — the full-document hash, order-sensitive (unlike a
+      bag-of-shingles hash, `ab`+`ba` differ);
+    * a content-defined k-gram sketch: hash every k-char window, keep the
+      windows whose hash = 0 (mod p) — the MOSS/winnowing-style sampling
+      whose selected positions shift WITH the content, so local edits
+      only perturb nearby sketch entries. Emitted as compact stats
+      (count, min, sum mod M) instead of the raw array.
+
+    Pure Catalyst (nested higher-order functions; O(n*k) per doc,
+    embarrassingly parallel, zero exchanges)."""
+    codes = F.transform(F.split(F.col("text"), ""),
+                        lambda c: F.ascii(c).cast("long"))
+
+    def _roll(cs):
+        return F.aggregate(cs, F.lit(0).cast("long"),
+                           lambda acc, x: (acc * ROLL_B + x) % ROLL_M)
+
+    # guard short docs explicitly: Spark sequence(1, 0) DESCENDS instead
+    # of being empty, which would hash two phantom windows on docs
+    # shorter than k
+    kgram_hashes = F.expr(
+        f"CASE WHEN length(text) >= {k} THEN "
+        f"transform(sequence(1, length(text) - {k} + 1), "
+        f"i -> aggregate(transform(split(substring(text, i, {k}), ''), "
+        f"c -> cast(ascii(c) as bigint)), cast(0 as bigint), "
+        f"(acc, x) -> (acc * {ROLL_B} + x) % {ROLL_M})) "
+        f"ELSE array() END")
+    sampled = F.filter(kgram_hashes, lambda h: h % p == 0)
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _roll(codes).alias("rolling_hash"),
+        F.size(sampled).alias("n_sketch"),
+        F.coalesce(F.array_min(sampled), F.lit(-1)).alias("sketch_min"),
+        F.coalesce(
+            F.aggregate(sampled, F.lit(0).cast("long"),
+                        lambda acc, x: (acc + x) % ROLL_M),
+            F.lit(0)).alias("sketch_sum"),
+    )
+
+
 def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Global top-k word n-grams by count (corpus statistics / vocabulary
     audits). Ties break lexicographically on the n-gram.

@@ -423,3 +423,20 @@ def test_token_count_bpe(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = token_count_bpe(docs).limit(5).collect()
     assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in out)
+
+
+def test_fingerprint_rolling(spark):
+    """Rabin-Karp rolling hash: order-sensitive (unlike bag hashes) and
+    edit-local sketch sampling; empty/short docs yield empty sketches
+    (the Spark sequence(1,0)-descends pitfall is guarded)."""
+    from jsoup_spark.operators.textstats import fingerprint_rolling
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ba"), (3, ""), (4, "1234567"),
+         (5, "hello world this is a test of rolling hashes")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in fingerprint_rolling(df).collect()}
+    assert rows[1].rolling_hash != rows[2].rolling_hash  # order-sensitive
+    assert rows[3].rolling_hash == 0 and rows[3].n_sketch == 0
+    assert rows[3].sketch_min == -1
+    assert rows[4].n_sketch == 0                          # shorter than k
+    assert rows[5].n_sketch >= 1
