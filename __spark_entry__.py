@@ -340,6 +340,13 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_documents(spark, sf_dir))
 
 
+def q_simhash_wide(spark, sf_dir):
+    """Production-width SimHash: all 32 bits of the md5-high-32 word hash
+    (the pinned `simhash` oracle keeps the original 16-bit form). Same
+    single-pass struct-accumulator fold, zero exchanges."""
+    return dedup.simhash(_documents(spark, sf_dir), bits=32)
+
+
 def q_embed_neardup(spark, sf_dir):
     return dedup.embedding_near_dup(_embeddings(spark, sf_dir), threshold=-1.0)
 
@@ -484,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_title": q_positions_title,
         "clean_basic": q_clean_basic,
         "token_count": q_token_count,
+        "simhash_wide": "SELECT doc_id, ((CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 0) & 1)*2 - 1))) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 1) & 1)*2 - 1))) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 2) & 1)*2 - 1))) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 3) & 1)*2 - 1))) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 4) & 1)*2 - 1))) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 5) & 1)*2 - 1))) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 6) & 1)*2 - 1))) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 7) & 1)*2 - 1))) > 0 THEN 128 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 8) & 1)*2 - 1))) > 0 THEN 256 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 9) & 1)*2 - 1))) > 0 THEN 512 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 10) & 1)*2 - 1))) > 0 THEN 1024 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 11) & 1)*2 - 1))) > 0 THEN 2048 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 12) & 1)*2 - 1))) > 0 THEN 4096 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 13) & 1)*2 - 1))) > 0 THEN 8192 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 14) & 1)*2 - 1))) > 0 THEN 16384 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 15) & 1)*2 - 1))) > 0 THEN 32768 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 16) & 1)*2 - 1))) > 0 THEN 65536 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 17) & 1)*2 - 1))) > 0 THEN 131072 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 18) & 1)*2 - 1))) > 0 THEN 262144 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 19) & 1)*2 - 1))) > 0 THEN 524288 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 20) & 1)*2 - 1))) > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 21) & 1)*2 - 1))) > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 22) & 1)*2 - 1))) > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 23) & 1)*2 - 1))) > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 24) & 1)*2 - 1))) > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 25) & 1)*2 - 1))) > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 26) & 1)*2 - 1))) > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 27) & 1)*2 - 1))) > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 28) & 1)*2 - 1))) > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 29) & 1)*2 - 1))) > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 30) & 1)*2 - 1))) > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 31) & 1)*2 - 1))) > 0 THEN 2147483648 ELSE 0 END))::BIGINT AS simhash FROM documents",
         "fingerprint_rolling": """
             WITH g AS (
               SELECT doc_id,
@@ -520,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
+        "simhash_wide": q_simhash_wide,
         "embed_neardup": q_embed_neardup,
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
@@ -873,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
             f")) > 0 THEN {1 << j} ELSE 0 END)"
             for j in range(16)
         ) + ")::BIGINT AS simhash FROM documents",
+        "simhash_wide": "SELECT doc_id, ((CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 0) & 1)*2 - 1))) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 1) & 1)*2 - 1))) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 2) & 1)*2 - 1))) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 3) & 1)*2 - 1))) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 4) & 1)*2 - 1))) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 5) & 1)*2 - 1))) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 6) & 1)*2 - 1))) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 7) & 1)*2 - 1))) > 0 THEN 128 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 8) & 1)*2 - 1))) > 0 THEN 256 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 9) & 1)*2 - 1))) > 0 THEN 512 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 10) & 1)*2 - 1))) > 0 THEN 1024 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 11) & 1)*2 - 1))) > 0 THEN 2048 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 12) & 1)*2 - 1))) > 0 THEN 4096 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 13) & 1)*2 - 1))) > 0 THEN 8192 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 14) & 1)*2 - 1))) > 0 THEN 16384 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 15) & 1)*2 - 1))) > 0 THEN 32768 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 16) & 1)*2 - 1))) > 0 THEN 65536 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 17) & 1)*2 - 1))) > 0 THEN 131072 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 18) & 1)*2 - 1))) > 0 THEN 262144 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 19) & 1)*2 - 1))) > 0 THEN 524288 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 20) & 1)*2 - 1))) > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 21) & 1)*2 - 1))) > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 22) & 1)*2 - 1))) > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 23) & 1)*2 - 1))) > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 24) & 1)*2 - 1))) > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 25) & 1)*2 - 1))) > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 26) & 1)*2 - 1))) > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 27) & 1)*2 - 1))) > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 28) & 1)*2 - 1))) > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 29) & 1)*2 - 1))) > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 30) & 1)*2 - 1))) > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 31) & 1)*2 - 1))) > 0 THEN 2147483648 ELSE 0 END))::BIGINT AS simhash FROM documents",
         "fingerprint_rolling": """
             WITH g AS (
               SELECT doc_id,
