@@ -491,30 +491,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_title": q_positions_title,
         "clean_basic": q_clean_basic,
         "token_count": q_token_count,
-        "simhash_wide": "SELECT doc_id, ((CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 0) & 1)*2 - 1))) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 1) & 1)*2 - 1))) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 2) & 1)*2 - 1))) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 3) & 1)*2 - 1))) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 4) & 1)*2 - 1))) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 5) & 1)*2 - 1))) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 6) & 1)*2 - 1))) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 7) & 1)*2 - 1))) > 0 THEN 128 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 8) & 1)*2 - 1))) > 0 THEN 256 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 9) & 1)*2 - 1))) > 0 THEN 512 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 10) & 1)*2 - 1))) > 0 THEN 1024 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 11) & 1)*2 - 1))) > 0 THEN 2048 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 12) & 1)*2 - 1))) > 0 THEN 4096 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 13) & 1)*2 - 1))) > 0 THEN 8192 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 14) & 1)*2 - 1))) > 0 THEN 16384 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 15) & 1)*2 - 1))) > 0 THEN 32768 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 16) & 1)*2 - 1))) > 0 THEN 65536 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 17) & 1)*2 - 1))) > 0 THEN 131072 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 18) & 1)*2 - 1))) > 0 THEN 262144 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 19) & 1)*2 - 1))) > 0 THEN 524288 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 20) & 1)*2 - 1))) > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 21) & 1)*2 - 1))) > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 22) & 1)*2 - 1))) > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 23) & 1)*2 - 1))) > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 24) & 1)*2 - 1))) > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 25) & 1)*2 - 1))) > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 26) & 1)*2 - 1))) > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 27) & 1)*2 - 1))) > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 28) & 1)*2 - 1))) > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 29) & 1)*2 - 1))) > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 30) & 1)*2 - 1))) > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN list_sum(list_transform(string_split(text,' '), w -> (((('0x'||substr(md5(w),1,8))::BIGINT >> 31) & 1)*2 - 1))) > 0 THEN 2147483648 ELSE 0 END))::BIGINT AS simhash FROM documents",
-        "fingerprint_rolling": """
-            WITH g AS (
-              SELECT doc_id,
-                list_reduce(list_prepend(0::BIGINT,
-                  list_transform(string_split_regex(text, ''),
-                                 c -> ascii(c)::BIGINT)),
-                  (a, b) -> (a * 257 + b) % 1000000007) AS rolling_hash,
-                list_filter(
-                  CASE WHEN length(text) >= 8 THEN
-                    list_transform(range(1, length(text) - 8 + 2),
-                      i -> list_reduce(list_prepend(0::BIGINT,
-                             list_transform(string_split_regex(
-                                 substring(text, i::INT, 8), ''),
-                               c -> ascii(c)::BIGINT)),
-                             (a, b) -> (a * 257 + b) % 1000000007))
-                  ELSE [] END,
-                  h -> h % 16 = 0) AS sk
-              FROM documents)
-            SELECT doc_id, rolling_hash, len(sk) AS n_sketch,
-                   coalesce(list_min(sk), -1) AS sketch_min,
-                   coalesce(list_reduce(list_prepend(0::BIGINT, sk),
-                            (a, b) -> (a + b) % 1000000007), 0) AS sketch_sum
-            FROM g""",
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -910,7 +886,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
                    event_type, count(*) AS n_events,
-                   round(sum(value), 5) AS sum_value
+                   sum(CAST(round(value * 100000) AS BIGINT)) / 100000.0
+                       AS sum_value
             FROM events GROUP BY 1, 2""",
         # floor(epoch(ts)): duckdb's epoch()::BIGINT ROUNDS sub-second
         # timestamps while Spark's timestamp->long cast FLOORS; ordering
@@ -932,7 +909,8 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT user_id, session_idx, min(ts_sec) AS session_start,
                    max(ts_sec) AS session_end, count(*) AS n_events,
-                   round(sum(value), 5) AS sum_value
+                   sum(CAST(round(value * 100000) AS BIGINT)) / 100000.0
+                       AS sum_value
             FROM s GROUP BY user_id, session_idx""",
         # multimodal: recompute the deterministic synth image symbolically
         # (multimodal._hash_image) from sha256(doc_id) over a generated

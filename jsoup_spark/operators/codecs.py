@@ -448,7 +448,21 @@ def _extend(v: int, n: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG -> uint8 (H, W, 3|1). Raises ValueError on
-    progressive/arithmetic/12-bit or unsupported sampling."""
+    progressive/arithmetic/12-bit, unsupported sampling, OR truncated /
+    corrupt input.
+
+    The ValueError contract matters for the pipeline: sniff_format routes
+    every \\xff\\xd8 payload here and decode_image_array catches only
+    ValueError before falling to the stub tier — a raw IndexError /
+    struct.error from a malformed wild JPEG would kill the whole Spark
+    task instead of degrading that one document (ADVICE r5)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"JPEG truncated or corrupt: {ex}") from ex
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

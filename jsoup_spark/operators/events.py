@@ -16,7 +16,22 @@ the DuckDB oracles exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _fixed_point_sum(col: str, scale: int = 100_000) -> Column:
+    """Order-independent value sum at 1e-5 precision.
+
+    `round(sum(double), 5)` is order-DEPENDENT: doubles sum in
+    partition-arrival order and a half-ulp difference can cross the
+    rounding boundary, flipping the result between runs with different
+    partitioning (observed as the CORRECTNESS_r05 events_sessionize hash
+    flake). Rounding each value to an integer number of 1e-5 units FIRST
+    makes the aggregation exact long arithmetic — associative and
+    commutative, so any partitioning yields identical bits. The oracle
+    SQL applies the identical contract on the DuckDB side."""
+    units = F.sum(F.round(F.col(col) * scale).cast("long"))
+    return (units.cast("double") / scale).alias("sum_value")
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
@@ -31,7 +46,7 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     return (
         events.groupBy(w.alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 5).alias("sum_value"))
+             _fixed_point_sum("value"))
         .select(
             # TIMESTAMP_NTZ has no direct long cast; go via timestamp
             # (session tz is UTC everywhere in this repo)
@@ -73,6 +88,6 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             F.min("ts_sec").alias("session_start"),
             F.max("ts_sec").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 5).alias("sum_value"),
+            _fixed_point_sum("value"),
         )
     )

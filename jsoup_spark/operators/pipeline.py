@@ -239,33 +239,70 @@ def select_stage(docs: DataFrame, query: str, *, bucket: bool = False,
     if bucket:
         prepared = bucket_by_size(prepared)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    # mapInArrow, not mapInPandas: a selective selector can legitimately
+    # produce ZERO matches for a whole batch (reference Selector.select
+    # returns empty Elements, select/Selector.java:126-142). A pandas
+    # empty frame defaults its columns to float64, which pyarrow cannot
+    # convert to the attrs map<string,string> field — building the typed
+    # RecordBatch directly makes the empty batch a first-class result
+    # (and drops the dict->map conversion overhead on the hot path).
+    out_schema = pa.schema([
+        ("doc_id", pa.string()), ("match_idx", pa.int32()),
+        ("tag", pa.string()), ("el_id", pa.string()),
+        ("own_text", pa.string()), ("text", pa.string()),
+        ("attrs", pa.map_(pa.string(), pa.string())),
+    ])
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         ev = compiler(query)
-        for pdf in batches:
-            rows = {k: [] for k in
-                    ("doc_id", "match_idx", "tag", "el_id", "own_text",
-                     "text", "attrs")}
-            for doc_id, html, base_uri in zip(
-                    pdf["doc_id"], pdf["html"], pdf["base_uri"]):
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            doc_ids = batch.column(idx["doc_id"]).to_pylist()
+            htmls = batch.column(idx["html"]).to_pylist()
+            base_uris = batch.column(idx["base_uri"]).to_pylist()
+            out_doc: list = []
+            out_idx: list = []
+            out_tag: list = []
+            out_id: list = []
+            out_own: list = []
+            out_text: list = []
+            # flat key/value lists + per-row offsets for the map column
+            akeys: list = []
+            avals: list = []
+            aoffs = [0]
+            for doc_id, html, base_uri in zip(doc_ids, htmls, base_uris):
                 doc = _parse_doc(html, base_uri)
                 matches = evaluate(doc, ev)
                 if first_only:
                     matches = matches[:1]
                 for i, el in enumerate(matches):
-                    rows["doc_id"].append(doc_id)
-                    rows["match_idx"].append(i)
-                    rows["tag"].append(el.name)
-                    rows["el_id"].append(el.attr("id"))
-                    rows["own_text"].append(el.own_text())
-                    rows["text"].append(el.text())
-                    rows["attrs"].append(
-                        {k: (v if v is not None else "")
-                         for k, v in el.attrs.items()})
-            pdf_out = pd.DataFrame(rows)
-            pdf_out["match_idx"] = pdf_out["match_idx"].astype("int32")
-            yield pdf_out
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_tag.append(el.name)
+                    out_id.append(el.attr("id"))
+                    out_own.append(el.own_text())
+                    out_text.append(el.text())
+                    for k, v in el.attrs.items():
+                        akeys.append(k)
+                        avals.append(v if v is not None else "")
+                    aoffs.append(len(akeys))
+            attrs_col = pa.MapArray.from_arrays(
+                pa.array(aoffs, pa.int32()),
+                pa.array(akeys, pa.string()),
+                pa.array(avals, pa.string()))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(out_doc, pa.string()),
+                pa.array(out_idx, pa.int32()),
+                pa.array(out_tag, pa.string()),
+                pa.array(out_id, pa.string()),
+                pa.array(out_own, pa.string()),
+                pa.array(out_text, pa.string()),
+                attrs_col,
+            ], schema=out_schema)
 
-    return prepared.mapInPandas(run, schema=schemas.SELECT_OUT)
+    return prepared.mapInArrow(run, schema=schemas.SELECT_OUT)
 
 
 def positions_stage(docs: DataFrame, query: str) -> DataFrame:

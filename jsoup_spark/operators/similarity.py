@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import _UNSET
+
 
 def _cosine(a, b):
     # compute in float64 throughout: bitwise-identical across engines
@@ -91,9 +93,27 @@ def _probe_set(bucket_col, nbits: int, probe_hamming: int):
     return F.array(bucket_col, *flips)
 
 
+def _resolve_ivf_knobs(nbits, probe_hamming, n_tables, scale):
+    """Profile resolution for ivf_topk: explicit knobs always win; only
+    _UNSET (omitted) knobs take the profile value."""
+    if scale == "large":
+        profile = {"nbits": None, "probe_hamming": 1, "n_tables": 2}
+    elif scale in (None, "small"):
+        profile = {"nbits": 6, "probe_hamming": 0, "n_tables": 1}
+    else:
+        raise ValueError(f"unknown scale profile {scale!r}")
+    if nbits is _UNSET:
+        nbits = profile["nbits"]
+    if probe_hamming is _UNSET:
+        probe_hamming = profile["probe_hamming"]
+    if n_tables is _UNSET:
+        n_tables = profile["n_tables"]
+    return nbits, probe_hamming, n_tables
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
-             nbits: int | None = 6, probe_hamming: int = 0,
-             n_tables: int = 1, scale: str | None = None) -> DataFrame:
+             nbits=_UNSET, probe_hamming=_UNSET,
+             n_tables=_UNSET, scale: str | None = None) -> DataFrame:
     """IVF/LSH-bucketed ANN.
 
     Recall knobs (all exact-score the candidate set, so precision is 1 —
@@ -113,17 +133,12 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
 
     scale="large" is the one-word recall/scale profile (corpus-scaled
     nbits, multi-probe, 2 tables); explicit knobs keep their values —
-    the profile only replaces the signature defaults.
+    an _UNSET sentinel (the dedup.py profile pattern) distinguishes an
+    omitted knob from an explicitly-passed default, so ivf_topk(nbits=6,
+    scale="large") really runs with 6 bits.
     """
-    if scale == "large":
-        if nbits == 6:
-            nbits = None
-        if probe_hamming == 0:
-            probe_hamming = 1
-        if n_tables == 1:
-            n_tables = 2
-    elif scale not in (None, "small"):
-        raise ValueError(f"unknown scale profile {scale!r}")
+    nbits, probe_hamming, n_tables = _resolve_ivf_knobs(
+        nbits, probe_hamming, n_tables, scale)
     if nbits is None:
         nbits = suggest_nbits(embeddings.count())
     base0 = embeddings.select(

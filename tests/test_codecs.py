@@ -259,3 +259,28 @@ def test_jpeg_in_multimodal_pipeline():
         exp = multimodal._image_feature(img)
         got = multimodal._image_feature(arr)
         assert max(abs(a - b) for a, b in zip(exp, got)) < 0.05
+
+
+def test_decode_jpeg_truncated_raises_valueerror():
+    """ADVICE r5: truncated/corrupt JPEG must raise ValueError (the
+    decode_image_array fallback contract), never IndexError/struct.error."""
+    import numpy as np
+    import pytest
+    from jsoup_spark.operators import codecs
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 256, (24, 24, 3))).astype(np.uint8)
+    full = codecs.encode_jpeg(img, quality=80)
+    # header/entropy truncations must fail cleanly as ValueError
+    for cut in [3, 5, 10, 21, len(full) // 2]:
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(full[:cut])
+    # missing EOI with complete entropy data decodes (libjpeg behavior)
+    assert codecs.decode_jpeg(full[:-2]).shape == (24, 24, 3)
+    # corrupt a byte inside the entropy-coded segment / headers
+    for flip in [8, 30, len(full) - 10]:
+        b = bytearray(full)
+        b[flip] ^= 0x5A
+        try:
+            codecs.decode_jpeg(bytes(b))
+        except ValueError:
+            pass  # clean rejection is fine; silent best-effort decode too

@@ -440,3 +440,62 @@ def test_fingerprint_rolling(spark):
     assert rows[3].sketch_min == -1
     assert rows[4].n_sketch == 0                          # shorter than k
     assert rows[5].n_sketch >= 1
+
+
+def test_select_stage_empty_batches(spark):
+    """Regression (VERDICT r5 #1): a selective selector over more
+    partitions than matching docs produces whole batches with ZERO
+    matches; the stage must deliver them as typed empty results, not
+    crash in the pandas->Arrow map conversion. Reference behavior: an
+    empty Elements is a normal result (select/Selector.java:126-142)."""
+    from jsoup_spark.operators.pipeline import select_stage
+
+    corpus = _corpus(spark).limit(8).repartition(32)
+    # matches ~nothing: no doc carries this id
+    rows = select_stage(corpus, "#definitely-not-present").collect()
+    assert rows == []
+    # matches exactly one doc out of 8, spread over 32 partitions
+    one = _corpus(spark).limit(1).select("doc_id").collect()[0][0]
+    tagged = _corpus(spark).limit(8).repartition(32)
+    got = select_stage(tagged, "html").where(
+        F.col("doc_id") == one).collect()
+    assert len(got) == 1 and got[0]["tag"] == "html"
+    # attrs map column survives the Arrow seam with values intact
+    any_attrs = select_stage(_corpus(spark).limit(5), "[lang]").collect()
+    assert all(isinstance(r["attrs"], dict) for r in any_attrs)
+
+
+def test_entry_queries_all_callables():
+    """Regression (VERDICT r5 #3): every queries() value is a callable
+    query function — oracle SQL strings live only in oracle_sql()."""
+    import __spark_entry__ as e
+    q, o = e.queries(), e.oracle_sql()
+    bad = {k: type(v).__name__ for k, v in q.items() if not callable(v)}
+    assert not bad, bad
+    assert all(isinstance(v, str) for v in o.values())
+
+
+def test_ivf_knob_sentinel():
+    """ADVICE r5: an explicitly-passed signature default must survive a
+    scale profile (the _UNSET sentinel contract dedup.py uses)."""
+    from jsoup_spark.operators.similarity import _UNSET, _resolve_ivf_knobs
+    # omitted knobs take the large profile
+    assert _resolve_ivf_knobs(_UNSET, _UNSET, _UNSET, "large") == (None, 1, 2)
+    # explicit values win even when equal to the signature defaults
+    assert _resolve_ivf_knobs(6, 0, 1, "large") == (6, 0, 1)
+    assert _resolve_ivf_knobs(_UNSET, _UNSET, _UNSET, None) == (6, 0, 1)
+    import pytest
+    with pytest.raises(ValueError):
+        _resolve_ivf_knobs(_UNSET, _UNSET, _UNSET, "huge")
+
+
+def test_events_fixed_point_sum(spark):
+    """Order-independent value sums (VERDICT r5 #2): the events rollups
+    aggregate integer 1e-5 units, so any partitioning yields bit-identical
+    sum_value. Probe: same input under 1 and 32 partitions."""
+    from jsoup_spark.operators import events as ev
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for fn in (ev.windowed_counts, ev.sessionize):
+        a = sorted(map(tuple, fn(base.coalesce(1)).collect()))
+        b = sorted(map(tuple, fn(base.repartition(32)).collect()))
+        assert a == b, fn.__name__
