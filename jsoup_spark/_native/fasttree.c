@@ -21,6 +21,7 @@
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <structmember.h>
 
 /* token type codes — must match jsoup_spark.parser.tokenizer T_* */
 #define TOK_START 1
@@ -116,6 +117,133 @@ static PyObject *g_minus_one = NULL;
 static int headings_init(void);
 static PyObject *g_comment_t;  /* defined with the walker globals below */
 
+/* ---- slot-offset attribute access -----------------------------------
+ * Element/TextNode/Node are __slots__ classes, so every hot attribute is
+ * a member_descriptor with a fixed byte offset in the instance. Resolving
+ * those offsets once (configure) and reading/writing the slot directly is
+ * what CPython's descriptor machinery does after its lookups — this skips
+ * the per-access type-dict probe. Subclasses (Document, DataNode, ...)
+ * extend basicsize so base-class offsets stay valid; PyType_IsSubtype
+ * gates every fast access. If ANY offset fails to resolve (layout change,
+ * non-slots class), g_slots_ok stays 0 and everything falls back to
+ * PyObject_Get/SetAttr — behavior identical, just slower. */
+static int g_slots_ok = 0;
+static PyTypeObject *g_node_tp = NULL;   /* Node (parent slot) */
+static PyTypeObject *g_leaf_tp = NULL;   /* LeafNode (value slot) */
+static Py_ssize_t off_name = -1, off_ns = -1, off_attrs = -1,
+    off_children = -1, off_flags = -1, off_tagcase = -1, off_opts = -1,
+    off_parent = -1, off_value = -1;
+
+static Py_ssize_t
+member_offset(PyObject *cls, const char *name)
+{
+    PyObject *d = PyObject_GetAttrString(cls, name);
+    if (d == NULL) {
+        PyErr_Clear();
+        return -1;
+    }
+    Py_ssize_t off = -1;
+    if (Py_TYPE(d) == &PyMemberDescr_Type) {
+        PyMemberDef *m = ((PyMemberDescrObject *)d)->d_member;
+        if (m != NULL && (m->type == T_OBJECT_EX || m->type == T_OBJECT))
+            off = m->offset;
+    }
+    Py_DECREF(d);
+    return off;
+}
+
+/* new-ref getter: slot read when the receiver is a known node class and
+ * the slot is set; PyObject_GetAttr otherwise (including unset slots, so
+ * AttributeError semantics are preserved). sname must be one of the
+ * interned node-field singletons. */
+static inline PyObject *
+node_get(PyObject *o, PyObject *sname)
+{
+    if (g_slots_ok) {
+        Py_ssize_t off = -1;
+        PyTypeObject *gate = (PyTypeObject *)g_element;
+        if (sname == s_name) off = off_name;
+        else if (sname == s_ns) off = off_ns;
+        else if (sname == s_attrs) off = off_attrs;
+        else if (sname == s_children) off = off_children;
+        else if (sname == s_flags) off = off_flags;
+        else if (sname == s_tagcase) off = off_tagcase;
+        else if (sname == s_opts) off = off_opts;
+        else if (sname == s_parent) { off = off_parent; gate = g_node_tp; }
+        else if (sname == s_value) { off = off_value; gate = g_leaf_tp; }
+        if (off >= 0 && PyObject_TypeCheck(o, gate)) {
+            PyObject *v = *(PyObject **)((char *)o + off);
+            if (v != NULL) {
+                Py_INCREF(v);
+                return v;
+            }
+        }
+    }
+    return PyObject_GetAttr(o, sname);
+}
+
+/* setter twin of node_get; 0/-1 like PyObject_SetAttr */
+static inline int
+node_set(PyObject *o, PyObject *sname, PyObject *v)
+{
+    if (g_slots_ok) {
+        Py_ssize_t off = -1;
+        PyTypeObject *gate = (PyTypeObject *)g_element;
+        if (sname == s_name) off = off_name;
+        else if (sname == s_ns) off = off_ns;
+        else if (sname == s_attrs) off = off_attrs;
+        else if (sname == s_children) off = off_children;
+        else if (sname == s_flags) off = off_flags;
+        else if (sname == s_tagcase) off = off_tagcase;
+        else if (sname == s_opts) off = off_opts;
+        else if (sname == s_parent) { off = off_parent; gate = g_node_tp; }
+        else if (sname == s_value) { off = off_value; gate = g_leaf_tp; }
+        if (off >= 0 && PyObject_TypeCheck(o, gate)) {
+            PyObject **p = (PyObject **)((char *)o + off);
+            Py_INCREF(v);
+            PyObject *old = *p;
+            *p = v;
+            Py_XDECREF(old);
+            return 0;
+        }
+    }
+    return PyObject_SetAttr(o, sname, v);
+}
+
+static void
+resolve_slots(void)
+{
+    g_slots_ok = 0;
+    if (g_element == NULL || g_textnode == NULL)
+        return;
+    PyTypeObject *el_tp = (PyTypeObject *)g_element;
+    PyTypeObject *tn_tp = (PyTypeObject *)g_textnode;
+    g_leaf_tp = tn_tp->tp_base;              /* TextNode -> LeafNode */
+    if (g_leaf_tp == NULL)
+        return;
+    g_node_tp = g_leaf_tp->tp_base;          /* LeafNode -> Node */
+    if (g_node_tp == NULL || el_tp->tp_base != g_node_tp)
+        return;
+    off_name = member_offset(g_element, "name");
+    off_ns = member_offset(g_element, "ns");
+    off_attrs = member_offset(g_element, "attrs");
+    off_children = member_offset(g_element, "children");
+    off_flags = member_offset(g_element, "flags");
+    off_tagcase = member_offset(g_element, "tag_name_case");
+    off_opts = member_offset(g_element, "opts");
+    off_parent = member_offset(g_element, "parent");
+    off_value = member_offset(g_textnode, "value");
+    if (off_name < 0 || off_ns < 0 || off_attrs < 0 || off_children < 0 ||
+        off_flags < 0 || off_tagcase < 0 || off_opts < 0 || off_parent < 0 ||
+        off_value < 0)
+        return;
+    /* the parent slot must sit at the SAME offset for leaf nodes (both
+     * inherit it from Node) — verify rather than assume */
+    if (member_offset(g_textnode, "parent") != off_parent)
+        return;
+    g_slots_ok = 1;
+}
+
 static int
 init_interned(void)
 {
@@ -171,6 +299,7 @@ configure(PyObject *self, PyObject *args)
     }
     if (headings_init() < 0)
         return NULL;
+    resolve_slots();
     Py_RETURN_NONE;
 }
 
@@ -259,14 +388,14 @@ action_of(PyObject *normal, int *known)
 static long
 opts_of(PyObject *el)
 {
-    PyObject *o = PyObject_GetAttr(el, s_opts);
+    PyObject *o = node_get(el, s_opts);
     if (o == NULL)
         return -1;
     long v = PyLong_AS_LONG(o);
     Py_DECREF(o);
     if (v != -1)
         return v;
-    PyObject *name = PyObject_GetAttr(el, s_name);
+    PyObject *name = node_get(el, s_name);
     if (name == NULL)
         return -1;
     int known;
@@ -278,7 +407,7 @@ opts_of(PyObject *el)
     PyObject *cached = PyLong_FromLong(opts);
     if (cached == NULL)
         return -1;
-    int rc = PyObject_SetAttr(el, s_opts, cached);
+    int rc = node_set(el, s_opts, cached);
     Py_DECREF(cached);
     return rc < 0 ? -1 : opts;
 }
@@ -287,7 +416,7 @@ opts_of(PyObject *el)
 static int
 is_html_ns(PyObject *el)
 {
-    PyObject *ns = PyObject_GetAttr(el, s_ns);
+    PyObject *ns = node_get(el, s_ns);
     if (ns == NULL)
         return -1;
     int r = (ns == g_ns_html);
@@ -304,7 +433,7 @@ in_scope_walk(Ctx *c, PyObject *target, long boundary)
     Py_ssize_t n = PyList_GET_SIZE(c->stack);
     for (Py_ssize_t i = n - 1; i >= 0; i--) {
         PyObject *el = PyList_GET_ITEM(c->stack, i);
-        PyObject *name = PyObject_GetAttr(el, s_name);
+        PyObject *name = node_get(el, s_name);
         if (name == NULL)
             return -1;
         int eq = PyUnicode_Compare(name, target) == 0 && !PyErr_Occurred();
@@ -328,7 +457,7 @@ current_is(Ctx *c, PyObject *target)
     if (n == 0)
         return 0;
     PyObject *el = PyList_GET_ITEM(c->stack, n - 1);
-    PyObject *name = PyObject_GetAttr(el, s_name);
+    PyObject *name = node_get(el, s_name);
     if (name == NULL)
         return -1;
     int eq = PyUnicode_Compare(name, target) == 0 && !PyErr_Occurred();
@@ -362,7 +491,7 @@ implied_end(Ctx *c, PyObject *exclude)
         if (!(o & OPT_IMPLIED_END))
             return 0;
         if (exclude != NULL) {
-            PyObject *name = PyObject_GetAttr(el, s_name);
+            PyObject *name = node_get(el, s_name);
             if (name == NULL)
                 return -1;
             int eq = PyUnicode_Compare(name, exclude) == 0 && !PyErr_Occurred();
@@ -384,7 +513,7 @@ pop_to_close(Ctx *c, PyObject *name)
         if (n == 0)
             return 0;
         PyObject *el = PyList_GET_ITEM(c->stack, n - 1);
-        PyObject *nm = PyObject_GetAttr(el, s_name);
+        PyObject *nm = node_get(el, s_name);
         if (nm == NULL)
             return -1;
         int eq = PyUnicode_Compare(nm, name) == 0 && !PyErr_Occurred();
@@ -456,8 +585,8 @@ current_is_heading(Ctx *c)
     Py_ssize_t n = PyList_GET_SIZE(c->stack);
     if (n == 0)
         return 0;
-    PyObject *name = PyObject_GetAttr(PyList_GET_ITEM(c->stack, n - 1),
-                                      s_name);
+    PyObject *name = node_get(PyList_GET_ITEM(c->stack, n - 1),
+                          s_name);
     if (name == NULL)
         return -1;
     int r = is_heading_name(name);
@@ -472,7 +601,7 @@ heading_in_scope(Ctx *c)
     Py_ssize_t n = PyList_GET_SIZE(c->stack);
     for (Py_ssize_t i = n - 1; i >= 0; i--) {
         PyObject *el = PyList_GET_ITEM(c->stack, i);
-        PyObject *name = PyObject_GetAttr(el, s_name);
+        PyObject *name = node_get(el, s_name);
         if (name == NULL)
             return -1;
         int h = is_heading_name(name);
@@ -496,8 +625,8 @@ pop_to_close_heading(Ctx *c)
         Py_ssize_t n = PyList_GET_SIZE(c->stack);
         if (n == 0)
             return 0;
-        PyObject *name = PyObject_GetAttr(PyList_GET_ITEM(c->stack, n - 1),
-                                          s_name);
+        PyObject *name = node_get(PyList_GET_ITEM(c->stack, n - 1),
+                          s_name);
         if (name == NULL)
             return -1;
         int h = is_heading_name(name);
@@ -569,16 +698,16 @@ reconstruct_run(Ctx *c)
             if (!h)
                 return 0;
         }
-        PyObject *eattrs = PyObject_GetAttr(entry, s_attrs);
+        PyObject *eattrs = node_get(entry, s_attrs);
         if (eattrs == NULL)
             return -1;
         PyObject *attrs_copy = PyDict_Copy(eattrs);
         Py_DECREF(eattrs);
         if (attrs_copy == NULL)
             return -1;
-        PyObject *ename = PyObject_GetAttr(entry, s_name);
-        PyObject *eflags = PyObject_GetAttr(entry, s_flags);
-        PyObject *etagcase = PyObject_GetAttr(entry, s_tagcase);
+        PyObject *ename = node_get(entry, s_name);
+        PyObject *eflags = node_get(entry, s_flags);
+        PyObject *etagcase = node_get(entry, s_tagcase);
         if (ename == NULL || eflags == NULL || etagcase == NULL) {
             Py_XDECREF(ename); Py_XDECREF(eflags); Py_XDECREF(etagcase);
             Py_DECREF(attrs_copy);
@@ -593,7 +722,7 @@ reconstruct_run(Ctx *c)
             Py_DECREF(etagcase);
             return -1;
         }
-        if (PyObject_SetAttr(new_el, s_tagcase, etagcase) < 0) {
+        if (node_set(new_el, s_tagcase, etagcase) < 0) {
             Py_DECREF(etagcase); Py_DECREF(new_el);
             return -1;
         }
@@ -645,9 +774,9 @@ bare_instance(PyObject *cls)
 static int
 append_child(PyObject *parent, PyObject *node)
 {
-    if (PyObject_SetAttr(node, s_parent, parent) < 0)
+    if (node_set(node, s_parent, parent) < 0)
         return -1;
-    PyObject *children = PyObject_GetAttr(parent, s_children);
+    PyObject *children = node_get(parent, s_children);
     if (children == NULL)
         return -1;
     int rc = PyList_Append(children, node);
@@ -671,7 +800,7 @@ insert_text(Ctx *c, PyObject *data)
     PyObject *node = bare_instance(g_textnode);
     if (node == NULL)
         return -1;
-    if (PyObject_SetAttr(node, s_value, data) < 0 ||
+    if (node_set(node, s_value, data) < 0 ||
         append_child(parent, node) < 0) {
         Py_DECREF(node);
         return -1;
@@ -762,7 +891,20 @@ make_element(PyObject *normal, long flags, PyObject *attrs_dict)
     PyObject *flags_o = PyLong_FromLong(flags);
     if (children == NULL || flags_o == NULL)
         goto fail;
-    if (PyObject_SetAttr(el, s_name, normal) < 0 ||
+    if (g_slots_ok && Py_TYPE(el) == (PyTypeObject *)g_element) {
+        /* fresh tp_alloc instance: slots are NULL, write them directly */
+#define INIT(off, v) do { PyObject *v_ = (v); Py_INCREF(v_); \
+        *(PyObject **)((char *)el + (off)) = v_; } while (0)
+        INIT(off_name, normal);
+        INIT(off_ns, g_ns_html);
+        INIT(off_attrs, attrs_dict);
+        INIT(off_children, children);
+        INIT(off_flags, flags_o);
+        INIT(off_tagcase, normal);
+        INIT(off_opts, g_minus_one);
+        INIT(off_parent, Py_None);
+#undef INIT
+    } else if (PyObject_SetAttr(el, s_name, normal) < 0 ||
         PyObject_SetAttr(el, s_ns, g_ns_html) < 0 ||
         PyObject_SetAttr(el, s_attrs, attrs_dict) < 0 ||
         PyObject_SetAttr(el, s_children, children) < 0 ||
@@ -823,14 +965,14 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
         if (*state == g_text_mode) {
             /* insert_character_to: DataNode under Data-flag elements */
             PyObject *parent = current_parent(c);
-            PyObject *fl = PyObject_GetAttr(parent, s_flags);
+            PyObject *fl = node_get(parent, s_flags);
             if (fl == NULL) { Py_DECREF(data); return -1; }
             long flv = PyLong_AS_LONG(fl);
             Py_DECREF(fl);
             PyObject *cls = (flv & g_flag_data) ? g_h_datanode : g_textnode;
             PyObject *node = bare_instance(cls);
             if (node == NULL) { Py_DECREF(data); return -1; }
-            if (PyObject_SetAttr(node, s_value, data) < 0 ||
+            if (node_set(node, s_value, data) < 0 ||
                 append_child(parent, node) < 0) {
                 Py_DECREF(node); Py_DECREF(data);
                 return -1;
@@ -915,7 +1057,7 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
                     if (bs == NULL) { Py_DECREF(el); goto h_err; }
                     int base_set = PyObject_IsTrue(bs);
                     Py_DECREF(bs);
-                    PyObject *eattrs = PyObject_GetAttr(el, s_attrs);
+                    PyObject *eattrs = node_get(el, s_attrs);
                     if (eattrs == NULL) { Py_DECREF(el); goto h_err; }
                     PyObject *hv = PyDict_GetItemWithError(eattrs, s_h_href);
                     int has_href = hv != NULL;
@@ -1138,7 +1280,7 @@ apply(PyObject *self, PyObject *args)
              * action whitelist, but guard anyway */
             {
                 PyObject *parent = current_parent(&c);
-                PyObject *fl = PyObject_GetAttr(parent, s_flags);
+                PyObject *fl = node_get(parent, s_flags);
                 if (fl == NULL) { Py_DECREF(data); goto error_tok; }
                 long flv = PyLong_AS_LONG(fl);
                 Py_DECREF(fl);
@@ -1227,7 +1369,7 @@ apply(PyObject *self, PyObject *args)
                     PyObject *cand = PyList_GET_ITEM(c.formatting, i);
                     if (cand == Py_None)
                         break;
-                    PyObject *cn = PyObject_GetAttr(cand, s_name);
+                    PyObject *cn = node_get(cand, s_name);
                     if (cn == NULL) goto error_start;
                     int eq = PyUnicode_Compare(cn, normal) == 0;
                     Py_DECREF(cn);
@@ -1252,13 +1394,13 @@ apply(PyObject *self, PyObject *args)
                     PyObject *cand = PyList_GET_ITEM(c.formatting, i);
                     if (cand == Py_None)
                         break;
-                    PyObject *cn = PyObject_GetAttr(cand, s_name);
+                    PyObject *cn = node_get(cand, s_name);
                     if (cn == NULL) { Py_DECREF(el); goto error_start; }
                     int same_name = PyUnicode_Compare(cn, normal) == 0;
                     Py_DECREF(cn);
                     if (same_name) {
-                        PyObject *ca = PyObject_GetAttr(cand, s_attrs);
-                        PyObject *ea = PyObject_GetAttr(el, s_attrs);
+                        PyObject *ca = node_get(cand, s_attrs);
+                        PyObject *ea = node_get(el, s_attrs);
                         if (ca == NULL || ea == NULL) {
                             Py_XDECREF(ca); Py_XDECREF(ea);
                             Py_DECREF(el); goto error_start;
@@ -1321,7 +1463,7 @@ apply(PyObject *self, PyObject *args)
                 Py_ssize_t n = PyList_GET_SIZE(c.stack);
                 for (Py_ssize_t i = n - 1; i >= 1; i--) {
                     PyObject *el = PyList_GET_ITEM(c.stack, i);
-                    PyObject *nm = PyObject_GetAttr(el, s_name);
+                    PyObject *nm = node_get(el, s_name);
                     if (nm == NULL) goto error_start;
                     int is_li = PyUnicode_Compare(nm, li_str) == 0;
                     if (is_li) {
@@ -1443,7 +1585,7 @@ apply(PyObject *self, PyObject *args)
                 if (rr == 0) { handled = 0; break; }
                 PyObject *el = insert_element(&c, normal, flags, attrs, 0);
                 if (el == NULL) goto error_start;
-                PyObject *eattrs = PyObject_GetAttr(el, s_attrs);
+                PyObject *eattrs = node_get(el, s_attrs);
                 Py_DECREF(el);
                 if (eattrs == NULL) goto error_start;
                 static PyObject *type_str = NULL, *hidden_str = NULL;
@@ -1592,7 +1734,7 @@ apply(PyObject *self, PyObject *args)
                     lo = 0;
                 int found = 0;
                 for (Py_ssize_t i = n - 1; i >= lo; i--) {
-                    PyObject *nm = PyObject_GetAttr(
+                    PyObject *nm = node_get(
                         PyList_GET_ITEM(c.stack, i), s_name);
                     if (nm == NULL) goto error_end;
                     int eq = PyUnicode_Compare(nm, normal) == 0;
@@ -1607,7 +1749,7 @@ apply(PyObject *self, PyObject *args)
                 for (Py_ssize_t i = PyList_GET_SIZE(c.stack) - 1;
                      i >= 0 && !done; i--) {
                     PyObject *el = PyList_GET_ITEM(c.stack, i);
-                    PyObject *nm = PyObject_GetAttr(el, s_name);
+                    PyObject *nm = node_get(el, s_name);
                     if (nm == NULL) goto error_end;
                     int eq = PyUnicode_Compare(nm, normal) == 0;
                     Py_DECREF(nm);
@@ -1638,7 +1780,7 @@ apply(PyObject *self, PyObject *args)
                 Py_ssize_t n = PyList_GET_SIZE(c.stack);
                 if (n == 0) { handled = 0; break; }
                 PyObject *cur = PyList_GET_ITEM(c.stack, n - 1);
-                PyObject *cn = PyObject_GetAttr(cur, s_name);
+                PyObject *cn = node_get(cur, s_name);
                 if (cn == NULL) goto error_end;
                 int name_eq = PyUnicode_Compare(cn, normal) == 0;
                 Py_DECREF(cn);
@@ -1705,7 +1847,7 @@ apply(PyObject *self, PyObject *args)
                 goto error_tok;
             PyObject *node = bare_instance(g_comment_t);
             if (node == NULL) { Py_DECREF(data); goto error_tok; }
-            if (PyObject_SetAttr(node, s_value, data) < 0 ||
+            if (node_set(node, s_value, data) < 0 ||
                 append_child(current_parent(&c), node) < 0) {
                 Py_DECREF(node); Py_DECREF(data);
                 goto error_tok;
@@ -1956,7 +2098,7 @@ w_preserve_ws(PyObject *node)
     for (int i = 0; i < 6; i++) {
         if (!PyObject_TypeCheck(n, (PyTypeObject *)g_element))
             break;
-        PyObject *fl = PyObject_GetAttr(n, s_flags);
+        PyObject *fl = node_get(n, s_flags);
         if (fl == NULL) {
             Py_DECREF(n);
             return -1;
@@ -1967,7 +2109,7 @@ w_preserve_ws(PyObject *node)
             Py_DECREF(n);
             return 1;
         }
-        PyObject *p = PyObject_GetAttr(n, s_parent);
+        PyObject *p = node_get(n, s_parent);
         Py_DECREF(n);
         if (p == NULL)
             return -1;
@@ -2005,7 +2147,7 @@ w_element_data(PyObject *el)
         if (tp == (PyTypeObject *)g_datanode_t ||
             tp == (PyTypeObject *)g_cdata_t ||
             tp == (PyTypeObject *)g_comment_t) {
-            PyObject *v = PyObject_GetAttr(n, s_value);
+            PyObject *v = node_get(n, s_value);
             if (v == NULL || PyList_Append(parts, v) < 0) {
                 Py_XDECREF(v);
                 Py_DECREF(n);
@@ -2013,7 +2155,7 @@ w_element_data(PyObject *el)
             }
             Py_DECREF(v);
         } else if (PyObject_TypeCheck(n, (PyTypeObject *)g_element)) {
-            PyObject *ch = PyObject_GetAttr(n, s_children);
+            PyObject *ch = node_get(n, s_children);
             if (ch == NULL) {
                 Py_DECREF(n);
                 goto fail;
@@ -2044,7 +2186,7 @@ fail:
 static int
 w_has_text(PyObject *el)
 {
-    PyObject *ch0 = PyObject_GetAttr(el, s_children);
+    PyObject *ch0 = node_get(el, s_children);
     if (ch0 == NULL)
         return -1;
     PyObject *stack = PySequence_List(ch0);
@@ -2061,7 +2203,7 @@ w_has_text(PyObject *el)
             return -1;
         }
         if (PyObject_TypeCheck(n, (PyTypeObject *)g_textnode)) {
-            PyObject *v = PyObject_GetAttr(n, s_value);
+            PyObject *v = node_get(n, s_value);
             if (v == NULL) { Py_DECREF(n); Py_DECREF(stack); return -1; }
             Py_ssize_t vn = PyUnicode_GET_LENGTH(v);
             int kind = PyUnicode_KIND(v);
@@ -2076,7 +2218,7 @@ w_has_text(PyObject *el)
             }
             Py_DECREF(v);
         } else if (PyObject_TypeCheck(n, (PyTypeObject *)g_element)) {
-            PyObject *nch = PyObject_GetAttr(n, s_children);
+            PyObject *nch = node_get(n, s_children);
             if (nch == NULL) { Py_DECREF(n); Py_DECREF(stack); return -1; }
             Py_ssize_t add = PySequence_Length(nch);
             if (add < 0 ||
@@ -2099,13 +2241,13 @@ w_needs_trailing(PyObject *el, long flags)
 {
     if (flags & (g_f_boundary | g_f_block))
         return 1;
-    PyObject *ch = PyObject_GetAttr(el, s_children);
+    PyObject *ch = node_get(el, s_children);
     if (ch == NULL)
         return -1;
     for (Py_ssize_t i = 0; i < PyList_GET_SIZE(ch); i++) {
         PyObject *c = PyList_GET_ITEM(ch, i);
         if (PyObject_TypeCheck(c, (PyTypeObject *)g_element)) {
-            PyObject *fl = PyObject_GetAttr(c, s_flags);
+            PyObject *fl = node_get(c, s_flags);
             if (fl == NULL) {
                 Py_DECREF(ch);
                 return -1;
@@ -2125,7 +2267,7 @@ w_needs_trailing(PyObject *el, long flags)
 static long
 w_flags(PyObject *el)
 {
-    PyObject *fl = PyObject_GetAttr(el, s_flags);
+    PyObject *fl = node_get(el, s_flags);
     if (fl == NULL)
         return -1;
     long v = PyLong_AS_LONG(fl);
@@ -2195,7 +2337,7 @@ walk_spans(PyObject *self, PyObject *args)
     int depth = 0;
     int rc = 0;
 
-    PyObject *rootch = PyObject_GetAttr(root, s_children);
+    PyObject *rootch = node_get(root, s_children);
     if (rootch == NULL || !PyList_Check(rootch)) {
         Py_XDECREF(rootch);
         Py_DECREF(out);
@@ -2216,7 +2358,7 @@ walk_spans(PyObject *self, PyObject *args)
             PyTypeObject *tp = Py_TYPE(child);
             if (tp == (PyTypeObject *)g_textnode ||
                 tp == (PyTypeObject *)g_cdata_t) {
-                PyObject *v = PyObject_GetAttr(child, s_value);
+                PyObject *v = node_get(child, s_value);
                 if (v == NULL) { rc = -1; break; }
                 int pres = (tp == (PyTypeObject *)g_cdata_t)
                     ? 1 : w_preserve_ws(f->node);
@@ -2241,9 +2383,9 @@ walk_spans(PyObject *self, PyObject *args)
             }
             long flags = w_flags(child);
             if (flags < 0) { rc = -1; break; }
-            PyObject *nm = PyObject_GetAttr(child, s_name);
+            PyObject *nm = node_get(child, s_name);
             if (nm == NULL) { rc = -1; break; }
-            PyObject *cns = PyObject_GetAttr(child, s_ns);
+            PyObject *cns = node_get(child, s_ns);
             if (cns == NULL) { Py_DECREF(nm); rc = -1; break; }
             int html_ns = (cns == g_ns_html) ||
                 (PyUnicode_Compare(cns, g_ns_html) == 0);
@@ -2261,7 +2403,7 @@ walk_spans(PyObject *self, PyObject *args)
             if (is_media || is_data) {
                 if (acc_flush(&acc, out) < 0) { Py_DECREF(nm); rc = -1; break; }
                 if (is_media) {
-                    PyObject *attrs = PyObject_GetAttr(child, s_attrs);
+                    PyObject *attrs = node_get(child, s_attrs);
                     if (attrs == NULL) { Py_DECREF(nm); rc = -1; break; }
                     PyObject *ref = NULL, *alt = NULL;
                     PyObject *srcv = PyDict_GetItemWithError(attrs, s_src);
@@ -2327,7 +2469,7 @@ walk_spans(PyObject *self, PyObject *args)
                     } else if (PyUnicode_Compare(nm, s_br) == 0) {
                         lead = 1;
                     } else if (flags & g_f_boundary) {
-                        PyObject *ch = PyObject_GetAttr(child, s_children);
+                        PyObject *ch = node_get(child, s_children);
                         if (ch == NULL) { Py_DECREF(nm); rc = -1; break; }
                         int has_kids = PyList_GET_SIZE(ch) > 0;
                         Py_DECREF(ch);
@@ -2347,7 +2489,7 @@ walk_spans(PyObject *self, PyObject *args)
             }
             Py_DECREF(nm);
             /* descend or tail-sep */
-            PyObject *ch = PyObject_GetAttr(child, s_children);
+            PyObject *ch = node_get(child, s_children);
             if (ch == NULL || !PyList_Check(ch)) {
                 Py_XDECREF(ch); rc = -1; break;
             }
