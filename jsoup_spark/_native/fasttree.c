@@ -947,6 +947,122 @@ insert_element(Ctx *c, PyObject *normal, long flags, PyObject *attrs,
     return el;
 }
 
+/* ---- fused raw-text content scan --------------------------------------
+ * Called right after a title/script/style/noframes start switched the
+ * builder into TEXT mode (tok.state already RCDATA/RAWTEXT/SCRIPT_DATA,
+ * element pushed). Strict subset of the tokenizer's text states + the
+ * Python _fused_text_close fast path: when the content up to the FIRST
+ * '<' is free of NUL (and '&' for RCDATA) and that '<' begins exactly
+ * "</name>" (ASCII case-insensitive, no ws/attrs/self-close), consume
+ * content + close in one step — insert the text node (DataNode under
+ * Data-flag elements, TextNode otherwise, mirroring insert_character_to),
+ * pop, restore the insertion mode, and return the tokenizer to Data at
+ * the position past '>'. markup_start stays stale on this path exactly
+ * like the reference (Tokeniser.java — RCDataLessthanSign never moves
+ * markupStartPos) and the Python fused path. Any other shape returns 0
+ * with NOTHING consumed: tok.state is already the right text state, so
+ * the Python tokenizer proceeds identically.
+ * Returns 1 fused, 0 not fused, -1 error. */
+static PyObject *s_tk_s = NULL, *s_tk_pos = NULL;
+
+static int
+fuse_text_content(Ctx *c, PyObject *tb, PyObject *normal, long elflags,
+                  int is_rcdata, long *state, long restore_state)
+{
+    if (s_tk_s == NULL) {
+        s_tk_s = PyUnicode_InternFromString("s");
+        s_tk_pos = PyUnicode_InternFromString("pos");
+        if (s_tk_pos == NULL)
+            return -1;
+    }
+    PyObject *tok_o = PyObject_GetAttr(tb, s_tok);
+    if (tok_o == NULL)
+        return -1;
+    PyObject *s_obj = PyObject_GetAttr(tok_o, s_tk_s);
+    PyObject *pos_o = PyObject_GetAttr(tok_o, s_tk_pos);
+    if (s_obj == NULL || pos_o == NULL) {
+        Py_XDECREF(s_obj); Py_XDECREF(pos_o); Py_DECREF(tok_o);
+        return -1;
+    }
+    Py_ssize_t pos = PyLong_AsSsize_t(pos_o);
+    Py_DECREF(pos_o);
+    if ((pos == -1 && PyErr_Occurred()) || !PyUnicode_Check(s_obj))
+        goto not_fused;
+    {
+        const int kind = PyUnicode_KIND(s_obj);
+        const void *data = PyUnicode_DATA(s_obj);
+        const Py_ssize_t n = PyUnicode_GET_LENGTH(s_obj);
+        Py_ssize_t i = pos;
+        while (i < n) {
+            Py_UCS4 ch = PyUnicode_READ(kind, data, i);
+            if (ch == '<')
+                break;
+            if (ch == 0 || (is_rcdata && ch == '&'))
+                goto not_fused;
+            i++;
+        }
+        if (i >= n)
+            goto not_fused;      /* EOF in text: python path */
+        Py_ssize_t nl = PyUnicode_GET_LENGTH(normal);
+        if (i + 2 + nl >= n || PyUnicode_READ(kind, data, i + 1) != '/')
+            goto not_fused;
+        const int nkind = PyUnicode_KIND(normal);
+        const void *ndata = PyUnicode_DATA(normal);
+        for (Py_ssize_t k = 0; k < nl; k++) {
+            Py_UCS4 ch = PyUnicode_READ(kind, data, i + 2 + k);
+            if (ch >= 'A' && ch <= 'Z')
+                ch += 32;
+            if (ch != PyUnicode_READ(nkind, ndata, k))
+                goto not_fused;
+        }
+        if (PyUnicode_READ(kind, data, i + 2 + nl) != '>')
+            goto not_fused;
+        /* fusable: content [pos, i), close ends at i+2+nl */
+        if (i > pos) {
+            PyObject *content = PyUnicode_Substring(s_obj, pos, i);
+            if (content == NULL)
+                goto err;
+            PyObject *cls = (elflags & g_flag_data) ? g_h_datanode
+                                                    : g_textnode;
+            PyObject *node = bare_instance(cls);
+            if (node == NULL) {
+                Py_DECREF(content);
+                goto err;
+            }
+            if (node_set(node, s_value, content) < 0 ||
+                append_child(current_parent(c), node) < 0) {
+                Py_DECREF(node); Py_DECREF(content);
+                goto err;
+            }
+            Py_DECREF(node);
+            Py_DECREF(content);
+        }
+        if (pop_top(c) < 0)
+            goto err;
+        *state = restore_state;
+        {
+            PyObject *np = PyLong_FromSsize_t(i + 2 + nl + 1);
+            PyObject *ds = PyLong_FromLong(0);   /* tz.DATA == 0 */
+            if (np == NULL || ds == NULL ||
+                PyObject_SetAttr(tok_o, s_tk_pos, np) < 0 ||
+                PyObject_SetAttr(tok_o, s_state, ds) < 0) {
+                Py_XDECREF(np); Py_XDECREF(ds);
+                goto err;
+            }
+            Py_DECREF(np); Py_DECREF(ds);
+        }
+        Py_DECREF(s_obj); Py_DECREF(tok_o);
+        return 1;
+    }
+not_fused:
+    PyErr_Clear();
+    Py_DECREF(s_obj); Py_DECREF(tok_o);
+    return 0;
+err:
+    Py_DECREF(s_obj); Py_DECREF(tok_o);
+    return -1;
+}
+
 /* head-phase handler (BEFORE_HEAD/IN_HEAD/AFTER_HEAD/TEXT modes, strict
  * whitelist; mirrors treebuilder._before_head/_in_head/_after_head/_text).
  * Returns 1 handled, 0 bail, -1 error; updates *state locally and writes
@@ -1121,6 +1237,12 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
                 if (el == NULL) goto h_err;
                 Py_DECREF(el);
                 *state = g_text_mode;
+                {
+                    int fr = fuse_text_content(c, tb, normal, flags,
+                                               tzstate == g_tz_rcdata,
+                                               state, g_in_head);
+                    if (fr < 0) goto h_err;
+                }
                 handled = 1;
             }
         } else if (*state == g_after_head) {
@@ -1544,6 +1666,12 @@ apply(PyObject *self, PyObject *args)
                 if (el == NULL) goto error_start;
                 Py_DECREF(el);
                 state = g_text_mode;
+                {
+                    int fr = fuse_text_content(&c, tb, normal, flags,
+                                               tzstate == g_tz_rcdata,
+                                               &state, g_in_body);
+                    if (fr < 0) goto error_start;
+                }
                 break;
             }
             case SA_BUTTON: {
