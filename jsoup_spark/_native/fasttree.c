@@ -53,6 +53,8 @@
 #define EA_DD_DT 5
 #define EA_FMT 6           /* adoption-agency formatters: fast paths only */
 #define EA_HEADING 7       /* h1-h6 end: implied end + pop-to-close any */
+#define EA_BODY 8          /* </body> in InBody: checks + -> AfterBody */
+#define EA_HTML 9          /* </html> in InBody: checks + reprocess */
 
 /* packed action-table value: start | end<<4 | opts<<8 | flags<<16 */
 #define PACK_START(v) ((v) & 0xF)
@@ -93,6 +95,19 @@ static PyObject *s_h_title = NULL, *s_h_script = NULL, *s_h_style = NULL,
 static PyObject *s_head_el = NULL, *s_original_state = NULL, *s_tok = NULL,
     *s_base_set = NULL, *s_base_uri = NULL, *s_base = NULL,
     *s_h_empty = NULL;
+
+/* prelude/endgame config (configure_prelude): Initial/BeforeHtml synth
+ * chains + AfterBody/AfterAfterBody endgame ids and sets */
+static long g_initial = -1, g_before_html = -1, g_after_body = -1,
+    g_after_after_body = -1;
+static PyObject *g_end_other_errors = NULL; /* C_END_OTHER_ERRORS */
+static PyObject *g_ah_bail = NULL;   /* after-head start bails (to_head+...) */
+static PyObject *g_bh_to_head = NULL; /* C_BEFORE_HTML_TO_HEAD */
+static PyObject *g_ih_bail = NULL;   /* in-head start bails */
+static PyObject *g_err_body_not_in_scope = NULL, *g_err_no_body = NULL,
+    *g_err_unexpected_end = NULL, *g_err_unexpected_end_in_head = NULL;
+static PyObject *s_fragment = NULL, *s_quirks_mode = NULL,
+    *g_quirks_str = NULL, *s_h_html = NULL;
 
 /* error strings (exact Python literals, passed from treebuilder) */
 static PyObject *g_err_dup_attrs = NULL;
@@ -343,6 +358,44 @@ configure_head(PyObject *self, PyObject *args)
         s_base = PyUnicode_InternFromString("base");
         s_h_empty = PyUnicode_InternFromString("");
         if (s_h_empty == NULL)
+            return NULL;
+    }
+    Py_RETURN_NONE;
+}
+
+static PyObject *
+configure_prelude(PyObject *self, PyObject *args)
+{
+    PyObject *end_other, *ah_bail, *bh_to_head, *ih_bail, *errs;
+    long initial, before_html, after_body, after_after_body;
+    if (!PyArg_ParseTuple(args, "OOOOllllO", &end_other, &ah_bail,
+                          &bh_to_head, &ih_bail, &initial, &before_html,
+                          &after_body, &after_after_body, &errs))
+        return NULL;
+    if (!PyTuple_Check(errs) || PyTuple_GET_SIZE(errs) != 4) {
+        PyErr_SetString(PyExc_ValueError, "errs must be a 4-tuple");
+        return NULL;
+    }
+#define SETP(g, v) Py_XDECREF(g); Py_INCREF(v); g = v
+    SETP(g_end_other_errors, end_other);
+    SETP(g_ah_bail, ah_bail);
+    SETP(g_bh_to_head, bh_to_head);
+    SETP(g_ih_bail, ih_bail);
+    SETP(g_err_body_not_in_scope, PyTuple_GET_ITEM(errs, 0));
+    SETP(g_err_no_body, PyTuple_GET_ITEM(errs, 1));
+    SETP(g_err_unexpected_end, PyTuple_GET_ITEM(errs, 2));
+    SETP(g_err_unexpected_end_in_head, PyTuple_GET_ITEM(errs, 3));
+#undef SETP
+    g_initial = initial;
+    g_before_html = before_html;
+    g_after_body = after_body;
+    g_after_after_body = after_after_body;
+    if (s_fragment == NULL) {
+        s_fragment = PyUnicode_InternFromString("fragment");
+        s_quirks_mode = PyUnicode_InternFromString("quirks_mode");
+        g_quirks_str = PyUnicode_InternFromString("quirks");
+        s_h_html = PyUnicode_InternFromString("html");
+        if (s_h_html == NULL)
             return NULL;
     }
     Py_RETURN_NONE;
@@ -1063,13 +1116,103 @@ err:
     return -1;
 }
 
-/* head-phase handler (BEFORE_HEAD/IN_HEAD/AFTER_HEAD/TEXT modes, strict
- * whitelist; mirrors treebuilder._before_head/_in_head/_after_head/_text).
- * Returns 1 handled, 0 bail, -1 error; updates *state locally and writes
- * tok.state / original_state / head_el / base immediately on transition. */
+/* ---- prelude/endgame helpers ---- */
+
+/* bounded stack scan (tb.get_from_stack); *out borrowed or NULL */
+static int
+get_from_stack_name(Ctx *c, PyObject *name, PyObject **out)
+{
+    Py_ssize_t n = PyList_GET_SIZE(c->stack);
+    Py_ssize_t lo = n - 1 - MAX_QUEUE_DEPTH;
+    if (lo < 0)
+        lo = 0;
+    *out = NULL;
+    for (Py_ssize_t i = n - 1; i >= lo; i--) {
+        PyObject *el = PyList_GET_ITEM(c->stack, i);
+        PyObject *nm = node_get(el, s_name);
+        if (nm == NULL)
+            return -1;
+        int eq = PyUnicode_Compare(nm, name) == 0 && !PyErr_Occurred();
+        Py_DECREF(nm);
+        if (eq) { /* ns==HTML guaranteed by entry precondition */
+            *out = el;
+            return 0;
+        }
+    }
+    return 0;
+}
+
+/* tb.on_stack_not(C_END_OTHER_ERRORS): any open element not in the set */
+static int
+stack_has_not_allowed(Ctx *c)
+{
+    Py_ssize_t n = PyList_GET_SIZE(c->stack);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *nm = node_get(PyList_GET_ITEM(c->stack, i), s_name);
+        if (nm == NULL)
+            return -1;
+        int in = PySet_Contains(g_end_other_errors, nm);
+        Py_DECREF(nm);
+        if (in < 0)
+            return -1;
+        if (!in)
+            return 1;
+    }
+    return 0;
+}
+
+/* synthesized html/head/body insert (process_start with no attrs) */
+static int
+synth_insert(Ctx *c, PyObject *tb, PyObject *normal, int set_head)
+{
+    int known;
+    long packed = action_of(normal, &known);
+    if (packed < 0)
+        return -1;
+    PyObject *el = insert_element(c, normal, PACK_FLAGS(packed), NULL, 1);
+    if (el == NULL)
+        return -1;
+    int rc = 0;
+    if (set_head)
+        rc = PyObject_SetAttr(tb, s_head_el, el);
+    Py_DECREF(el);
+    return rc;
+}
+
+static int
+set_quirks(Ctx *c)
+{
+    return PyObject_SetAttr(c->doc, s_quirks_mode, g_quirks_str);
+}
+
+/* append a TextNode holding `data` to an explicit parent (Python
+ * insert_character_to) */
+static int
+insert_text_to(PyObject *parent, PyObject *data)
+{
+    PyObject *node = bare_instance(g_textnode);
+    if (node == NULL)
+        return -1;
+    if (node_set(node, s_value, data) < 0 ||
+        append_child(parent, node) < 0) {
+        Py_DECREF(node);
+        return -1;
+    }
+    Py_DECREF(node);
+    return 0;
+}
+
+/* head-phase handler: Initial/BeforeHtml/BeforeHead/InHead/AfterHead/
+ * Text/AfterBody/AfterAfterBody modes, strict whitelist; mirrors the
+ * treebuilder._initial/_before_html/_before_head/_in_head/_after_head/
+ * _text/_after_body/_after_after_body dispatch including the
+ * "anything else" synthesis chains (process_start("html"/"head"/"body")
+ * + reprocess). Returns 1 handled, 0 bail, -1 error, 2 = insertion mode
+ * advanced to InBody — reprocess the SAME token in the main loop. */
 static int
 head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
 {
+    int prelude = (g_initial != -1);
     if (ttype == TOK_CHAR) {
         PyObject *data = PyObject_GetAttr(token, s_data);
         if (data == NULL)
@@ -1097,15 +1240,101 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
             Py_DECREF(data);
             return 1;
         }
-        /* before/in/after head: whitespace-only text inserts verbatim */
-        int ws = is_all_ws(data);
-        if (!ws) {
+        {
+            int ws = is_all_ws(data);
+        char_redispatch:
+            if (prelude && *state == g_initial) {
+                if (ws) {
+                    Py_DECREF(data);
+                    return 1;          /* _initial ignores whitespace */
+                }
+                if (set_quirks(c) < 0) { Py_DECREF(data); return -1; }
+                *state = g_before_html;
+                goto char_redispatch;
+            }
+            if (prelude && *state == g_before_html) {
+                if (ws) {
+                    int rc = insert_text(c, data);
+                    Py_DECREF(data);
+                    return rc < 0 ? -1 : 1;
+                }
+                if (synth_insert(c, tb, s_h_html, 0) < 0) {
+                    Py_DECREF(data); return -1;
+                }
+                *state = g_before_head;
+                goto char_redispatch;
+            }
+            if (*state == g_before_head) {
+                if (ws) {
+                    int rc = insert_text(c, data);
+                    Py_DECREF(data);
+                    return rc < 0 ? -1 : 1;
+                }
+                if (!prelude) { Py_DECREF(data); return 0; }
+                if (synth_insert(c, tb, s_h_head, 1) < 0) {
+                    Py_DECREF(data); return -1;
+                }
+                *state = g_in_head;
+                goto char_redispatch;
+            }
+            if (*state == g_in_head) {
+                if (ws) {
+                    int rc = insert_text(c, data);
+                    Py_DECREF(data);
+                    return rc < 0 ? -1 : 1;
+                }
+                if (!prelude) { Py_DECREF(data); return 0; }
+                /* _in_head_anything: process_end("head") = pop + AfterHead */
+                if (pop_top(c) < 0) { Py_DECREF(data); return -1; }
+                *state = g_after_head;
+                goto char_redispatch;
+            }
+            if (*state == g_after_head) {
+                if (ws) {
+                    int rc = insert_text(c, data);
+                    Py_DECREF(data);
+                    return rc < 0 ? -1 : 1;
+                }
+                if (!prelude) { Py_DECREF(data); return 0; }
+                /* _after_head_anything: synth body, framesetOk(true),
+                 * reprocess in InBody */
+                if (synth_insert(c, tb, s_h_body, 0) < 0) {
+                    Py_DECREF(data); return -1;
+                }
+                if (!c->frameset_ok) {
+                    c->frameset_ok = 1;
+                    c->frameset_dirty = 1;
+                }
+                *state = g_in_body;
+                Py_DECREF(data);
+                return 2;
+            }
+            if (prelude && *state == g_after_body) {
+                if (ws) {
+                    PyObject *html_el;
+                    if (get_from_stack_name(c, s_h_html, &html_el) < 0) {
+                        Py_DECREF(data); return -1;
+                    }
+                    if (html_el == NULL) { Py_DECREF(data); return 0; }
+                    int rc = insert_text_to(html_el, data);
+                    Py_DECREF(data);
+                    return rc < 0 ? -1 : 1;
+                }
+                Py_DECREF(data);
+                return 0;
+            }
+            if (prelude && *state == g_after_after_body) {
+                if (ws) {
+                    int rc = insert_text_to(c->doc, data);
+                    Py_DECREF(data);
+                    return rc < 0 ? -1 : 1;
+                }
+                Py_DECREF(data);
+                return 0;
+            }
             Py_DECREF(data);
             return 0;
         }
-        int rc = insert_text(c, data);
-        Py_DECREF(data);
-        return rc < 0 ? -1 : 1;
     }
     if (*state == g_text_mode) {
         if (ttype != TOK_END)
@@ -1151,7 +1380,27 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
         PyObject *attrs = PyObject_GetAttr(token, s_attrs);
         if (attrs == NULL) { Py_DECREF(normal); return -1; }
         int handled = 0;
-        if (*state == g_before_head) {
+    start_redispatch:
+        if (prelude && *state == g_initial) {
+            /* _initial anything-else: quirks + BeforeHtml + reprocess */
+            if (set_quirks(c) < 0) goto h_err;
+            *state = g_before_html;
+            goto start_redispatch;
+        }
+        if (prelude && *state == g_before_html) {
+            if (PyUnicode_Compare(normal, s_h_html) == 0) {
+                PyObject *el = insert_element(c, normal, flags, attrs, 1);
+                if (el == NULL) goto h_err;
+                Py_DECREF(el);
+                *state = g_before_head;
+                handled = 1;
+            } else {
+                /* _before_html_anything: synth html + reprocess */
+                if (synth_insert(c, tb, s_h_html, 0) < 0) goto h_err;
+                *state = g_before_head;
+                goto start_redispatch;
+            }
+        } else if (*state == g_before_head) {
             if (PyUnicode_Compare(normal, s_h_head) == 0) {
                 PyObject *el = insert_element(c, normal, flags, attrs, 1);
                 if (el == NULL) goto h_err;
@@ -1160,6 +1409,13 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
                 if (rc < 0) goto h_err;
                 *state = g_in_head;
                 handled = 1;
+            } else if (prelude &&
+                       PyUnicode_Compare(normal, s_h_html) != 0) {
+                /* _before_head anything-else: synth head + reprocess
+                 * ("html" routes to the InBody rules -> python) */
+                if (synth_insert(c, tb, s_h_head, 1) < 0) goto h_err;
+                *state = g_in_head;
+                goto start_redispatch;
             }
         } else if (*state == g_in_head) {
             int is_empty = PySet_Contains(g_head_empty, normal);
@@ -1244,6 +1500,15 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
                     if (fr < 0) goto h_err;
                 }
                 handled = 1;
+            } else if (prelude && !selfc) {
+                int bailn = PySet_Contains(g_ih_bail, normal);
+                if (bailn < 0) goto h_err;
+                if (!bailn) {
+                    /* _in_head_anything: pop head + AfterHead + reprocess */
+                    if (pop_top(c) < 0) goto h_err;
+                    *state = g_after_head;
+                    goto start_redispatch;
+                }
             }
         } else if (*state == g_after_head) {
             if (PyUnicode_Compare(normal, s_h_body) == 0) {
@@ -1256,6 +1521,22 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
                 }
                 *state = g_in_body;
                 handled = 1;
+            } else if (prelude && !selfc) {
+                int bailn = PySet_Contains(g_ah_bail, normal);
+                if (bailn < 0) goto h_err;
+                if (!bailn) {
+                    /* _after_head_anything: synth body + framesetOk(true)
+                     * + reprocess in InBody */
+                    if (synth_insert(c, tb, s_h_body, 0) < 0) goto h_err;
+                    if (!c->frameset_ok) {
+                        c->frameset_ok = 1;
+                        c->frameset_dirty = 1;
+                    }
+                    *state = g_in_body;
+                    Py_DECREF(attrs);
+                    Py_DECREF(normal);
+                    return 2;
+                }
             }
         }
         Py_DECREF(attrs);
@@ -1266,18 +1547,114 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
         Py_DECREF(normal);
         return -1;
     }
-    if (ttype == TOK_END && *state == g_in_head) {
+    if (ttype == TOK_END) {
         PyObject *normal = PyObject_GetAttr(token, s_normal);
         if (normal == NULL)
             return -1;
-        int is_head = PyUnicode_Compare(normal, s_h_head) == 0;
-        Py_DECREF(normal);
-        if (is_head) {
-            if (pop_top(c) < 0)
-                return -1;
-            *state = g_after_head;
+    end_redispatch:
+        if (*state == g_in_head) {
+            if (PyUnicode_Compare(normal, s_h_head) == 0) {
+                Py_DECREF(normal);
+                if (pop_top(c) < 0)
+                    return -1;
+                *state = g_after_head;
+                return 1;
+            }
+            if (prelude) {
+                int chain = PySet_Contains(g_bh_to_head, normal);
+                if (chain < 0) { Py_DECREF(normal); return -1; }
+                if (chain) {
+                    /* body/br/html (head was handled above): pop head +
+                     * AfterHead + reprocess (_in_head_anything) */
+                    if (pop_top(c) < 0) { Py_DECREF(normal); return -1; }
+                    *state = g_after_head;
+                    goto end_redispatch;
+                }
+                int tmpl = PyUnicode_CompareWithASCIIString(normal,
+                                                            "template") == 0;
+                if (tmpl) { Py_DECREF(normal); return 0; }
+                err(c, g_err_unexpected_end_in_head);
+                Py_DECREF(normal);
+                return 1;  /* consumed (python returns False, token done) */
+            }
+            Py_DECREF(normal);
+            return 0;
+        }
+        if (prelude && *state == g_initial) {
+            if (set_quirks(c) < 0) { Py_DECREF(normal); return -1; }
+            *state = g_before_html;
+            goto end_redispatch;
+        }
+        if (prelude && *state == g_before_html) {
+            int chain = PySet_Contains(g_bh_to_head, normal);
+            if (chain < 0) { Py_DECREF(normal); return -1; }
+            if (chain) {
+                if (synth_insert(c, tb, s_h_html, 0) < 0) {
+                    Py_DECREF(normal); return -1;
+                }
+                *state = g_before_head;
+                goto end_redispatch;
+            }
+            err(c, g_err_unexpected_end);
+            Py_DECREF(normal);
             return 1;
         }
+        if (prelude && *state == g_before_head) {
+            int chain = PySet_Contains(g_bh_to_head, normal);
+            if (chain < 0) { Py_DECREF(normal); return -1; }
+            if (chain) {
+                if (synth_insert(c, tb, s_h_head, 1) < 0) {
+                    Py_DECREF(normal); return -1;
+                }
+                *state = g_in_head;
+                goto end_redispatch;
+            }
+            err(c, g_err_unexpected_end);
+            Py_DECREF(normal);
+            return 1;
+        }
+        if (prelude && *state == g_after_head) {
+            int chain = PySet_Contains(g_bh_to_head, normal);
+            if (chain < 0) { Py_DECREF(normal); return -1; }
+            if (chain && PyUnicode_Compare(normal, s_h_head) != 0) {
+                /* body/br/html: _after_head_anything -> synth body +
+                 * framesetOk(true) + reprocess in InBody */
+                if (synth_insert(c, tb, s_h_body, 0) < 0) {
+                    Py_DECREF(normal); return -1;
+                }
+                if (!c->frameset_ok) {
+                    c->frameset_ok = 1;
+                    c->frameset_dirty = 1;
+                }
+                *state = g_in_body;
+                Py_DECREF(normal);
+                return 2;
+            }
+            if (PyUnicode_CompareWithASCIIString(normal, "template") == 0 ||
+                PyUnicode_Compare(normal, s_h_head) == 0) {
+                Py_DECREF(normal);
+                return 0;  /* template routes to _in_head; head errors */
+            }
+            err(c, g_err_unexpected_end);
+            Py_DECREF(normal);
+            return 1;
+        }
+        if (prelude && *state == g_after_body) {
+            if (PyUnicode_Compare(normal, s_h_html) == 0) {
+                PyObject *frag = PyObject_GetAttr(tb, s_fragment);
+                if (frag == NULL) { Py_DECREF(normal); return -1; }
+                int is_frag = PyObject_IsTrue(frag);
+                Py_DECREF(frag);
+                Py_DECREF(normal);
+                if (is_frag)
+                    return 0;  /* fragment error path -> python */
+                *state = g_after_after_body;
+                return 1;
+            }
+            Py_DECREF(normal);
+            return 0;
+        }
+        Py_DECREF(normal);
         return 0;
     }
     return 0;
@@ -1312,7 +1689,10 @@ apply(PyObject *self, PyObject *args)
     if (state != g_in_body &&
         !(g_in_head != -1 &&
           (state == g_before_head || state == g_in_head ||
-           state == g_after_head || state == g_text_mode)))
+           state == g_after_head || state == g_text_mode)) &&
+        !(g_initial != -1 &&
+          (state == g_initial || state == g_before_html ||
+           state == g_after_body || state == g_after_after_body)))
         goto bail_entry;
     GETA(s_noscript);
     int ok = (tmp == Py_None);
@@ -1356,7 +1736,10 @@ apply(PyObject *self, PyObject *args)
         goto bail_ctx;
     {
         Py_ssize_t n = PyList_GET_SIZE(c.stack);
-        if (n == 0 || n >= MAX_DEPTH - 1)
+        if (n >= MAX_DEPTH - 1)
+            goto bail_ctx;
+        if (n == 0 && !(g_initial != -1 &&
+                        (state == g_initial || state == g_before_html)))
             goto bail_ctx;
         for (Py_ssize_t i = 0; i < n; i++) {
             int h = is_html_ns(PyList_GET_ITEM(c.stack, i));
@@ -1370,6 +1753,7 @@ apply(PyObject *self, PyObject *args)
     /* ---- token loop ---- */
     Py_INCREF(token);
     for (;;) {
+    reprocess_token:;
         PyObject *tp = PyObject_GetAttr(token, s_type);
         if (tp == NULL)
             goto error_tok;
@@ -1382,6 +1766,8 @@ apply(PyObject *self, PyObject *args)
                 goto error_tok;
             if (hrc == 1)
                 goto next_token;
+            if (hrc == 2)
+                goto reprocess_token; /* mode advanced; same token again */
             goto bail_tok;
         }
 
@@ -1956,6 +2342,41 @@ apply(PyObject *self, PyObject *args)
                 if (pop_to_close_heading(&c) < 0) goto error_end;
                 break;
             }
+            case EA_BODY: {
+                /* treebuilder._in_body_end "body" (track off by gate) */
+                if (g_end_other_errors == NULL) { handled = 0; break; }
+                int s = in_scope_walk(&c, normal, OPT_SCOPE);
+                if (s < 0) goto error_end;
+                if (!s) {
+                    err(&c, g_err_body_not_in_scope);
+                    break;  /* consumed (python returns False) */
+                }
+                int bad = stack_has_not_allowed(&c);
+                if (bad < 0) goto error_end;
+                if (bad)
+                    err(&c, g_err_unexpected_open);
+                state = g_after_body;
+                break;
+            }
+            case EA_HTML: {
+                /* treebuilder._in_body_end "html": checks, AfterBody,
+                 * then the SAME token reprocesses under AfterBody */
+                if (g_end_other_errors == NULL) { handled = 0; break; }
+                PyObject *body_el;
+                if (get_from_stack_name(&c, s_h_body, &body_el) < 0)
+                    goto error_end;
+                if (body_el == NULL) {
+                    err(&c, g_err_no_body);
+                    break;  /* consumed */
+                }
+                int bad = stack_has_not_allowed(&c);
+                if (bad < 0) goto error_end;
+                if (bad)
+                    err(&c, g_err_unexpected_open);
+                state = g_after_body;
+                Py_DECREF(normal);
+                goto reprocess_token;
+            }
             default:
                 handled = 0;
                 break;
@@ -2008,7 +2429,8 @@ apply(PyObject *self, PyObject *args)
         Py_DECREF(sv);
     }
     if (c.frameset_dirty &&
-        PyObject_SetAttr(tb, s_frameset_ok, Py_False) < 0)
+        PyObject_SetAttr(tb, s_frameset_ok,
+                         c.frameset_ok ? Py_True : Py_False) < 0)
         goto error_ctx;
     Py_DECREF(c.stack); Py_DECREF(c.doc);
     Py_DECREF(c.formatting); Py_DECREF(c.errors);
@@ -2026,7 +2448,8 @@ bail_tok:
         Py_DECREF(sv);
     }
     if (c.frameset_dirty &&
-        PyObject_SetAttr(tb, s_frameset_ok, Py_False) < 0)
+        PyObject_SetAttr(tb, s_frameset_ok,
+                         c.frameset_ok ? Py_True : Py_False) < 0)
         goto error_ctx;
     Py_DECREF(c.stack); Py_DECREF(c.doc);
     Py_DECREF(c.formatting); Py_DECREF(c.errors);
@@ -2669,6 +3092,8 @@ static PyMethodDef methods[] = {
      "configure(actions, ns_html, Element, TextNode, errs7, in_body, flag_data)"},
     {"apply", apply, METH_VARARGS,
      "apply(tb, token, q) -> leftover token or None"},
+    {"configure_prelude", configure_prelude, METH_VARARGS,
+     "configure Initial/BeforeHtml prelude + AfterBody endgame"},
     {"configure_head", configure_head, METH_VARARGS,
      "configure_head(head_empty_set, resolve, DataNode, CData, before_head, in_head, after_head, text, rcdata, rawtext, scriptdata)"},
     {"configure_walk", configure_walk, METH_VARARGS,

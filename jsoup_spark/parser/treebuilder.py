@@ -171,7 +171,7 @@ def _build_fasttree_actions() -> dict:
         SA_TO_HEAD_EMPTY, SA_BUTTON, SA_TEXT_SWITCH = \
         0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13
     EA_BAIL, EA_CLOSER, EA_LI, EA_P, EA_ANY, EA_DD_DT, EA_FMT, \
-        EA_HEADING = 0, 1, 2, 3, 4, 5, 6, 7
+        EA_HEADING, EA_BODY, EA_HTML = 0, 1, 2, 3, 4, 5, 6, 7, 8, 9
     start_bail = {
         "html", "body", "frameset", "form", "plaintext",
         "nobr", "table", "hr", "image", "textarea", "xmp",
@@ -227,7 +227,11 @@ def _build_fasttree_actions() -> dict:
             return EA_CLOSER
         if name in C_ADOPTION_FORMATTERS:
             return EA_BAIL if "fmt" in _disable else EA_FMT
-        if name in ("template", "body", "html", "form", "br"):
+        if name == "body":
+            return EA_BAIL if "endgame" in _disable else EA_BODY
+        if name == "html":
+            return EA_BAIL if "endgame" in _disable else EA_HTML
+        if name in ("template", "form", "br"):
             return EA_BAIL
         if name in C_HEADINGS:
             return EA_BAIL if "heading" in _disable else EA_HEADING
@@ -2846,6 +2850,21 @@ if _FT is not None:
         #: insertion modes the C applier may enter with
         _FT_STATES = frozenset(
             (IN_BODY, BEFORE_HEAD, IN_HEAD, AFTER_HEAD, TEXT))
+        if hasattr(_FT, "configure_prelude"):
+            _FT.configure_prelude(
+                C_END_OTHER_ERRORS,
+                # after-head start bails: real rules exist for these
+                # (frameset switch, misplaced head content, head error)
+                frozenset({"html", "head", "frameset"}) | C_TO_HEAD,
+                C_BEFORE_HTML_TO_HEAD,
+                # in-head start bails: html (InBody rules), noscript
+                # (noscript island), head (error+ignore), template
+                frozenset({"html", "noscript", "head", "template"}),
+                INITIAL, BEFORE_HTML, AFTER_BODY, AFTER_AFTER_BODY,
+                ("body not in scope", "no body open",
+                 "unexpected end tag", "unexpected end tag in head"))
+            _FT_STATES = _FT_STATES | frozenset(
+                (INITIAL, BEFORE_HTML, AFTER_BODY, AFTER_AFTER_BODY))
     else:  # pragma: no cover - stale .so
         _FT_STATES = frozenset((IN_BODY,))
 else:
