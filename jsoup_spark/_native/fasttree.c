@@ -150,7 +150,7 @@ static Py_ssize_t off_name = -1, off_ns = -1, off_attrs = -1,
     off_parent = -1, off_value = -1;
 
 static Py_ssize_t
-member_offset(PyObject *cls, const char *name)
+member_offset_typed(PyObject *cls, const char *name, int t1, int t2)
 {
     PyObject *d = PyObject_GetAttrString(cls, name);
     if (d == NULL) {
@@ -160,11 +160,89 @@ member_offset(PyObject *cls, const char *name)
     Py_ssize_t off = -1;
     if (Py_TYPE(d) == &PyMemberDescr_Type) {
         PyMemberDef *m = ((PyMemberDescrObject *)d)->d_member;
-        if (m != NULL && (m->type == T_OBJECT_EX || m->type == T_OBJECT))
+        if (m != NULL && (m->type == t1 || m->type == t2))
             off = m->offset;
     }
     Py_DECREF(d);
     return off;
+}
+
+static Py_ssize_t
+member_offset(PyObject *cls, const char *name)
+{
+    return member_offset_typed(cls, name, T_OBJECT_EX, T_OBJECT);
+}
+
+/* FastToken (jsoup_fastscan) field offsets — the dominant token class on
+ * the batched path. type/self_closing are C ints, the rest T_OBJECT
+ * (NULL reads as None, matching GetAttr on a T_OBJECT member). */
+static PyTypeObject *g_fasttoken_tp = NULL;
+static Py_ssize_t off_ft_type = -1, off_ft_selfc = -1, off_ft_normal = -1,
+    off_ft_attrs = -1, off_ft_data = -1;
+
+/* token field readers: FastToken slot reads, GetAttr otherwise */
+static inline long
+tok_type(PyObject *t)
+{
+    if (Py_TYPE(t) == g_fasttoken_tp && off_ft_type >= 0)
+        return *(int *)((char *)t + off_ft_type);
+    PyObject *v = PyObject_GetAttr(t, s_type);
+    if (v == NULL)
+        return -1;
+    long r = PyLong_AS_LONG(v);
+    Py_DECREF(v);
+    return r;
+}
+
+static inline int
+tok_selfc(PyObject *t)
+{
+    if (Py_TYPE(t) == g_fasttoken_tp && off_ft_selfc >= 0)
+        return *(int *)((char *)t + off_ft_selfc) != 0;
+    PyObject *v = PyObject_GetAttr(t, s_self_closing);
+    if (v == NULL)
+        return -1;
+    int r = PyObject_IsTrue(v);
+    Py_DECREF(v);
+    return r;
+}
+
+static inline PyObject *      /* new ref; None when unset */
+tok_obj_field(PyObject *t, Py_ssize_t ft_off, PyObject *sname)
+{
+    if (Py_TYPE(t) == g_fasttoken_tp && ft_off >= 0) {
+        PyObject *v = *(PyObject **)((char *)t + ft_off);
+        if (v == NULL)
+            v = Py_None;
+        Py_INCREF(v);
+        return v;
+    }
+    return PyObject_GetAttr(t, sname);
+}
+#define TOK_NORMAL(t) tok_obj_field((t), off_ft_normal, s_normal)
+#define TOK_ATTRS(t) tok_obj_field((t), off_ft_attrs, s_attrs)
+#define TOK_DATA(t) tok_obj_field((t), off_ft_data, s_data)
+
+static PyObject *
+configure_tokens(PyObject *self, PyObject *args)
+{
+    PyObject *fasttoken_cls;
+    if (!PyArg_ParseTuple(args, "O", &fasttoken_cls))
+        return NULL;
+    off_ft_type = member_offset_typed(fasttoken_cls, "type", T_INT, T_INT);
+    off_ft_selfc = member_offset_typed(fasttoken_cls, "self_closing",
+                                       T_INT, T_INT);
+    off_ft_normal = member_offset(fasttoken_cls, "normal");
+    off_ft_attrs = member_offset(fasttoken_cls, "attrs");
+    off_ft_data = member_offset(fasttoken_cls, "data");
+    if (off_ft_type >= 0 && off_ft_selfc >= 0 && off_ft_normal >= 0 &&
+        off_ft_attrs >= 0 && off_ft_data >= 0)
+        g_fasttoken_tp = (PyTypeObject *)fasttoken_cls;  /* borrowed-forever */
+    else {
+        g_fasttoken_tp = NULL;
+    }
+    Py_INCREF(fasttoken_cls);  /* keep alive for the borrowed tp pointer */
+    Py_RETURN_NONE;
 }
 
 /* new-ref getter: slot read when the receiver is a known node class and
@@ -1214,7 +1292,7 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
 {
     int prelude = (g_initial != -1);
     if (ttype == TOK_CHAR) {
-        PyObject *data = PyObject_GetAttr(token, s_data);
+        PyObject *data = TOK_DATA(token);
         if (data == NULL)
             return -1;
         if (!PyUnicode_Check(data) || contains_nul(data)) {
@@ -1349,17 +1427,15 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
         return 1;
     }
     if (ttype == TOK_START) {
-        PyObject *sc = PyObject_GetAttr(token, s_self_closing);
-        if (sc == NULL)
+        int selfc = tok_selfc(token);
+        if (selfc < 0)
             return -1;
-        int selfc = PyObject_IsTrue(sc);
-        Py_DECREF(sc);
         if (selfc) {
             /* empty inserts ignore self-closing (insert_empty_element);
              * everything else (head insert, text-state switches) bails */
             if (*state != g_in_head)
                 return 0;
-            PyObject *normal0 = PyObject_GetAttr(token, s_normal);
+            PyObject *normal0 = TOK_NORMAL(token);
             if (normal0 == NULL)
                 return -1;
             int is_empty0 = PySet_Contains(g_head_empty, normal0);
@@ -1370,14 +1446,14 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
             if (!is_empty0 && !is_meta0)
                 return 0;
         }
-        PyObject *normal = PyObject_GetAttr(token, s_normal);
+        PyObject *normal = TOK_NORMAL(token);
         if (normal == NULL)
             return -1;
         int known;
         long packed = action_of(normal, &known);
         if (packed < 0) { Py_DECREF(normal); return -1; }
         long flags = PACK_FLAGS(packed);
-        PyObject *attrs = PyObject_GetAttr(token, s_attrs);
+        PyObject *attrs = TOK_ATTRS(token);
         if (attrs == NULL) { Py_DECREF(normal); return -1; }
         int handled = 0;
     start_redispatch:
@@ -1548,7 +1624,7 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
         return -1;
     }
     if (ttype == TOK_END) {
-        PyObject *normal = PyObject_GetAttr(token, s_normal);
+        PyObject *normal = TOK_NORMAL(token);
         if (normal == NULL)
             return -1;
     end_redispatch:
@@ -1754,11 +1830,9 @@ apply(PyObject *self, PyObject *args)
     Py_INCREF(token);
     for (;;) {
     reprocess_token:;
-        PyObject *tp = PyObject_GetAttr(token, s_type);
-        if (tp == NULL)
+        long ttype = tok_type(token);
+        if (ttype < 0)
             goto error_tok;
-        long ttype = PyLong_AS_LONG(tp);
-        Py_DECREF(tp);
 
         if (state != g_in_body) {
             int hrc = head_phase(&c, tb, token, ttype, &state);
@@ -1774,7 +1848,7 @@ apply(PyObject *self, PyObject *args)
         if (ttype == TOK_CHAR) {
             /* exact-type check: CData subclass carries T_CDATA code, so
              * ttype alone is the discriminator */
-            PyObject *data = PyObject_GetAttr(token, s_data);
+            PyObject *data = TOK_DATA(token);
             if (data == NULL)
                 goto error_tok;
             if (!PyUnicode_Check(data) || contains_nul(data)) {
@@ -1804,7 +1878,7 @@ apply(PyObject *self, PyObject *args)
             }
             Py_DECREF(data);
         } else if (ttype == TOK_START) {
-            PyObject *normal = PyObject_GetAttr(token, s_normal);
+            PyObject *normal = TOK_NORMAL(token);
             if (normal == NULL)
                 goto error_tok;
             int known;
@@ -1812,10 +1886,8 @@ apply(PyObject *self, PyObject *args)
             if (packed < 0) { Py_DECREF(normal); goto error_tok; }
             long act = PACK_START(packed);
             long flags = PACK_FLAGS(packed);
-            PyObject *sc = PyObject_GetAttr(token, s_self_closing);
-            if (sc == NULL) { Py_DECREF(normal); goto error_tok; }
-            int selfc = PyObject_IsTrue(sc);
-            Py_DECREF(sc);
+            int selfc = tok_selfc(token);
+            if (selfc < 0) { Py_DECREF(normal); goto error_tok; }
             if (selfc && act != SA_VOID_RECON && act != SA_MEDIA_EMPTY
                     && act != SA_INPUT && act != SA_TO_HEAD_EMPTY) {
                 /* empty-insert paths ignore self-closing (Python
@@ -1824,7 +1896,7 @@ apply(PyObject *self, PyObject *args)
                 Py_DECREF(normal);
                 goto bail_tok;
             }
-            PyObject *attrs = PyObject_GetAttr(token, s_attrs);
+            PyObject *attrs = TOK_ATTRS(token);
             if (attrs == NULL) { Py_DECREF(normal); goto error_tok; }
             if (PyList_GET_SIZE(c.stack) >= MAX_DEPTH - 1) {
                 Py_DECREF(attrs); Py_DECREF(normal);
@@ -2165,7 +2237,7 @@ apply(PyObject *self, PyObject *args)
             Py_DECREF(normal);
             goto error_tok;
         } else if (ttype == TOK_END) {
-            PyObject *normal = PyObject_GetAttr(token, s_normal);
+            PyObject *normal = TOK_NORMAL(token);
             if (normal == NULL)
                 goto error_tok;
             int known;
@@ -2391,7 +2463,7 @@ apply(PyObject *self, PyObject *args)
         } else if (ttype == 3 && g_comment_t != NULL) {
             /* in-body comment: insert_comment == CommentNode(token.data)
              * appended to the current element (track off by gate) */
-            PyObject *data = PyObject_GetAttr(token, s_data);
+            PyObject *data = TOK_DATA(token);
             if (data == NULL)
                 goto error_tok;
             PyObject *node = bare_instance(g_comment_t);
@@ -3092,6 +3164,8 @@ static PyMethodDef methods[] = {
      "configure(actions, ns_html, Element, TextNode, errs7, in_body, flag_data)"},
     {"apply", apply, METH_VARARGS,
      "apply(tb, token, q) -> leftover token or None"},
+    {"configure_tokens", configure_tokens, METH_VARARGS,
+     "resolve FastToken member offsets"},
     {"configure_prelude", configure_prelude, METH_VARARGS,
      "configure Initial/BeforeHtml prelude + AfterBody endgame"},
     {"configure_head", configure_head, METH_VARARGS,

@@ -2850,6 +2850,10 @@ if _FT is not None:
         #: insertion modes the C applier may enter with
         _FT_STATES = frozenset(
             (IN_BODY, BEFORE_HEAD, IN_HEAD, AFTER_HEAD, TEXT))
+        if hasattr(_FT, "configure_tokens"):
+            from . import tokenizer as _tz_mod
+            if _tz_mod._C is not None:
+                _FT.configure_tokens(_tz_mod._C.FastToken)
         if hasattr(_FT, "configure_prelude"):
             _FT.configure_prelude(
                 C_END_OTHER_ERRORS,
