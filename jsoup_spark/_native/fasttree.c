@@ -2942,6 +2942,148 @@ typedef struct {
     PyObject *nxt;    /* borrowed or NULL */
 } WFrame;
 
+/* Document.title() fast path (nodes.py Document.title / reference
+ * Document.java:198-202): first <title> inside the doc's html>head,
+ * normalized + java-trimmed. Handles the common shape — title children
+ * are all leaf text nodes; returns NotImplemented for anything else so
+ * the Python implementation (the source of truth) takes over. */
+static PyObject *
+title_text(PyObject *self, PyObject *args)
+{
+    PyObject *doc;
+    if (!PyArg_ParseTuple(args, "O", &doc))
+        return NULL;
+    if (s_h_title == NULL || g_textnode == NULL)
+        Py_RETURN_NOTIMPLEMENTED;
+    PyObject *dch = node_get(doc, s_children);
+    if (dch == NULL || !PyList_Check(dch)) {
+        Py_XDECREF(dch);
+        PyErr_Clear();
+        Py_RETURN_NOTIMPLEMENTED;
+    }
+    /* html = first Element child named "html" */
+    PyObject *html_el = NULL, *head_el = NULL, *title_el = NULL;
+    for (Py_ssize_t i = 0; i < PyList_GET_SIZE(dch); i++) {
+        PyObject *c = PyList_GET_ITEM(dch, i);
+        if (!PyObject_TypeCheck(c, (PyTypeObject *)g_element))
+            continue;
+        PyObject *nm = node_get(c, s_name);
+        if (nm == NULL) { Py_DECREF(dch); return NULL; }
+        int eq = PyUnicode_Compare(nm, s_h_html) == 0 && !PyErr_Occurred();
+        Py_DECREF(nm);
+        if (eq) { html_el = c; break; }
+    }
+    Py_DECREF(dch);
+    if (html_el == NULL)
+        return PyUnicode_FromString("");
+    PyObject *hch = node_get(html_el, s_children);
+    if (hch == NULL || !PyList_Check(hch)) {
+        Py_XDECREF(hch);
+        PyErr_Clear();
+        Py_RETURN_NOTIMPLEMENTED;
+    }
+    for (Py_ssize_t i = 0; i < PyList_GET_SIZE(hch); i++) {
+        PyObject *c = PyList_GET_ITEM(hch, i);
+        if (!PyObject_TypeCheck(c, (PyTypeObject *)g_element))
+            continue;
+        PyObject *nm = node_get(c, s_name);
+        if (nm == NULL) { Py_DECREF(hch); return NULL; }
+        int eq = PyUnicode_Compare(nm, s_h_head) == 0 && !PyErr_Occurred();
+        Py_DECREF(nm);
+        if (eq) { head_el = c; break; }
+    }
+    Py_DECREF(hch);
+    if (head_el == NULL)
+        return PyUnicode_FromString("");
+    /* DFS (pre-order) for the first descendant element named "title" */
+    {
+        PyObject *stack_nodes[256];
+        Py_ssize_t stack_idx[256];
+        int depth = 0;
+        stack_nodes[0] = head_el;
+        stack_idx[0] = 0;
+        while (depth >= 0 && title_el == NULL) {
+            PyObject *cur = stack_nodes[depth];
+            PyObject *ch = node_get(cur, s_children);
+            if (ch == NULL || !PyList_Check(ch)) {
+                Py_XDECREF(ch);
+                PyErr_Clear();
+                Py_RETURN_NOTIMPLEMENTED;
+            }
+            Py_ssize_t i = stack_idx[depth];
+            int descended = 0;
+            for (; i < PyList_GET_SIZE(ch); i++) {
+                PyObject *c = PyList_GET_ITEM(ch, i);
+                if (!PyObject_TypeCheck(c, (PyTypeObject *)g_element))
+                    continue;
+                PyObject *nm = node_get(c, s_name);
+                if (nm == NULL) { Py_DECREF(ch); return NULL; }
+                int eq = PyUnicode_Compare(nm, s_h_title) == 0 &&
+                         !PyErr_Occurred();
+                Py_DECREF(nm);
+                if (eq) { title_el = c; break; }
+                if (depth >= 254) {
+                    Py_DECREF(ch);
+                    Py_RETURN_NOTIMPLEMENTED;
+                }
+                stack_idx[depth] = i + 1;
+                stack_nodes[depth + 1] = c;
+                stack_idx[depth + 1] = 0;
+                depth++;
+                descended = 1;
+                break;
+            }
+            Py_DECREF(ch);
+            if (title_el != NULL)
+                break;
+            if (!descended)
+                depth--;
+        }
+    }
+    if (title_el == NULL)
+        return PyUnicode_FromString("");
+    /* simple shape: all children leaf text nodes (TextNode/CDataNode) */
+    PyObject *tch = node_get(title_el, s_children);
+    if (tch == NULL || !PyList_Check(tch)) {
+        Py_XDECREF(tch);
+        PyErr_Clear();
+        Py_RETURN_NOTIMPLEMENTED;
+    }
+    Accum acc = {NULL, 0, 0};
+    for (Py_ssize_t i = 0; i < PyList_GET_SIZE(tch); i++) {
+        PyObject *c = PyList_GET_ITEM(tch, i);
+        if (!PyObject_TypeCheck(c, (PyTypeObject *)g_textnode)) {
+            Py_DECREF(tch);
+            PyMem_Free(acc.buf);
+            Py_RETURN_NOTIMPLEMENTED;
+        }
+        PyObject *v = node_get(c, s_value);
+        if (v == NULL) { Py_DECREF(tch); PyMem_Free(acc.buf); return NULL; }
+        if (!PyUnicode_Check(v)) {
+            Py_DECREF(v); Py_DECREF(tch); PyMem_Free(acc.buf);
+            Py_RETURN_NOTIMPLEMENTED;
+        }
+        int rc = acc_append_normalised(&acc, v);
+        Py_DECREF(v);
+        if (rc < 0) { Py_DECREF(tch); PyMem_Free(acc.buf); return NULL; }
+    }
+    Py_DECREF(tch);
+    /* java_trim: strip chars <= U+0020 from both ends */
+    if (acc.buf == NULL)
+        return PyUnicode_FromString("");
+    {
+        Py_ssize_t a = 0, b = acc.len;
+        while (a < b && acc.buf[a] <= 0x20)
+            a++;
+        while (b > a && acc.buf[b - 1] <= 0x20)
+            b--;
+        PyObject *out = PyUnicode_FromKindAndData(
+            PyUnicode_4BYTE_KIND, acc.buf + a, b - a);
+        PyMem_Free(acc.buf);
+        return out;
+    }
+}
+
 static PyObject *
 walk_spans(PyObject *self, PyObject *args)
 {
@@ -3172,6 +3314,8 @@ static PyMethodDef methods[] = {
      "configure_head(head_empty_set, resolve, DataNode, CData, before_head, in_head, after_head, text, rcdata, rawtext, scriptdata)"},
     {"configure_walk", configure_walk, METH_VARARGS,
      "configure_walk(media_set, data_set, resolve, CData, DataNode, Comment, BLOCK, TEXT_BOUNDARY, PRESERVE_WS)"},
+    {"title_text", title_text, METH_VARARGS,
+     "title_text(doc) -> normalized title str or NotImplemented"},
     {"walk_spans", walk_spans, METH_VARARGS,
      "walk_spans(body, base_uri) -> list[(kind,text,ref)] or None (bail)"},
     {NULL, NULL, 0, NULL},

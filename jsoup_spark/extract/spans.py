@@ -50,7 +50,13 @@ except ImportError:  # pragma: no cover - extension not built
 def extract_spans(doc: Document) -> list[tuple[str, str, str, int]]:
     """Emit (kind, text, media_ref, order) tuples for a document."""
     out: list[list] = []
-    title = doc.title()
+    # C fast path for the common title shape (leaf text children only);
+    # NotImplemented -> the Python Document.title() source of truth
+    title = NotImplemented
+    if _CW is not None and hasattr(_CW, "title_text"):
+        title = _CW.title_text(doc)
+    if title is NotImplemented:
+        title = doc.title()
     if title:
         out.append(["title", title, ""])
     body = doc.body
