@@ -462,6 +462,310 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"JPEG truncated or corrupt: {ex}") from ex
 
 
+def _finish_jpeg_planes(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution (nearest), crop,
+    YCbCr->RGB (BT.601), clip to uint8 — shared baseline/progressive
+    reconstruction tail."""
+    full = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _resync_marker(payload: bytes, pos: int) -> int:
+    """Advance to the next real (non-stuffed, non-RST-consumed) marker
+    0xFF byte after an entropy-coded segment."""
+    n = len(payload)
+    while pos < n:
+        if payload[pos] == 0xFF and pos + 1 < n and payload[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated: no marker after scan")
+
+
+def _ac_refine_block(coef, br, ac_table, Ss, Se, Al, eobrun):
+    """T.81 G.1.2.3 AC successive-approximation refinement for one block
+    (the libjpeg decode_mcu_AC_refine control flow, reimplemented from
+    the spec). Returns the updated EOB run."""
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = br.huff(ac_table)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15 (ZRL): pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement size")
+                val = p1 if br.read(1) else -p1
+            while k <= Se:
+                z = _ZIGZAG[k]
+                c = coef[z]
+                if c != 0:
+                    if br.read(1) and (abs(c) & p1) == 0:
+                        coef[z] = c + (p1 if c > 0 else -p1)
+                    k += 1
+                else:
+                    if r == 0:
+                        if val:
+                            coef[z] = val
+                        k += 1
+                        break
+                    r -= 1
+                    k += 1
+    if eobrun > 0:
+        while k <= Se:
+            z = _ZIGZAG[k]
+            c = coef[z]
+            if c != 0:
+                if br.read(1) and (abs(c) & p1) == 0:
+                    coef[z] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG decode: multi-scan spectral selection +
+    successive approximation per ITU T.81 Annex G. Coefficients
+    accumulate across scans in per-component MCU-padded block grids;
+    dequantize + IDCT once at EOI. Restart markers reset DC predictors
+    and the EOB run. Validated against javax.imageio via the Spark image
+    source on wild progressive files (tests/test_codecs.py)."""
+    pos = 2
+    n = len(payload)
+    quant = {}
+    huff_dc = {}
+    huff_ac = {}
+    frame = None
+    restart_interval = 0
+    coefs = None       # per-comp (blocks_y, blocks_x, 64) int32
+    pred = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:      # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:      # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant table")
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(seg[p:p + 64], np.uint8)
+                quant[tq] = tbl.reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:    # DHT (tables may arrive per scan)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                cnt = sum(bits)
+                vals = list(seg[p + 17:p + 17 + cnt])
+                tbl = _huff_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                p += 17 + cnt
+        elif marker == 0xC2:    # SOF2
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("non-8-bit JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if len(comps) not in (1, 3):
+                raise ValueError("unsupported JPEG component layout")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1
+                                           for c in comps):
+                raise ValueError("unsupported JPEG sampling factors")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            frame = (h, w, comps, hmax, vmax, mcus_x, mcus_y)
+            coefs = {}
+            pred = {}
+            for cid, hs, vs, tq in comps:
+                coefs[cid] = np.zeros((mcus_y * vs, mcus_x * hs, 64),
+                                      np.int32)
+                pred[cid] = 0
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unexpected frame marker in progressive JPEG")
+        elif marker == 0xDD:    # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:    # SOS: one progressive scan
+            if frame is None:
+                raise ValueError("JPEG scan before SOF")
+            h, w, comps, hmax, vmax, mcus_x, mcus_y = frame
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((cs, tdta >> 4, tdta & 0xF))
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            AhAl = seg[3 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 0xF
+            by_cid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+            for cs, _td, _ta in scomps:
+                if cs not in by_cid:
+                    raise ValueError("JPEG scan references unknown component")
+            br = _BitReader(payload, pos)
+            mcu_count = 0
+            eobrun = 0
+            if Ss == 0:
+                # DC scan: interleaved over all scan components
+                if Se != 0:
+                    raise ValueError("JPEG progressive scan mixes DC/AC")
+                if Ah == 0:
+                    for cs, td, _ta in scomps:
+                        if td not in huff_dc:
+                            raise ValueError("JPEG missing Huffman table")
+                        pred[cs] = 0
+                # MCU geometry: full-frame interleave when ns>1, the
+                # component's own block grid when ns==1
+                if ns > 1:
+                    units = [(my, mx) for my in range(mcus_y)
+                             for mx in range(mcus_x)]
+                    for my, mx in units:
+                        if restart_interval and mcu_count and \
+                                mcu_count % restart_interval == 0:
+                            br.align_restart()
+                            for cs, _td, _ta in scomps:
+                                pred[cs] = 0
+                        mcu_count += 1
+                        for cs, td, _ta in scomps:
+                            hs, vs, tq = by_cid[cs]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    blk = coefs[cs][my * vs + by,
+                                                    mx * hs + bx]
+                                    if Ah == 0:
+                                        t = br.huff(huff_dc[td])
+                                        diff = _extend(br.read(t), t) \
+                                            if t else 0
+                                        pred[cs] += diff
+                                        blk[0] = pred[cs] << Al
+                                    else:
+                                        if br.read(1):
+                                            blk[0] |= 1 << Al
+                else:
+                    cs, td, _ta = scomps[0]
+                    hs, vs, tq = by_cid[cs]
+                    cw = (w * hs + 8 * hmax - 1) // (8 * hmax)
+                    ch = (h * vs + 8 * vmax - 1) // (8 * vmax)
+                    for byy in range(ch):
+                        for bxx in range(cw):
+                            if restart_interval and mcu_count and \
+                                    mcu_count % restart_interval == 0:
+                                br.align_restart()
+                                pred[cs] = 0
+                            mcu_count += 1
+                            blk = coefs[cs][byy, bxx]
+                            if Ah == 0:
+                                t = br.huff(huff_dc[td])
+                                diff = _extend(br.read(t), t) if t else 0
+                                pred[cs] += diff
+                                blk[0] = pred[cs] << Al
+                            else:
+                                if br.read(1):
+                                    blk[0] |= 1 << Al
+            else:
+                # AC scan: always non-interleaved (single component)
+                if ns != 1:
+                    raise ValueError("JPEG interleaved AC progressive scan")
+                cs, _td, ta = scomps[0]
+                if ta not in huff_ac:
+                    raise ValueError("JPEG missing Huffman table")
+                ac_table = huff_ac[ta]
+                hs, vs, tq = by_cid[cs]
+                cw = (w * hs + 8 * hmax - 1) // (8 * hmax)
+                ch = (h * vs + 8 * vmax - 1) // (8 * vmax)
+                for byy in range(ch):
+                    for bxx in range(cw):
+                        if restart_interval and mcu_count and \
+                                mcu_count % restart_interval == 0:
+                            br.align_restart()
+                            eobrun = 0
+                        mcu_count += 1
+                        blk = coefs[cs][byy, bxx]
+                        if Ah == 0:
+                            # first AC scan for this band
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = Ss
+                            while k <= Se:
+                                rs = br.huff(ac_table)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += br.read(r)
+                                        break
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC overflow")
+                                blk[_ZIGZAG[k]] = \
+                                    _extend(br.read(s), s) << Al
+                                k += 1
+                        else:
+                            eobrun = _ac_refine_block(
+                                blk, br, ac_table, Ss, Se, Al, eobrun)
+            pos = _resync_marker(payload, br.pos)
+        # APPn / COM: skipped
+    if frame is None or coefs is None:
+        raise ValueError("JPEG missing SOF/scan data")
+    h, w, comps, hmax, vmax, mcus_x, mcus_y = frame
+    # reconstruct: dequantize + batched IDCT per component
+    A = _DCT_A
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if tq not in quant:
+            raise ValueError("JPEG missing quant table")
+        grid = coefs[cid]
+        by, bx = grid.shape[0], grid.shape[1]
+        blocks = grid.reshape(by * bx, 8, 8).astype(np.float64) \
+            * quant[tq][None, :, :]
+        px = np.einsum("ij,njk,kl->nil", A.T, blocks, A) + 128.0
+        plane = px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(by * 8, bx * 8)
+        planes.append(plane)
+    return _finish_jpeg_planes(planes, comps, h, w, hmax, vmax)
+
+
 def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -517,9 +821,11 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:    # SOF2: progressive, own multi-scan path
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/extended JPEG unsupported")
+            raise ValueError("lossless/arithmetic JPEG unsupported")
         elif marker == 0xDD:    # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:    # SOS

@@ -284,3 +284,66 @@ def test_decode_jpeg_truncated_raises_valueerror():
             codecs.decode_jpeg(bytes(b))
         except ValueError:
             pass  # clean rejection is fine; silent best-effort decode too
+
+
+# Wild progressive/baseline JPEGs that ship in this environment (outside
+# the repo, existence-gated). javax.imageio via the Spark image source is
+# the independent reference decoder.
+_WILD_JPEGS = [
+    # (path, subsampled?)
+    ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+     "multi-channel/grayscale.jpg", False),
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", False),
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg", False),
+    ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+     "rust/html/embedded-book/assets/f3.jpg", True),
+]
+
+
+def test_progressive_jpeg_decode_vs_imageio(spark):
+    """Progressive (SOF2) decode must match javax.imageio pixel-for-pixel
+    on 4:4:4 images (+/-2 for IDCT rounding); on chroma-subsampled images
+    the only divergence is the documented upsampling policy (nearest vs
+    libjpeg's triangle filter), bounded in mean."""
+    import os
+    import numpy as np
+    import pytest
+    from jsoup_spark.operators import codecs
+
+    avail = [(p, sub) for p, sub in _WILD_JPEGS if os.path.exists(p)]
+    if not avail:
+        pytest.skip("no wild JPEG fixtures in this environment")
+    checked = 0
+    for path, subsampled in avail:
+        row = spark.read.format("image").load(path).collect()[0]["image"]
+        ref = np.frombuffer(bytes(row["data"]), np.uint8).reshape(
+            row["height"], row["width"], row["nChannels"])
+        ours = codecs.decode_jpeg(open(path, "rb").read())
+        assert ours.shape[:2] == ref.shape[:2]
+        if row["nChannels"] == 3:
+            ref = ref[:, :, ::-1]  # BGR -> RGB
+        if ours.shape[2] != ref.shape[2]:
+            continue  # gray-vs-color promotion differences: skip compare
+        d = np.abs(ours.astype(int) - ref.astype(int))
+        if subsampled:
+            assert float(d.mean()) < 2.5 and np.percentile(d, 99) <= 16, path
+        else:
+            assert d.max() <= 3, (path, d.max())
+        checked += 1
+    assert checked >= 1
+
+
+def test_progressive_jpeg_truncation_and_errors():
+    """Progressive path honors the same ValueError contract."""
+    import os
+    import numpy as np
+    import pytest
+    from jsoup_spark.operators import codecs
+
+    path = next((p for p, _ in _WILD_JPEGS if os.path.exists(p)), None)
+    if path is None:
+        pytest.skip("no wild JPEG fixtures")
+    full = open(path, "rb").read()
+    for cut in (4, 40, len(full) // 3, len(full) // 2):
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(full[:cut])
