@@ -951,21 +951,36 @@ finalize_attrs(Ctx *c, PyObject *attrs)
         return NULL;
     if (attrs == NULL || attrs == Py_None)
         return out;
-    Py_ssize_t n = PySequence_Size(attrs);
+    int is_list = PyList_Check(attrs);
+    Py_ssize_t n = is_list ? PyList_GET_SIZE(attrs) : PySequence_Size(attrs);
     if (n < 0) {
         Py_DECREF(out);
         return NULL;
     }
     long dupes = 0;
     for (Py_ssize_t i = 0; i < n; i++) {
-        PyObject *pair = PySequence_GetItem(attrs, i); /* new */
-        if (pair == NULL) {
-            Py_DECREF(out);
-            return NULL;
+        PyObject *k, *v;
+        if (is_list) {
+            PyObject *pair = PyList_GET_ITEM(attrs, i); /* borrowed */
+            if (PyTuple_Check(pair) && PyTuple_GET_SIZE(pair) == 2) {
+                k = PyTuple_GET_ITEM(pair, 0);
+                v = PyTuple_GET_ITEM(pair, 1);
+                Py_INCREF(k);
+                Py_INCREF(v);
+            } else {
+                k = PySequence_GetItem(pair, 0);
+                v = PySequence_GetItem(pair, 1);
+            }
+        } else {
+            PyObject *pair = PySequence_GetItem(attrs, i); /* new */
+            if (pair == NULL) {
+                Py_DECREF(out);
+                return NULL;
+            }
+            k = PySequence_GetItem(pair, 0);
+            v = PySequence_GetItem(pair, 1);
+            Py_DECREF(pair);
         }
-        PyObject *k = PySequence_GetItem(pair, 0);
-        PyObject *v = PySequence_GetItem(pair, 1);
-        Py_DECREF(pair);
         if (k == NULL || v == NULL) {
             Py_XDECREF(k); Py_XDECREF(v); Py_DECREF(out);
             return NULL;
