@@ -479,6 +479,39 @@ configure_prelude(PyObject *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+
+/* ---- optional section profiler (compile with -DFT_PROF) ---- */
+#ifdef FT_PROF
+#include <x86intrin.h>
+enum { PB_FINALIZE, PB_MAKE, PB_APPEND, PB_TEXT, PB_RECON, PB_WALKS,
+       PB_FUSE, PB_HEAD, PB_TOTAL, PB_N };
+static unsigned long long g_prof[PB_N];
+static unsigned long long g_prof_calls[PB_N];
+#define PROF_DECL unsigned long long _pt0
+#define PROF_BEGIN() (_pt0 = __rdtsc())
+#define PROF_END(b) (g_prof[b] += __rdtsc() - _pt0, g_prof_calls[b]++)
+static PyObject *
+prof_stats(PyObject *self, PyObject *args)
+{
+    static const char *names[PB_N] = {
+        "finalize_attrs", "make_element", "append_child", "insert_text",
+        "reconstruct", "walks", "fuse_text", "head_phase", "apply_total"};
+    PyObject *d = PyDict_New();
+    for (int i = 0; i < PB_N; i++) {
+        PyObject *t = Py_BuildValue("(KK)", g_prof[i], g_prof_calls[i]);
+        PyDict_SetItemString(d, names[i], t);
+        Py_DECREF(t);
+        g_prof[i] = 0;
+        g_prof_calls[i] = 0;
+    }
+    return d;
+}
+#else
+#define PROF_DECL
+#define PROF_BEGIN() ((void)0)
+#define PROF_END(b) ((void)0)
+#endif
+
 /* ---- tiny helpers (all borrow unless noted) ---- */
 
 typedef struct {
@@ -781,7 +814,10 @@ pop_to_close_heading(Ctx *c)
 static int
 reconstruct_run(Ctx *c)
 {
+    PROF_DECL;
+    PROF_BEGIN();
     int noop = reconstruct_is_noop(c);
+    PROF_END(PB_RECON);
     if (noop != 0)
         return noop < 0 ? -1 : 1;
     PyObject *f = c->formatting;
@@ -926,6 +962,8 @@ current_parent(Ctx *c)
 static int
 insert_text(Ctx *c, PyObject *data)
 {
+    PROF_DECL;
+    PROF_BEGIN();
     PyObject *parent = current_parent(c);
     /* bail-to-python caller handles DATA-flag parents before calling */
     PyObject *node = bare_instance(g_textnode);
@@ -937,6 +975,7 @@ insert_text(Ctx *c, PyObject *data)
         return -1;
     }
     Py_DECREF(node);
+    PROF_END(PB_TEXT);
     return 0;
 }
 
@@ -1074,13 +1113,19 @@ static PyObject *
 insert_element(Ctx *c, PyObject *normal, long flags, PyObject *attrs,
                int push)
 {
+    PROF_DECL;
+    PROF_BEGIN();
     PyObject *attrs_dict = finalize_attrs(c, attrs);
+    PROF_END(PB_FINALIZE);
     if (attrs_dict == NULL)
         return NULL;
+    PROF_BEGIN();
     PyObject *el = make_element(normal, flags, attrs_dict);
+    PROF_END(PB_MAKE);
     Py_DECREF(attrs_dict);
     if (el == NULL)
         return NULL;
+    PROF_BEGIN();
     PyObject *parent = current_parent(c);
     if (append_child(parent, el) < 0) {
         Py_DECREF(el);
@@ -1090,6 +1135,7 @@ insert_element(Ctx *c, PyObject *normal, long flags, PyObject *attrs,
         Py_DECREF(el);
         return NULL;
     }
+    PROF_END(PB_APPEND);
     return el;
 }
 
@@ -1121,6 +1167,8 @@ fuse_text_content(Ctx *c, PyObject *tb, PyObject *normal, long elflags,
         if (s_tk_pos == NULL)
             return -1;
     }
+    PROF_DECL;
+    PROF_BEGIN();
     PyObject *tok_o = PyObject_GetAttr(tb, s_tok);
     if (tok_o == NULL)
         return -1;
@@ -1198,6 +1246,7 @@ fuse_text_content(Ctx *c, PyObject *tb, PyObject *normal, long elflags,
             Py_DECREF(np); Py_DECREF(ds);
         }
         Py_DECREF(s_obj); Py_DECREF(tok_o);
+        PROF_END(PB_FUSE);
         return 1;
     }
 not_fused:
@@ -1769,6 +1818,9 @@ apply(PyObject *self, PyObject *args)
     Ctx c;
     c.tb = tb;
     c.frameset_dirty = 0;
+    PyObject *popleft = NULL;
+    PROF_DECL;
+    PROF_BEGIN();
 
     /* ---- entry validation (cheap attr reads; bail = return token) ---- */
     PyObject *tmp;
@@ -1842,6 +1894,15 @@ apply(PyObject *self, PyObject *args)
     }
 
     /* ---- token loop ---- */
+    static PyObject *s_popleft = NULL;
+    if (s_popleft == NULL) {
+        s_popleft = PyUnicode_InternFromString("popleft");
+        if (s_popleft == NULL)
+            goto error_ctx;
+    }
+    popleft = PyObject_GetAttr(q, s_popleft);
+    if (popleft == NULL)
+        goto error_ctx;
     Py_INCREF(token);
     for (;;) {
     reprocess_token:;
@@ -2496,14 +2557,16 @@ apply(PyObject *self, PyObject *args)
 
     next_token:
         Py_DECREF(token);
-        /* next from q (a deque); empty -> done */
-        if (PyObject_IsTrue(q) <= 0) {
-            token = NULL;
+        /* next from q (a deque): bound popleft cached per apply call;
+         * IndexError == empty == done (saves a per-token bool probe +
+         * method lookup) */
+        token = PyObject_CallNoArgs(popleft);
+        if (token == NULL) {
+            if (!PyErr_ExceptionMatches(PyExc_IndexError))
+                goto error_ctx;
+            PyErr_Clear();
             break;
         }
-        token = PyObject_CallMethod(q, "popleft", NULL);
-        if (token == NULL)
-            goto error_ctx;
     }
 
     /* ---- success exit: write back frameset_ok + state ---- */
@@ -2519,8 +2582,10 @@ apply(PyObject *self, PyObject *args)
         PyObject_SetAttr(tb, s_frameset_ok,
                          c.frameset_ok ? Py_True : Py_False) < 0)
         goto error_ctx;
+    Py_DECREF(popleft);
     Py_DECREF(c.stack); Py_DECREF(c.doc);
     Py_DECREF(c.formatting); Py_DECREF(c.errors);
+    PROF_END(PB_TOTAL);
     if (token == NULL)
         Py_RETURN_NONE;
     return token; /* already owned */
@@ -2538,11 +2603,13 @@ bail_tok:
         PyObject_SetAttr(tb, s_frameset_ok,
                          c.frameset_ok ? Py_True : Py_False) < 0)
         goto error_ctx;
+    Py_XDECREF(popleft);
     Py_DECREF(c.stack); Py_DECREF(c.doc);
     Py_DECREF(c.formatting); Py_DECREF(c.errors);
     return token; /* owned; leftover for python */
 
 bail_ctx:
+    Py_XDECREF(popleft);
     Py_DECREF(c.stack); Py_DECREF(c.doc);
     Py_DECREF(c.formatting); Py_XDECREF(c.errors);
     Py_INCREF(token);
@@ -2555,6 +2622,7 @@ bail_entry:
 error_tok:
     Py_XDECREF(token);
 error_ctx:
+    Py_XDECREF(popleft);
     Py_XDECREF(c.stack); Py_XDECREF(c.doc);
     Py_XDECREF(c.formatting); Py_XDECREF(c.errors);
     return NULL;
@@ -3321,6 +3389,9 @@ static PyMethodDef methods[] = {
      "configure(actions, ns_html, Element, TextNode, errs7, in_body, flag_data)"},
     {"apply", apply, METH_VARARGS,
      "apply(tb, token, q) -> leftover token or None"},
+    #ifdef FT_PROF
+    {"prof_stats", prof_stats, METH_NOARGS, "profiler buckets"},
+#endif
     {"configure_tokens", configure_tokens, METH_VARARGS,
      "resolve FastToken member offsets"},
     {"configure_prelude", configure_prelude, METH_VARARGS,
