@@ -28,10 +28,17 @@ sys.path.insert(0, REPO)
 
 def make_spark(cpus: str):
     from pyspark.sql import SparkSession
+    # worker shim (jsoup_spark/spark_worker.py): skip the per-task
+    # zipimport directory re-parse in setup_spark_files — measured
+    # ~17% off the full extract wall at sf0.1 (noop Arrow floor
+    # 0.57 -> 0.43 s). Needs the repo on the worker daemon's PYTHONPATH.
+    os.environ["PYTHONPATH"] = REPO + os.pathsep + \
+        os.environ.get("PYTHONPATH", "")
     return (
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName("jsoup_spark_bench")
+        .config("spark.python.worker.module", "jsoup_spark.spark_worker")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -18,10 +18,13 @@ def load_fixture(name):
 def spark():
     """Local SparkSession shared by Spark-layer tests."""
     from pyspark.sql import SparkSession
+    os.environ["PYTHONPATH"] = REPO + os.pathsep + \
+        os.environ.get("PYTHONPATH", "")
     spark = (
         SparkSession.builder
         .master("local[4]")
         .appName("jsoup_spark_tests")
+        .config("spark.python.worker.module", "jsoup_spark.spark_worker")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -499,3 +499,40 @@ def test_events_fixed_point_sum(spark):
         a = sorted(map(tuple, fn(base.coalesce(1)).collect()))
         b = sorted(map(tuple, fn(base.repartition(32)).collect()))
         assert a == b, fn.__name__
+
+
+def test_spark_worker_shim_zip_invalidation(tmp_path):
+    """The worker shim's zipimport patch must keep real invalidation
+    semantics: an UNCHANGED archive skips the directory re-parse, a
+    MODIFIED archive is re-read (the CPython >=3.12 behavior the shim
+    backports). Run in a subprocess so the global patch stays contained."""
+    import subprocess
+    import sys
+    script = r'''
+import os, sys, time, zipfile, zipimport
+sys.path.insert(0, %(repo)r)
+import jsoup_spark.spark_worker  # applies the patch; also re-exports main
+assert callable(jsoup_spark.spark_worker.main)
+zp = %(zip)r
+with zipfile.ZipFile(zp, "w") as z:
+    z.writestr("moda.py", "x = 1\n")
+imp = zipimport.zipimporter(zp)
+assert imp.find_spec("moda") is not None
+assert imp.find_spec("modb") is None
+# unchanged archive: invalidate is a cached no-op
+imp.invalidate_caches()
+imp.invalidate_caches()
+assert imp.find_spec("moda") is not None
+# modified archive (bump mtime too): must be re-read
+time.sleep(0.01)
+with zipfile.ZipFile(zp, "a") as z:
+    z.writestr("modb.py", "y = 2\n")
+os.utime(zp)
+imp.invalidate_caches()
+assert imp.find_spec("modb") is not None, "modified zip not re-read"
+print("SHIM-OK")
+''' % {"repo": "/root/repo", "zip": str(tmp_path / "t.zip")}
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "SHIM-OK" in out.stdout
