@@ -46,4 +46,12 @@ def _invalidate_if_changed(self):
 
 zipimport.zipimporter.invalidate_caches = _invalidate_if_changed
 
+# Tried and reverted: rate-limiting the daemon reuse-loop's per-task
+# gc.collect() (daemon.py calls a full collection between back-to-back
+# tasks, ~5-15 ms each). A/B at sf0.1 local[32] was ambiguous — the
+# no-op floor improved (0.527 -> 0.461 s) but the full extract got
+# WORSE (0.916 -> 0.999 s): deferred garbage raises allocation pressure
+# inside real tasks. Not worth the risk for a wash; the zip fix above
+# is the whole win.
+
 from pyspark.worker import main  # noqa: E402,F401  (daemon entry point)
