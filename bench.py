@@ -38,7 +38,7 @@ def make_spark(cpus: str):
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName("jsoup_spark_bench")
-        .config("spark.python.worker.module", "jsoup_spark.spark_worker")
+        .config("spark.python.worker.module", "pyspark_worker_zipcache")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -24,7 +24,7 @@ def spark():
         SparkSession.builder
         .master("local[4]")
         .appName("jsoup_spark_tests")
-        .config("spark.python.worker.module", "jsoup_spark.spark_worker")
+        .config("spark.python.worker.module", "pyspark_worker_zipcache")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

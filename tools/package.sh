@@ -10,5 +10,5 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p dist
 rm -f dist/jsoup_spark.zip
-zip -qr dist/jsoup_spark.zip jsoup_spark -x '*__pycache__*'
+zip -qr dist/jsoup_spark.zip jsoup_spark pyspark_worker_zipcache.py -x '*__pycache__*'
 echo "built dist/jsoup_spark.zip ($(du -h dist/jsoup_spark.zip | cut -f1))"
