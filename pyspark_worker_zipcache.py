@@ -8,4 +8,9 @@ top-level name. All logic lives in jsoup_spark/spark_worker.py; this
 module only triggers its import side effects and re-exports ``main``.
 """
 
-from jsoup_spark.spark_worker import main  # noqa: F401
+try:
+    from jsoup_spark.spark_worker import main  # noqa: F401
+except Exception:  # pragma: no cover - degraded PYTHONPATH
+    # fail-soft: a worker daemon that can import THIS module but not the
+    # package must behave like the stock worker, not die
+    from pyspark.worker import main  # noqa: F401
