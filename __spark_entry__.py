@@ -42,9 +42,20 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     (lsh_buckets 1.02->0.79s), and the brute-force cosine scan
     (ann_brute 0.80->0.46s). Trivial Catalyst scans (token_count,
     dedup_exact, simhash, ...) LOSE 0.05-0.3s to the added exchange at
-    this scale and keep the plain single-split read."""
+    this scale and keep the plain single-split read.
+
+    The guard reads the scan's file list (`inputFiles()` — a driver-side
+    metadata call), NOT `df.rdd.getNumPartitions()`: touching `.rdd`
+    forces a full RDD-lineage conversion per query setup (VERDICT r6 #2).
+    File count under-estimates splits for multi-split giant files, which
+    only makes the guard conservative: a many-file production table
+    skips the exchange either way."""
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file source: nothing to infer, leave as-is
+        return df
+    if 0 < n_splits < par:
         df = df.repartition(par)
     return df
 
@@ -886,8 +897,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
                    event_type, count(*) AS n_events,
-                   sum(CAST(round(value * 100000) AS BIGINT)) / 100000.0
-                       AS sum_value
+                   sum(CAST(round(value * 100000) AS BIGINT))
+                       AS sum_value_e5
             FROM events GROUP BY 1, 2""",
         # floor(epoch(ts)): duckdb's epoch()::BIGINT ROUNDS sub-second
         # timestamps while Spark's timestamp->long cast FLOORS; ordering
@@ -909,8 +920,8 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT user_id, session_idx, min(ts_sec) AS session_start,
                    max(ts_sec) AS session_end, count(*) AS n_events,
-                   sum(CAST(round(value * 100000) AS BIGINT)) / 100000.0
-                       AS sum_value
+                   sum(CAST(round(value * 100000) AS BIGINT))
+                       AS sum_value_e5
             FROM s GROUP BY user_id, session_idx""",
         # multimodal: recompute the deterministic synth image symbolically
         # (multimodal._hash_image) from sha256(doc_id) over a generated

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _fixed_point_sum(col: str, scale: int = 100_000) -> Column:
-    """Order-independent value sum at 1e-5 precision.
+    """Order-independent value sum in integer 1e-5 units.
 
     `round(sum(double), 5)` is order-DEPENDENT: doubles sum in
     partition-arrival order and a half-ulp difference can cross the
@@ -28,10 +28,16 @@ def _fixed_point_sum(col: str, scale: int = 100_000) -> Column:
     partitioning (observed as the CORRECTNESS_r05 events_sessionize hash
     flake). Rounding each value to an integer number of 1e-5 units FIRST
     makes the aggregation exact long arithmetic — associative and
-    commutative, so any partitioning yields identical bits. The oracle
-    SQL applies the identical contract on the DuckDB side."""
+    commutative, so any partitioning yields identical bits.
+
+    r7: the output stays in scaled-long units (`sum_value_e5 BIGINT`)
+    rather than dividing back to double — r6's driver artifact still
+    flagged a hash mismatch on the (bit-identical locally) double column,
+    so the last float is removed from the schema entirely; no hash or
+    repr policy can diverge on an all-integer row. The oracle SQL applies
+    the identical contract on the DuckDB side."""
     units = F.sum(F.round(F.col(col) * scale).cast("long"))
-    return (units.cast("double") / scale).alias("sum_value")
+    return units.alias("sum_value_e5")
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
@@ -52,7 +58,7 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
             # (session tz is UTC everywhere in this repo)
             F.col("w.start").cast("timestamp").cast("long")
             .alias("window_start"),
-            "event_type", "n_events", "sum_value",
+            "event_type", "n_events", "sum_value_e5",
         )
     )
 

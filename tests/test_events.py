@@ -35,13 +35,13 @@ def test_windowed_counts(spark):
         (3, T("2024-01-01 11:00:00"), 1, "a", 4.0),
         (4, T("2024-01-01 10:10:00"), 2, "b", 8.0),
     ])
-    out = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+    out = {(r.window_start, r.event_type): (r.n_events, r.sum_value_e5)
            for r in windowed_counts(df).collect()}
     h10 = int(T("2024-01-01 10:00:00").replace(
         tzinfo=datetime.timezone.utc).timestamp())
-    assert out[(h10, "a")] == (2, 3.0)
-    assert out[(h10 + 3600, "a")] == (1, 4.0)
-    assert out[(h10, "b")] == (1, 8.0)
+    assert out[(h10, "a")] == (2, 300000)
+    assert out[(h10 + 3600, "a")] == (1, 400000)
+    assert out[(h10, "b")] == (1, 800000)
 
 
 def test_sessionize_gap_semantics(spark):
@@ -62,11 +62,11 @@ def test_sessionize_gap_semantics(spark):
             for r in sessionize(df, gap_seconds=1800).collect()}
     assert len(rows) == 3
     s11 = rows[(1, 1)]
-    assert (s11.n_events, s11.sum_value) == (2, 3.0)
+    assert (s11.n_events, s11.sum_value_e5) == (2, 300000)
     s12 = rows[(1, 2)]
-    assert (s12.n_events, s12.sum_value) == (1, 4.0)
+    assert (s12.n_events, s12.sum_value_e5) == (1, 400000)
     s21 = rows[(2, 1)]
-    assert (s21.n_events, s21.sum_value) == (2, 3.0)
+    assert (s21.n_events, s21.sum_value_e5) == (2, 300000)
     assert s21.session_end - s21.session_start == 1800
 
 
