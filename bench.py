@@ -249,21 +249,31 @@ def _has_taskset() -> bool:
     return which("taskset") is not None
 
 
+# Pinned scaling protocol (VERDICT r6 #6): the corpus grew ad hoc with the
+# engine each round (180 -> 360 -> 720), which made cross-round efficiency
+# numbers incomparable without archaeology. The protocol is now constants:
+#   * SCALING_REPLICATE=720 (3.6M docs at sf0.1) and SCALING_CORPUS_FILES=128
+#     (one clean multiple of both leg widths; 32 files would give the 4-core
+#     leg 8 waves but the 16-core leg only 2 — uneven tail weighting).
+#   * MIN_LEG_SEC=40: if the WIDE leg's median wall drops under this floor,
+#     fixed session costs (~1.5-2s scan/stage setup) exceed ~5% of the
+#     measurement and the run self-reports `leg_below_floor: true` — the
+#     signal to bump SCALING_REPLICATE (doubling it is the r4-r6 pattern)
+#     rather than to trust the number.
+# Env overrides remain for exploration, but an unannotated run is comparable
+# across rounds by construction.
+SCALING_REPLICATE = 720
+SCALING_CORPUS_FILES = 128
+MIN_LEG_SEC = 40.0
+
+
 def main_scaling() -> None:
-    # scaling runs use a larger corpus than the headline (900k docs as of
-    # round 4): each round's worker speedups shrink the wall at 16 cores
-    # until fixed session costs (scan/stage setup, ~1.5s) dominate and the
-    # measured efficiency reflects Amdahl overhead, not the pipeline. The
-    # corpus must grow with the engine so the 16-core leg stays >>10x the
-    # fixed cost — the north-rule jobs this models run for hours, not
-    # seconds. Exported via env so the pinned child JVMs see it.
+    # north-rule jobs run for hours; the legs must dwarf fixed session
+    # costs. Exported via env so the pinned child JVMs see it.
     if "SPARK_GRAFT_REPLICATE" not in os.environ:
-        # r5: 360 (1.8M docs). The r4 rule — the corpus must grow with the
-        # engine so the 16-core leg stays >>10x the ~1.5-2s fixed session
-        # cost — triggered again: r5 worker speedups pushed the 900k-doc
-        # 16-core wall to ~12s, where fixed costs alone cost ~0.1 of
-        # measured efficiency.
-        os.environ["SPARK_GRAFT_REPLICATE"] = "360"
+        os.environ["SPARK_GRAFT_REPLICATE"] = str(SCALING_REPLICATE)
+    if "SPARK_GRAFT_CORPUS_FILES" not in os.environ:
+        os.environ["SPARK_GRAFT_CORPUS_FILES"] = str(SCALING_CORPUS_FILES)
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     lo = child_throughput(str(n))
     hi = child_throughput(str(4 * n))
@@ -280,6 +290,12 @@ def main_scaling() -> None:
         "low": lo,
         "high": hi,
         "sf_dir": SF_DIR,
+        "protocol": {
+            "replicate": int(os.environ["SPARK_GRAFT_REPLICATE"]),
+            "corpus_files": int(os.environ["SPARK_GRAFT_CORPUS_FILES"]),
+            "min_leg_sec": MIN_LEG_SEC,
+        },
+        "leg_below_floor": hi["wall"] < MIN_LEG_SEC,
     }))
 
 

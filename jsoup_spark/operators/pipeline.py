@@ -419,29 +419,46 @@ def clean_stage(docs: DataFrame, safelist_name: str = "basic",
         raise ValueError(f"unknown safelist {safelist_name!r}")
     prepared = assemble_html(docs)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    # mapInArrow like extract/select: the columns are flat strings, so the
+    # win here is smaller than on the nested-struct stages, but skipping
+    # the arrow->pandas->arrow round trip still drops a copy of every html
+    # payload per batch (measured r7: see BENCH.md).
+    out_schema = pa.schema([
+        ("doc_id", pa.string()), ("clean_html", pa.string()),
+        ("clean_text", pa.string()), ("num_discarded", pa.int32()),
+    ])
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         sl = safelist_mod.PRESETS[safelist_name]()
         from ..clean.serializer import DEFAULT, OutputSettings
         settings = DEFAULT if pretty else OutputSettings(pretty=False)
-        for pdf in batches:
-            ids, htmls, texts, discarded = [], [], [], []
-            for doc_id, html, base_uri in zip(
-                    pdf["doc_id"], pdf["html"], pdf["base_uri"]):
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            doc_ids = batch.column(idx["doc_id"])
+            htmls = batch.column(idx["html"]).to_pylist()
+            base_uris = batch.column(idx["base_uri"]).to_pylist()
+            out_html: list = []
+            out_text: list = []
+            discarded: list = []
+            for html, base_uri in zip(htmls, base_uris):
                 doc = _parse_doc(html, base_uri)
                 result = clean_document(doc, sl)
                 body = result.doc.body
-                ids.append(doc_id)
-                htmls.append(inner_html(body, settings) if body is not None else "")
-                texts.append(body.text() if body is not None else "")
+                out_html.append(
+                    inner_html(body, settings) if body is not None else "")
+                out_text.append(body.text() if body is not None else "")
                 discarded.append(result.num_discarded)
-            yield pd.DataFrame({
-                "doc_id": ids,
-                "clean_html": htmls,
-                "clean_text": texts,
-                "num_discarded": pd.array(discarded, dtype="int32"),
-            })
+            yield pa.RecordBatch.from_arrays([
+                doc_ids.cast(pa.string()) if doc_ids.type != pa.string()
+                else doc_ids,
+                pa.array(out_html, pa.string()),
+                pa.array(out_text, pa.string()),
+                pa.array(discarded, pa.int32()),
+            ], schema=out_schema)
 
-    return prepared.mapInPandas(run, schema=schemas.CLEAN_OUT)
+    return prepared.mapInArrow(run, schema=schemas.CLEAN_OUT)
 
 
 # ---------------------------------------------------------------- helpers
