@@ -461,11 +461,29 @@ class HtmlTreeBuilder:
             self.current_token = token
             process(token)
             if ready:
+                # sticky SeenSelfClose at yield time: the reference's shared
+                # Tag instance (Tag.java:337) means an element yielded NOW
+                # shows the flag if any same-(name, ns) element self-closed
+                # EARLIER in the parse (e.g. a descendant) — mirror that with
+                # a set lookup against the sticky names recorded so far.
+                sticky = self.sticky_sc
+                if sticky:
+                    for el in ready:
+                        if (el.tag_name_case, el.ns) in sticky:
+                            el.flags |= tags.SEEN_SELF_CLOSE
                 yield from ready
                 ready.clear()
             if token.type == tz.T_EOF:
                 break
         self.on_close = None
+        # retro-apply the (now final) sticky set to everything still in the
+        # tree BEFORE the EOF drain, so implicitly-closed elements and the
+        # document yield with reference-equal flags. Residual divergence:
+        # elements pruned/detached before a LATER same-name self-close and
+        # serialized after EOF keep their per-element flag (the reference's
+        # shared Tag would show ` />`) — documented, serialization-only
+        # (test_streamparser.py::test_sticky_self_close_pruned_contract).
+        self._apply_sticky_sc((self.doc,))
         while self.stack:  # EOF drain: implicit closes, innermost first
             yield self.stack.pop()
         yield self.doc  # the reference emits #root last (canStream order)
