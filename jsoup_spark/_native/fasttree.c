@@ -484,7 +484,8 @@ configure_prelude(PyObject *self, PyObject *args)
 #ifdef FT_PROF
 #include <x86intrin.h>
 enum { PB_FINALIZE, PB_MAKE, PB_APPEND, PB_TEXT, PB_RECON, PB_WALKS,
-       PB_FUSE, PB_HEAD, PB_TOTAL, PB_N };
+       PB_FUSE, PB_HEAD, PB_TOTAL,
+       PB_SB, PB_EB, PB_CB, PB_NEXT, PB_ENTRY, PB_N };
 static unsigned long long g_prof[PB_N];
 static unsigned long long g_prof_calls[PB_N];
 #define PROF_DECL unsigned long long _pt0
@@ -495,7 +496,8 @@ prof_stats(PyObject *self, PyObject *args)
 {
     static const char *names[PB_N] = {
         "finalize_attrs", "make_element", "append_child", "insert_text",
-        "reconstruct", "walks", "fuse_text", "head_phase", "apply_total"};
+        "reconstruct", "walks", "fuse_text", "head_phase", "apply_total",
+        "start_block", "end_block", "char_block", "next_token", "entry"};
     PyObject *d = PyDict_New();
     for (int i = 0; i < PB_N; i++) {
         PyObject *t = Py_BuildValue("(KK)", g_prof[i], g_prof_calls[i]);
@@ -985,17 +987,17 @@ insert_text(Ctx *c, PyObject *data)
 static PyObject *
 finalize_attrs(Ctx *c, PyObject *attrs)
 {
-    PyObject *out = PyDict_New();
-    if (out == NULL)
-        return NULL;
     if (attrs == NULL || attrs == Py_None)
-        return out;
+        return PyDict_New();
     int is_list = PyList_Check(attrs);
     Py_ssize_t n = is_list ? PyList_GET_SIZE(attrs) : PySequence_Size(attrs);
-    if (n < 0) {
-        Py_DECREF(out);
+    if (n < 0)
         return NULL;
-    }
+    /* presize for the attr count: skips the 0->8 grow on 1-2 attr tags
+     * (first-wins dupes only over-reserve) */
+    PyObject *out = n > 0 ? _PyDict_NewPresized(n) : PyDict_New();
+    if (out == NULL)
+        return NULL;
     long dupes = 0;
     for (Py_ssize_t i = 0; i < n; i++) {
         PyObject *k, *v;
@@ -1045,23 +1047,47 @@ finalize_attrs(Ctx *c, PyObject *attrs)
                 return NULL;
             }
         }
-        int has = PyDict_Contains(out, key);
-        if (has < 0) {
+        /* first-wins in ONE hash probe: SetDefault inserts only when the
+         * key is absent; an unchanged dict size means a duplicate. (A
+         * pointer compare on the returned value would miss dupes whose
+         * value object is shared, e.g. interned empty strings.) */
+        Py_ssize_t before = PyDict_GET_SIZE(out);
+        if (PyDict_SetDefault(out, key, v) == NULL) {
             Py_DECREF(key); Py_DECREF(v); Py_DECREF(out);
             return NULL;
         }
-        if (has) {
+        if (PyDict_GET_SIZE(out) == before)
             dupes++;
-        } else if (PyDict_SetItem(out, key, v) < 0) {
-            Py_DECREF(key); Py_DECREF(v); Py_DECREF(out);
-            return NULL;
-        }
         Py_DECREF(key);
         Py_DECREF(v);
     }
     if (dupes)
         err(c, g_err_dup_attrs);
     return out;
+}
+
+/* Element flags are dense small combos of the tags.py bit constants
+ * (max < 2048), but CPython's small-int cache stops at 256 — so common
+ * tags like div (KNOWN|BLOCK|TEXT_BOUNDARY = 1029) paid a PyLong
+ * alloc + dealloc per element. Lazily-filled immortal cache instead. */
+#define FLAG_CACHE_N 2048
+static PyObject *g_flag_longs[FLAG_CACHE_N];
+
+static PyObject *            /* new ref */
+flags_long(long flags)
+{
+    if (flags >= 0 && flags < FLAG_CACHE_N) {
+        PyObject *v = g_flag_longs[flags];
+        if (v == NULL) {
+            v = PyLong_FromLong(flags);
+            if (v == NULL)
+                return NULL;
+            g_flag_longs[flags] = v;   /* cache keeps one immortal ref */
+        }
+        Py_INCREF(v);
+        return v;
+    }
+    return PyLong_FromLong(flags);
 }
 
 /* Element without __init__ frames: name/ns/attrs/children/flags/
@@ -1073,7 +1099,7 @@ make_element(PyObject *normal, long flags, PyObject *attrs_dict)
     if (el == NULL)
         return NULL;
     PyObject *children = PyList_New(0);
-    PyObject *flags_o = PyLong_FromLong(flags);
+    PyObject *flags_o = flags_long(flags);
     if (children == NULL || flags_o == NULL)
         goto fail;
     if (g_slots_ok && Py_TYPE(el) == (PyTypeObject *)g_element) {
@@ -1804,11 +1830,113 @@ head_phase(Ctx *c, PyObject *tb, PyObject *token, long ttype, long *state)
  * apply(tb, token, q) -> leftover token (new ref) or None if everything
  * (token + all queued tokens) was consumed. On the FIRST token it cannot
  * handle, returns that token for the Python dispatcher. */
+/* ---- pump-lite: C-side queue refill (trusted callers only) ----------
+ * Without this, apply() returns to Python whenever the token queue
+ * drains, and treebuilder._run pays a full loop iteration + gate check +
+ * apply re-entry (entry validation, ctx setup) per tokenizer batch
+ * (~3-4 per typical document). Here apply refills the queue itself by
+ * running the SAME state functions with the SAME chars-first protocol as
+ * _run's inner loop (`while not q: states[tok.state](tok)`, then flush
+ * coalesced chars before popping), so one apply call usually covers the
+ * whole document. Enabled only when configure_pump ran and the caller
+ * passed trusted=1 (the gates _run checks are known inactive). */
+static PyObject *g_states = NULL;       /* tz._STATES */
+static PyObject *g_character = NULL;    /* tz.Character */
+static PyObject *s_tk_state = NULL, *s_tk_chars = NULL,
+    *s_tk_crs = NULL, *s_tk_ce = NULL, *s_start_pos = NULL,
+    *s_end_pos = NULL;
+static PyObject *g_empty_u = NULL;
+
+static PyObject *
+configure_pump(PyObject *self, PyObject *args)
+{
+    PyObject *states, *character;
+    if (!PyArg_ParseTuple(args, "OO", &states, &character))
+        return NULL;
+    if (!PyList_Check(states)) {
+        PyErr_SetString(PyExc_TypeError, "states must be a list");
+        return NULL;
+    }
+    Py_XDECREF(g_states); Py_INCREF(states); g_states = states;
+    Py_XDECREF(g_character); Py_INCREF(character); g_character = character;
+    if (s_tk_state == NULL) {
+        s_tk_state = PyUnicode_InternFromString("state");
+        s_tk_chars = PyUnicode_InternFromString("_chars");
+        s_tk_crs = PyUnicode_InternFromString("char_run_start");
+        s_tk_ce = PyUnicode_InternFromString("char_end");
+        s_start_pos = PyUnicode_InternFromString("start_pos");
+        s_end_pos = PyUnicode_InternFromString("end_pos");
+        g_empty_u = PyUnicode_InternFromString("");
+        if (g_empty_u == NULL)
+            return NULL;
+    }
+    Py_RETURN_NONE;
+}
+
+/* next token after a queue drain: run state functions until the queue
+ * refills, then flush coalesced chars first (byte-for-byte the _run
+ * protocol). Returns new ref, NULL on error. */
+static PyObject *
+pump_next(PyObject *tok_o, PyObject *q, PyObject *popleft)
+{
+    PyObject *chars = PyObject_GetAttr(tok_o, s_tk_chars);
+    if (chars == NULL)
+        return NULL;
+    if (!PyList_Check(chars)) {
+        Py_DECREF(chars);
+        PyErr_SetString(PyExc_TypeError, "tokenizer _chars is not a list");
+        return NULL;
+    }
+    Py_ssize_t qn = PyObject_Length(q);
+    if (qn < 0) { Py_DECREF(chars); return NULL; }
+    while (qn == 0) {
+        PyObject *st = PyObject_GetAttr(tok_o, s_tk_state);
+        if (st == NULL) { Py_DECREF(chars); return NULL; }
+        long sv = PyLong_AsLong(st);
+        Py_DECREF(st);
+        if (sv < 0 || sv >= PyList_GET_SIZE(g_states)) {
+            if (!PyErr_Occurred())
+                PyErr_SetString(PyExc_IndexError, "bad tokenizer state");
+            Py_DECREF(chars);
+            return NULL;
+        }
+        PyObject *r = PyObject_CallOneArg(PyList_GET_ITEM(g_states, sv),
+                                          tok_o);
+        if (r == NULL) { Py_DECREF(chars); return NULL; }
+        Py_DECREF(r);
+        qn = PyObject_Length(q);
+        if (qn < 0) { Py_DECREF(chars); return NULL; }
+    }
+    if (PyList_GET_SIZE(chars) > 0) {
+        PyObject *data = PyUnicode_Join(g_empty_u, chars);
+        if (data == NULL) { Py_DECREF(chars); return NULL; }
+        PyObject *ctok = PyObject_CallOneArg(g_character, data);
+        Py_DECREF(data);
+        if (ctok == NULL) { Py_DECREF(chars); return NULL; }
+        PyObject *crs = PyObject_GetAttr(tok_o, s_tk_crs);
+        PyObject *ce = crs ? PyObject_GetAttr(tok_o, s_tk_ce) : NULL;
+        int rc = (ce != NULL &&
+                  PyObject_SetAttr(ctok, s_start_pos, crs) == 0 &&
+                  PyObject_SetAttr(ctok, s_end_pos, ce) == 0) ? 0 : -1;
+        Py_XDECREF(crs); Py_XDECREF(ce);
+        if (rc < 0 ||
+            PyList_SetSlice(chars, 0, PyList_GET_SIZE(chars), NULL) < 0) {
+            Py_DECREF(ctok); Py_DECREF(chars);
+            return NULL;
+        }
+        Py_DECREF(chars);
+        return ctok;
+    }
+    Py_DECREF(chars);
+    return PyObject_CallNoArgs(popleft);
+}
+
 static PyObject *
 apply(PyObject *self, PyObject *args)
 {
     PyObject *tb, *token, *q;
-    if (!PyArg_ParseTuple(args, "OOO", &tb, &token, &q))
+    int trusted = 0;
+    if (!PyArg_ParseTuple(args, "OOO|i", &tb, &token, &q, &trusted))
         return NULL;
     if (g_actions == NULL) {
         PyErr_SetString(PyExc_RuntimeError, "fasttree not configured");
@@ -1819,8 +1947,12 @@ apply(PyObject *self, PyObject *args)
     c.tb = tb;
     c.frameset_dirty = 0;
     PyObject *popleft = NULL;
+    PyObject *tok_o = NULL;   /* lazy tb.tok, fetched at first pump refill */
     PROF_DECL;
     PROF_BEGIN();
+#ifdef FT_PROF
+    unsigned long long _et0 = __rdtsc();  /* entry-validation window */
+#endif
 
     /* ---- entry validation (cheap attr reads; bail = return token) ---- */
     PyObject *tmp;
@@ -1837,24 +1969,32 @@ apply(PyObject *self, PyObject *args)
           (state == g_initial || state == g_before_html ||
            state == g_after_body || state == g_after_after_body)))
         goto bail_entry;
-    GETA(s_noscript);
-    int ok = (tmp == Py_None);
-    Py_DECREF(tmp);
-    if (!ok) goto bail_entry;
-    GETA(s_track);
-    ok = !PyObject_IsTrue(tmp);
-    Py_DECREF(tmp);
-    if (!ok) goto bail_entry;
-    GETA(s_on_close);
-    ok = (tmp == Py_None);
-    Py_DECREF(tmp);
-    if (!ok) goto bail_entry;
+    /* trusted=1: the caller (treebuilder._run) has ALREADY gated on
+     * noscript/track/on_close/tagset being inactive this iteration —
+     * skip re-reading them (4 GetAttrs per apply call; foster changes
+     * inside table handling the Python caller doesn't gate on, so it is
+     * always re-checked). */
+    int ok;
+    if (!trusted) {
+        GETA(s_noscript);
+        ok = (tmp == Py_None);
+        Py_DECREF(tmp);
+        if (!ok) goto bail_entry;
+        GETA(s_track);
+        ok = !PyObject_IsTrue(tmp);
+        Py_DECREF(tmp);
+        if (!ok) goto bail_entry;
+        GETA(s_on_close);
+        ok = (tmp == Py_None);
+        Py_DECREF(tmp);
+        if (!ok) goto bail_entry;
+        GETA(s_tagset);
+        ok = (tmp == Py_None);
+        Py_DECREF(tmp);
+        if (!ok) goto bail_entry;
+    }
     GETA(s_foster);
     ok = !PyObject_IsTrue(tmp);
-    Py_DECREF(tmp);
-    if (!ok) goto bail_entry;
-    GETA(s_tagset);
-    ok = (tmp == Py_None);
     Py_DECREF(tmp);
     if (!ok) goto bail_entry;
 #undef GETA
@@ -1904,6 +2044,11 @@ apply(PyObject *self, PyObject *args)
     if (popleft == NULL)
         goto error_ctx;
     Py_INCREF(token);
+#ifdef FT_PROF
+    g_prof[PB_ENTRY] += __rdtsc() - _et0;
+    g_prof_calls[PB_ENTRY]++;
+    unsigned long long _lt0 = __rdtsc();
+#endif
     for (;;) {
     reprocess_token:;
         long ttype = tok_type(token);
@@ -2556,17 +2701,49 @@ apply(PyObject *self, PyObject *args)
         }
 
     next_token:
+#ifdef FT_PROF
+        {
+            unsigned long long _now = __rdtsc();
+            int _b = ttype == TOK_START ? PB_SB
+                   : ttype == TOK_END ? PB_EB
+                   : ttype == TOK_CHAR ? PB_CB : PB_NEXT;
+            g_prof[_b] += _now - _lt0;
+            g_prof_calls[_b]++;
+            _lt0 = _now;
+        }
+#endif
         Py_DECREF(token);
+        token = NULL;
         /* next from q (a deque): bound popleft cached per apply call;
-         * IndexError == empty == done (saves a per-token bool probe +
-         * method lookup) */
+         * IndexError == empty (saves a per-token bool probe + method
+         * lookup). On empty: pump-refill when trusted, else return to
+         * the Python loop. */
         token = PyObject_CallNoArgs(popleft);
         if (token == NULL) {
             if (!PyErr_ExceptionMatches(PyExc_IndexError))
                 goto error_ctx;
             PyErr_Clear();
-            break;
+            if (trusted && g_states != NULL) {
+                if (tok_o == NULL) {
+                    tok_o = PyObject_GetAttr(tb, s_tok);
+                    if (tok_o == NULL)
+                        goto error_ctx;
+                }
+                token = pump_next(tok_o, q, popleft);
+                if (token == NULL)
+                    goto error_ctx;
+            } else {
+                break;
+            }
         }
+#ifdef FT_PROF
+        {
+            unsigned long long _now = __rdtsc();
+            g_prof[PB_NEXT] += _now - _lt0;
+            g_prof_calls[PB_NEXT]++;
+            _lt0 = _now;
+        }
+#endif
     }
 
     /* ---- success exit: write back frameset_ok + state ---- */
@@ -2583,6 +2760,7 @@ apply(PyObject *self, PyObject *args)
                          c.frameset_ok ? Py_True : Py_False) < 0)
         goto error_ctx;
     Py_DECREF(popleft);
+    Py_XDECREF(tok_o);
     Py_DECREF(c.stack); Py_DECREF(c.doc);
     Py_DECREF(c.formatting); Py_DECREF(c.errors);
     PROF_END(PB_TOTAL);
@@ -2604,6 +2782,7 @@ bail_tok:
                          c.frameset_ok ? Py_True : Py_False) < 0)
         goto error_ctx;
     Py_XDECREF(popleft);
+    Py_XDECREF(tok_o);
     Py_DECREF(c.stack); Py_DECREF(c.doc);
     Py_DECREF(c.formatting); Py_DECREF(c.errors);
     return token; /* owned; leftover for python */
@@ -2623,6 +2802,7 @@ error_tok:
     Py_XDECREF(token);
 error_ctx:
     Py_XDECREF(popleft);
+    Py_XDECREF(tok_o);
     Py_XDECREF(c.stack); Py_XDECREF(c.doc);
     Py_XDECREF(c.formatting); Py_XDECREF(c.errors);
     return NULL;
@@ -3392,6 +3572,8 @@ static PyMethodDef methods[] = {
     #ifdef FT_PROF
     {"prof_stats", prof_stats, METH_NOARGS, "profiler buckets"},
 #endif
+    {"configure_pump", configure_pump, METH_VARARGS,
+     "set tokenizer state table + Character class for C-side refill"},
     {"configure_tokens", configure_tokens, METH_VARARGS,
      "resolve FastToken member offsets"},
     {"configure_prelude", configure_prelude, METH_VARARGS,

@@ -553,6 +553,13 @@ class HtmlTreeBuilder:
         popleft = q.popleft
         T_EOF = tz.T_EOF
         Character = tz.Character
+        # hoisted _FT gate: track/on_close/tagset/settings are fixed for
+        # the duration of one parse (noscript + state change mid-parse and
+        # stay per-iteration). ft_ok=True also lets the C side skip
+        # re-validating these (trusted=1).
+        ft_ok = (_FT is not None and not self.track
+                 and self.on_close is None and self.tagset is None
+                 and self.settings is None)
         while True:
             while not q:
                 states[tok.state](tok)
@@ -563,11 +570,9 @@ class HtmlTreeBuilder:
                 chars.clear()
             else:
                 token = popleft()
-            if _FT is not None and self.state in _FT_STATES \
-                    and self.noscript is None and not self.track \
-                    and self.on_close is None and self.tagset is None \
-                    and self.settings is None:
-                token = _FT.apply(self, token, q)
+            if ft_ok and self.state in _FT_STATES \
+                    and self.noscript is None:
+                token = _FT.apply(self, token, q, 1)
                 if token is None:
                     continue
             self.current_token = token
@@ -2872,6 +2877,10 @@ if _FT is not None:
             from . import tokenizer as _tz_mod
             if _tz_mod._C is not None:
                 _FT.configure_tokens(_tz_mod._C.FastToken)
+        if hasattr(_FT, "configure_pump"):
+            # C-side queue refill (pump-lite): one apply() call usually
+            # covers a whole document instead of one per tokenizer batch
+            _FT.configure_pump(tz._STATES, tz.Character)
         if hasattr(_FT, "configure_prelude"):
             _FT.configure_prelude(
                 C_END_OTHER_ERRORS,
