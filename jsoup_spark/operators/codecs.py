@@ -8,14 +8,17 @@ Real decoders for the formats that need no external codec library:
 * PPM/PGM — binary netpbm (P5/P6), maxval <= 255.
 * JPEG — baseline sequential DCT (SOF0): Huffman entropy decode,
          dequantize, float IDCT, 4:4:4/4:2:2/4:4:0/4:2:0 sampling with
-         nearest chroma upsampling, restart markers.
+         nearest chroma upsampling, restart markers; progressive (SOF2)
+         via the multi-scan decoder below.
+* WebP — lossless VP8L: all four transforms, meta prefix groups, color
+         cache, LZ77 with the 2D distance mapping (decode_webp below).
 * WAV  — stdlib `wave` (PCM 8/16/32-bit), samples as float32 in [-1, 1].
 
-Formats that require external codecs (progressive/arithmetic JPEG,
-WebP, MP3, H.264, ...) remain stubbed in operators/multimodal.py per
-the environment contract — decode raises ValueError / `sniff_format`
-returns None and the caller decides (fake-decode for plumbing tests,
-NotImplementedError otherwise).
+Formats that require external codecs (lossy VP8 WebP, arithmetic /
+lossless-process JPEG, MP3, H.264, ...) remain stubbed in
+operators/multimodal.py per the environment contract — decode raises
+ValueError / `sniff_format` returns None and the caller decides
+(fake-decode for plumbing tests, NotImplementedError otherwise).
 
 Encoders for the same formats (PNG filter-0, BMP 24-bit, P6, baseline
 JPEG 4:4:4 or 4:2:0 with Annex K tables, PCM16 WAV) exist so tests and
@@ -47,6 +50,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        return "webp"
     if payload.startswith(b"\xff\xd8"):
         return "jpeg"
     return None
@@ -1130,3 +1135,866 @@ def resize_area(img: np.ndarray, max_side: int) -> np.ndarray:
                            minlength=nh * nw)
         out[:, c] = sums / np.maximum(counts, 1)
     return np.rint(out).astype(np.uint8).reshape(nh, nw, ch)
+
+
+# ------------------------------------------------------------ WebP (VP8L)
+# Lossless WebP decoder, built from the public VP8L bitstream spec
+# (RFC 9649 "WebP Image Format", section 3 "Specification for WebP
+# Lossless Bitstream"). No reference-repo counterpart (jsoup has no image
+# codecs); this lives in the multimodal stub-tier shrink plan (SURVEY §6).
+# Covers the full lossless feature set: all four transforms (predictor,
+# color, subtract-green, color-indexing incl. sub-byte pixel packing),
+# meta-prefix-code groups, color cache, and LZ77 backward references with
+# the 2D distance mapping. Lossy VP8 still needs an external codec and
+# raises ValueError (-> multimodal stub tier).
+#
+# The matching encoder below emits spec-conformant VP8L (flat prefix
+# codes; every decoder feature reachable via knobs) so tests round-trip
+# REAL bitstreams pixel-exactly with zero fixtures on disk — the same
+# strategy as encode_png/encode_jpeg above.
+
+
+class _LsbBitReader:
+    """VP8L bit reader: bytes are consumed in order, bits LSB-first."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        data, pos, bit = self.data, self.pos, self.bit
+        for i in range(n):
+            if pos >= len(data):
+                raise ValueError("VP8L: truncated bitstream")
+            v |= ((data[pos] >> bit) & 1) << i
+            bit += 1
+            if bit == 8:
+                bit = 0
+                pos += 1
+        self.pos, self.bit = pos, bit
+        return v
+
+    def read1(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("VP8L: truncated bitstream")
+        v = (self.data[self.pos] >> self.bit) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+
+class _Canonical:
+    """Canonical prefix code from code lengths (DEFLATE-style canonical
+    assignment; stream bits arrive with the MSB of each code first)."""
+
+    __slots__ = ("single", "maxlen", "count", "base", "syms")
+
+    def __init__(self, lengths):
+        used = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if not used:
+            raise ValueError("VP8L: empty prefix code")
+        if len(used) == 1:
+            self.single = used[0][1]
+            return
+        self.single = None
+        self.maxlen = max(l for l, _ in used)
+        self.count = [0] * (self.maxlen + 1)
+        for l, _ in used:
+            self.count[l] += 1
+        kraft = sum(c << (self.maxlen - l)
+                    for l, c in enumerate(self.count) if l)
+        if kraft > (1 << self.maxlen):
+            raise ValueError("VP8L: over-subscribed prefix code")
+        self.base = [0] * (self.maxlen + 1)
+        code = 0
+        for l in range(1, self.maxlen + 1):
+            code = (code + self.count[l - 1]) << 1
+            self.base[l] = code
+        used.sort()
+        self.syms = [[] for _ in range(self.maxlen + 1)]
+        for l, s in used:
+            self.syms[l].append(s)
+
+    def decode(self, br: _LsbBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        acc = 0
+        for l in range(1, self.maxlen + 1):
+            acc = (acc << 1) | br.read1()
+            idx = acc - self.base[l]
+            if 0 <= idx < self.count[l]:
+                return self.syms[l][idx]
+        raise ValueError("VP8L: invalid prefix code word")
+
+
+#: code-length alphabet transmission order (spec 3.7.2.2)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8,
+                  9, 10, 11, 12, 13, 14, 15, 16)
+
+
+def _vp8l_read_code(br: _LsbBitReader, alphabet: int) -> _Canonical:
+    """Read one prefix code (spec 3.7.2: simple length or normal)."""
+    if br.read1():  # simple
+        num = br.read1() + 1
+        first_8bit = br.read1()
+        s0 = br.read(8 if first_8bit else 1)
+        lengths = [0] * alphabet
+        if num == 1:
+            if s0 >= alphabet:
+                raise ValueError("VP8L: simple-code symbol out of range")
+            lengths[s0] = 1
+            c = _Canonical(lengths)
+            c.single = s0  # 1-symbol code consumes no bits
+            return c
+        s1 = br.read(8)
+        if s0 >= alphabet or s1 >= alphabet or s0 == s1:
+            raise ValueError("VP8L: bad simple code symbols")
+        lengths[s0] = lengths[s1] = 1
+        return _Canonical(lengths)
+    ncodes = br.read(4) + 4
+    if ncodes > len(_VP8L_CL_ORDER):
+        raise ValueError("VP8L: bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(ncodes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl = _Canonical(cl_lengths)
+    if br.read1():  # explicit max symbol count
+        len_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(len_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        c = cl.decode(br)
+        if c < 16:
+            lengths[sym] = c
+            sym += 1
+            if c:
+                prev = c
+        elif c == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if sym >= alphabet:
+                    raise ValueError("VP8L: code-length repeat overflow")
+                lengths[sym] = prev
+                sym += 1
+        elif c == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+        if sym > alphabet:
+            raise ValueError("VP8L: code-length repeat overflow")
+    return _Canonical(lengths)
+
+
+def _vp8l_prefix_value(code: int, br: _LsbBitReader) -> int:
+    """LZ77 length/distance prefix decoding (spec 3.6.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_distance_map():
+    """Codes 1..120 -> 2D neighbor offsets, ordered by squared distance,
+    ties broken larger-dy-first then positive-dx-first (reproduces the
+    spec table in 3.6.2.3)."""
+    cands = [(dx, 0) for dx in range(1, 9)]
+    cands += [(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1],
+                              0 if p[0] > 0 else 1))
+    return cands
+
+
+_VP8L_DIST = _vp8l_distance_map()
+assert _VP8L_DIST[:12] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                           (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2)]
+
+
+def _vp8l_decode_image(br: _LsbBitReader, w: int, h: int,
+                       is_main: bool) -> np.ndarray:
+    """Decode one (possibly entropy-sub-) image to uint32 ARGB pixels of
+    shape (h, w). Transforms are read/applied only for the main image."""
+    transforms = []
+    xsize = w
+    if is_main:
+        seen = set()
+        while br.read1():
+            ttype = br.read(2)
+            if ttype in seen or len(transforms) == 4:
+                raise ValueError("VP8L: duplicate transform")
+            seen.add(ttype)
+            if ttype == 0 or ttype == 1:  # predictor / color
+                sbits = br.read(3) + 2
+                tw = (xsize + (1 << sbits) - 1) >> sbits
+                th = (h + (1 << sbits) - 1) >> sbits
+                sub = _vp8l_decode_image(br, tw, th, False)
+                transforms.append((ttype, sbits, sub))
+            elif ttype == 2:  # subtract green
+                transforms.append((2, None, None))
+            else:  # 3: color indexing
+                n = br.read(8) + 1
+                pal = _vp8l_decode_image(br, n, 1, False)[0]
+                # palette entries are component-wise deltas
+                out = np.zeros(n, np.uint32)
+                prev = 0
+                for i in range(n):
+                    p = int(pal[i])
+                    cur = ((((prev >> 24) + (p >> 24)) & 0xFF) << 24
+                           | (((prev >> 16) + (p >> 16)) & 0xFF) << 16
+                           | (((prev >> 8) + (p >> 8)) & 0xFF) << 8
+                           | ((prev + p) & 0xFF))
+                    out[i] = cur
+                    prev = cur
+                wbits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+                transforms.append((3, (wbits, n, w), out))
+                if wbits:
+                    xsize = (xsize + (1 << wbits) - 1) >> wbits
+
+    # ---- entropy-coded pixels (spec 3.7) ----
+    cache_bits = br.read(4) if br.read1() else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError("VP8L: bad color-cache size")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    hbits = 0
+    entropy_img = None
+    ngroups = 1
+    if is_main and br.read1():
+        hbits = br.read(3) + 2
+        ew = (xsize + (1 << hbits) - 1) >> hbits
+        eh = (h + (1 << hbits) - 1) >> hbits
+        entropy_img = _vp8l_decode_image(br, ew, eh, False)
+        ngroups = int(((entropy_img >> 8) & 0xFFFF).max()) + 1
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(ngroups):
+        groups.append((
+            _vp8l_read_code(br, green_alpha),   # green+len+cache
+            _vp8l_read_code(br, 256),           # red
+            _vp8l_read_code(br, 256),           # blue
+            _vp8l_read_code(br, 256),           # alpha
+            _vp8l_read_code(br, 40),            # distance
+        ))
+
+    npix = xsize * h
+    pix = np.zeros(npix, np.uint32)
+    pos = 0
+    group = groups[0]
+    while pos < npix:
+        if entropy_img is not None:
+            x, y = pos % xsize, pos // xsize
+            ew = entropy_img.shape[1]
+            m = int(entropy_img[y >> hbits, x >> hbits])
+            group = groups[(m >> 8) & 0xFFFF]
+        g_code, r_code, b_code, a_code, d_code = group
+        s = g_code.decode(br)
+        if s < 256:  # literal
+            r = r_code.decode(br)
+            b = b_code.decode(br)
+            a = a_code.decode(br)
+            p = (a << 24) | (r << 16) | (s << 8) | b
+            pix[pos] = p
+            pos += 1
+            if cache is not None:
+                cache[(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_prefix_value(s - 256, br)
+            dcode = _vp8l_prefix_value(d_code.decode(br), br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST[dcode - 1]
+                dist = dy * xsize + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > npix:
+                raise ValueError("VP8L: bad backward reference")
+            for _ in range(length):
+                p = int(pix[pos - dist])
+                pix[pos] = p
+                pos += 1
+                if cache is not None:
+                    cache[(0x1E35A7BD * p & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = p
+        else:  # color-cache hit
+            if cache is None:
+                raise ValueError("VP8L: cache symbol without cache")
+            pix[pos] = cache[s - 280]
+            pos += 1
+    img = pix.reshape(h, xsize)
+
+    # ---- inverse transforms, reverse read order (spec 3.5) ----
+    for ttype, meta, data in reversed(transforms):
+        if ttype == 2:  # add green
+            g = (img >> 8) & 0xFF
+            r = ((img >> 16) + g) & 0xFF
+            b = (img + g) & 0xFF
+            img = (img & np.uint32(0xFF00FF00)) | (r << 16) | b
+        elif ttype == 3:  # color indexing: unpack + palette lookup
+            wbits, n, full_w = meta
+            if wbits:
+                bpp = 8 >> wbits
+                mask = (1 << bpp) - 1
+                xs = np.arange(full_w)
+                unit = (img[:, xs >> wbits] >> 8) & 0xFF
+                idx = (unit >> ((xs & ((1 << wbits) - 1)) * bpp)) & mask
+            else:
+                idx = (img >> 8) & 0xFF
+            lut = np.zeros(256, np.uint32)
+            lut[:n] = data
+            img = lut[np.minimum(idx, 255)]
+        elif ttype == 1:  # color transform
+            sbits, sub = meta, data
+            img = _vp8l_inv_color(img, sub, sbits)
+        else:  # predictor
+            sbits, sub = meta, data
+            img = _vp8l_inv_predictor(img, sub, sbits)
+    return img
+
+
+def _vp8l_inv_color(img: np.ndarray, sub: np.ndarray, sbits: int):
+    """Inverse color transform (spec 3.5.2): per-tile signed cross-channel
+    deltas, red first, then blue using the restored red."""
+    h, w = img.shape
+    ys = np.arange(h) >> sbits
+    xs = np.arange(w) >> sbits
+    cte = sub[ys][:, xs]
+    g2r = ((cte >> 16) & 0xFF).astype(np.int32)
+    g2b = ((cte >> 8) & 0xFF).astype(np.int32)
+    r2b = (cte & 0xFF).astype(np.int32)
+    for v in (g2r, g2b, r2b):
+        v[v > 127] -= 256  # int8 semantics
+    g = ((img >> 8) & 0xFF).astype(np.int32)
+    g[g > 127] -= 256
+    r = ((img >> 16) & 0xFF).astype(np.int32)
+    b = (img & 0xFF).astype(np.int32)
+    r = (r + ((g2r * g) >> 5)) & 0xFF
+    rs = r.copy()
+    rs[rs > 127] -= 256
+    b = (b + ((g2b * g) >> 5) + ((r2b * rs) >> 5)) & 0xFF
+    return ((img & np.uint32(0xFF00FF00))
+            | (r.astype(np.uint32) << 16) | b.astype(np.uint32))
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return ((((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)) & 0xFFFFFFFF
+
+
+def _vp8l_inv_predictor(img: np.ndarray, sub: np.ndarray, sbits: int):
+    """Inverse predictor transform (spec 3.5.1): 14 modes, per-channel
+    modular addition of the residual to the prediction."""
+    h, w = img.shape
+    out = img.copy()
+    modes = ((sub >> 8) & 0xFF).astype(np.int32)
+    for y in range(h):
+        row_modes = modes[y >> sbits]
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                m = int(row_modes[x >> sbits])
+                L = int(out[y, x - 1])
+                T = int(out[y - 1, x])
+                TL = int(out[y - 1, x - 1])
+                # TR at the right edge wraps in the LINEAR pixel buffer:
+                # one past the top row's end is the CURRENT row's first
+                # (already-decoded) pixel
+                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
+                if m == 0:
+                    pred = 0xFF000000
+                elif m == 1:
+                    pred = L
+                elif m == 2:
+                    pred = T
+                elif m == 3:
+                    pred = TR
+                elif m == 4:
+                    pred = TL
+                elif m == 5:
+                    pred = _vp8l_avg2(_vp8l_avg2(L, TR), T)
+                elif m == 6:
+                    pred = _vp8l_avg2(L, TL)
+                elif m == 7:
+                    pred = _vp8l_avg2(L, T)
+                elif m == 8:
+                    pred = _vp8l_avg2(TL, T)
+                elif m == 9:
+                    pred = _vp8l_avg2(T, TR)
+                elif m == 10:
+                    pred = _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+                elif m == 11:
+                    pa = pb = 0
+                    for sh in (24, 16, 8, 0):
+                        lc = (L >> sh) & 0xFF
+                        tc = (T >> sh) & 0xFF
+                        tlc = (TL >> sh) & 0xFF
+                        p = lc + tc - tlc
+                        pa += abs(p - tc)   # == |L - TL|
+                        pb += abs(p - lc)   # == |T - TL|
+                    pred = T if pa <= pb else L
+                elif m == 12:
+                    pred = 0
+                    for sh in (24, 16, 8, 0):
+                        c = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) \
+                            - ((TL >> sh) & 0xFF)
+                        pred |= max(0, min(255, c)) << sh
+                elif m == 13:
+                    av = _vp8l_avg2(L, T)
+                    pred = 0
+                    for sh in (24, 16, 8, 0):
+                        a = (av >> sh) & 0xFF
+                        bch = (TL >> sh) & 0xFF
+                        d = a - bch
+                        # C truncating division by 2 (toward zero)
+                        half = d // 2 if d >= 0 else -((-d) // 2)
+                        pred |= max(0, min(255, a + half)) << sh
+                else:
+                    raise ValueError("VP8L: bad predictor mode")
+            p = int(out[y, x])
+            out[y, x] = ((((p >> 24) + (pred >> 24)) & 0xFF) << 24
+                         | (((p >> 16) + (pred >> 16)) & 0xFF) << 16
+                         | (((p >> 8) + (pred >> 8)) & 0xFF) << 8
+                         | ((p + pred) & 0xFF))
+    return out
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a lossless (VP8L) WebP file -> (H, W, 3|4) uint8 array.
+    Handles the plain RIFF layout and VP8X extended layout. Lossy VP8
+    payloads raise ValueError (external-codec stub tier)."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag == b"VP8 ":
+            raise ValueError(
+                "lossy VP8 WebP needs an external codec (libwebp)")
+        pos += 8 + size + (size & 1)
+    if vp8l is None:
+        raise ValueError("WebP: no VP8L chunk")
+    if not vp8l or vp8l[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _LsbBitReader(bytes(vp8l), 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read1()              # alpha-used hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: unsupported version")
+    argb = _vp8l_decode_image(br, w, h, True)
+    a = (argb >> 24).astype(np.uint8)
+    rgb = np.stack([((argb >> 16) & 0xFF).astype(np.uint8),
+                    ((argb >> 8) & 0xFF).astype(np.uint8),
+                    (argb & 0xFF).astype(np.uint8)], axis=-1)
+    if (a == 255).all():
+        return rgb
+    return np.concatenate([rgb, a[:, :, None]], axis=-1)
+
+
+class _LsbBitWriter:
+    """VP8L bit writer: LSB-first within bytes (mirror of _LsbBitReader)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _vp8l_flat_lengths(used):
+    """Complete-Kraft canonical lengths for a set of used symbols: with
+    n symbols and L = ceil(log2 n), the first (2^L - n) symbols in order
+    get length L-1 and the rest L, so the Kraft sum is exactly 1 (strict
+    decoders reject under-subscribed codes)."""
+    syms = sorted(used)
+    n = len(syms)
+    if n == 1:
+        return {syms[0]: 0}
+    L = max(1, (n - 1).bit_length())
+    k = (1 << L) - n
+    return {s: (L - 1 if i < k else L) for i, s in enumerate(syms)}
+
+
+def _vp8l_codewords(lengths: dict):
+    """Canonical codewords (DEFLATE assignment) for {symbol: length}."""
+    items = sorted((l, s) for s, l in lengths.items() if l > 0)
+    code = 0
+    prev_len = 0
+    words = {}
+    for l, s in items:
+        code <<= (l - prev_len)
+        words[s] = (code, l)
+        code += 1
+        prev_len = l
+    return words
+
+
+def _vp8l_write_word(bw: _LsbBitWriter, code: int, length: int) -> None:
+    for i in range(length - 1, -1, -1):
+        bw.write((code >> i) & 1, 1)
+
+
+def _vp8l_write_code(bw: _LsbBitWriter, lengths: dict, alphabet: int):
+    """Write one prefix code; returns its codeword table. Uses the simple
+    representation for <=2 symbols (when they fit 8 bits), else the
+    code-length-coded normal representation."""
+    used = sorted(s for s, l in lengths.items() if l > 0) \
+        if any(lengths.values()) else sorted(lengths)
+    if not used:
+        used = [0]
+        lengths = {0: 0}
+    if len(used) <= 2 and max(used) <= 255:
+        bw.write(1, 1)                       # simple
+        bw.write(len(used) - 1, 1)
+        if len(used) == 1:
+            s0 = used[0]
+            if s0 <= 1:
+                bw.write(0, 1)               # 1-bit first symbol
+                bw.write(s0, 1)
+            else:
+                bw.write(1, 1)
+                bw.write(s0, 8)
+            return {s0: (0, 0)}
+        bw.write(1, 1)
+        bw.write(used[0], 8)
+        bw.write(used[1], 8)
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.write(0, 1)                           # normal
+    lens = {s: lengths.get(s, 0) for s in range(alphabet)}
+    distinct = sorted({l for l in lens.values() if l})
+    cl_used = distinct + ([0] if any(l == 0 for l in lens.values()) else [])
+    if len(cl_used) == 1:
+        # single-symbol code-length code: the decoder resolves it without
+        # consuming bits, so every per-symbol entry is zero-length
+        cl_lengths = {cl_used[0]: 1}
+        cl_words = {cl_used[0]: (0, 0)}
+    else:
+        cl_lengths = _vp8l_flat_lengths(cl_used)
+        cl_words = _vp8l_codewords(cl_lengths)
+    # CL_ORDER index of value v (0..16) is v+2; 17/18 unused here
+    num_codes = max(4, max(v + 2 for v in cl_used) + 1)
+    bw.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        v = _VP8L_CL_ORDER[i]
+        bw.write(cl_lengths.get(v, 0), 3)
+    bw.write(0, 1)                           # no explicit max symbol
+    for s in range(alphabet):
+        c, l = cl_words[lens[s]]
+        _vp8l_write_word(bw, c, l)
+    return _vp8l_codewords(lens)
+
+
+def _vp8l_prefix_encode(v: int):
+    """value >= 1 -> (prefix_code, extra_bits, extra_value); inverse of
+    _vp8l_prefix_value."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    nb = x.bit_length() - 1
+    code = 2 * nb + ((x >> (nb - 1)) & 1)
+    extra = nb - 1
+    return code, extra, x & ((1 << extra) - 1)
+
+
+def _vp8l_emit_literals(bw, pixels, *, cache_bits=0, groups=None,
+                        group_of=None, lz77_ops=None):
+    """Entropy-code a 1D ARGB pixel stream. `lz77_ops`: optional dict
+    {start_pos: (length, dist_code_value)} of backward references covering
+    [start, start+length). Histograms + codes are built per group, then
+    the symbol stream is written."""
+    npix = len(pixels)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    # ---- pass 1: symbol streams per position ----
+    ops = []  # (pos, kind, payload)
+    pos = 0
+    while pos < npix:
+        if lz77_ops and pos in lz77_ops:
+            length, dist_value = lz77_ops[pos]
+            ops.append((pos, "copy", (length, dist_value)))
+            if cache is not None:
+                for i in range(length):
+                    p = int(pixels[pos + i])
+                    cache[(0x1E35A7BD * p & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = p
+            pos += length
+            continue
+        p = int(pixels[pos])
+        if cache is not None:
+            key = (0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[key] == p:
+                ops.append((pos, "cache", key))
+                pos += 1
+                continue
+            cache[key] = p
+        ops.append((pos, "lit", p))
+        pos += 1
+    # ---- histograms per group ----
+    ng = len(groups) if groups else 1
+    hists = [{"g": set(), "r": set(), "b": set(), "a": set(), "d": set()}
+             for _ in range(ng)]
+    for pos, kind, payload in ops:
+        hi = hists[group_of(pos) if group_of else 0]
+        if kind == "lit":
+            p = payload
+            hi["g"].add((p >> 8) & 0xFF)
+            hi["r"].add((p >> 16) & 0xFF)
+            hi["b"].add(p & 0xFF)
+            hi["a"].add((p >> 24) & 0xFF)
+        elif kind == "copy":
+            length, dist_value = payload
+            lc, _, _ = _vp8l_prefix_encode(length)
+            dc, _, _ = _vp8l_prefix_encode(dist_value)
+            hi["g"].add(256 + lc)
+            hi["d"].add(dc)
+        else:
+            hi["g"].add(280 + payload)
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    tables = []
+    for hi in hists:
+        t = {}
+        for key, alpha in (("g", green_alpha), ("r", 256), ("b", 256),
+                           ("a", 256), ("d", 40)):
+            used = hi[key] or {0}
+            t[key] = _vp8l_write_code(
+                bw, _vp8l_flat_lengths(used), alpha)
+        tables.append(t)
+    # ---- pass 2: emit ----
+    for pos, kind, payload in ops:
+        t = tables[group_of(pos) if group_of else 0]
+        if kind == "lit":
+            p = payload
+            _vp8l_write_word(bw, *t["g"][(p >> 8) & 0xFF])
+            _vp8l_write_word(bw, *t["r"][(p >> 16) & 0xFF])
+            _vp8l_write_word(bw, *t["b"][p & 0xFF])
+            _vp8l_write_word(bw, *t["a"][(p >> 24) & 0xFF])
+        elif kind == "copy":
+            length, dist_value = payload
+            lc, leb, lev = _vp8l_prefix_encode(length)
+            _vp8l_write_word(bw, *t["g"][256 + lc])
+            bw.write(lev, leb)
+            dc, deb, dev = _vp8l_prefix_encode(dist_value)
+            _vp8l_write_word(bw, *t["d"][dc])
+            bw.write(dev, deb)
+        else:
+            _vp8l_write_word(bw, *t["g"][280 + payload])
+
+
+def _vp8l_encode_subimage(bw, pixels) -> None:
+    """Entropy-coded subimage (palette / predictor / color / entropy
+    image): no transforms, no meta codes, no cache."""
+    bw.write(0, 1)  # no color cache
+    _vp8l_emit_literals(bw, pixels)
+
+
+def encode_webp_lossless(img: np.ndarray, *, subtract_green=False,
+                         predictor=False, color_transform=False,
+                         palette=False, cache_bits=0, lz77=None,
+                         meta_bits=None) -> bytes:
+    """Spec-conformant VP8L encoder (flat complete prefix codes; no rate
+    optimization — this exists so tests can round-trip every decoder
+    feature with zero fixtures). `lz77`: None | "plain" | "2d" encodes
+    rows 1..h-1 as one backward reference over row 0 (requires all rows
+    identical). Transforms compose per the spec's reverse-application
+    rule (forwards run in reverse write order)."""
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    h, w = img.shape[:2]
+    has_alpha = img.shape[2] == 4
+    a = img[:, :, 3].astype(np.uint32) if has_alpha else \
+        np.full((h, w), 255, np.uint32)
+    argb = ((a << 24)
+            | (img[:, :, 0].astype(np.uint32) << 16)
+            | (img[:, :, 1].astype(np.uint32) << 8)
+            | img[:, :, 2].astype(np.uint32))
+
+    bw = _LsbBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if has_alpha else 0, 1)
+    bw.write(0, 3)
+
+    write_order = []          # transform headers in write order
+    if predictor:
+        write_order.append("predictor")
+    if color_transform:
+        write_order.append("color")
+    if subtract_green:
+        write_order.append("subtract_green")
+    if palette:
+        write_order.append("palette")
+
+    cte = (5, 250, 3)         # g2r, g2b(-6), r2b as int8 bytes
+    pal = idx = None
+    xsize = w
+    # decoder applies inverses in reverse READ order (last-read transform
+    # inverted first), so the encoder applies forwards in WRITE order:
+    # P = Tn_f(...T1_f(I)) decodes as T1^-1(...Tn^-1(P)) = I
+    for t in write_order:
+        if t == "subtract_green":
+            g = (argb >> 8) & 0xFF
+            r = ((argb >> 16) - g) & 0xFF
+            b = (argb - g) & 0xFF
+            argb = (argb & np.uint32(0xFF00FF00)) | (r << 16) | b
+        elif t == "color":
+            g2r, g2b, r2b = (v - 256 if v > 127 else v for v in cte)
+            g = ((argb >> 8) & 0xFF).astype(np.int32)
+            g[g > 127] -= 256
+            r0 = ((argb >> 16) & 0xFF).astype(np.int32)
+            r0s = r0.copy()
+            r0s[r0s > 127] -= 256
+            b0 = (argb & 0xFF).astype(np.int32)
+            r = (r0 - ((g2r * g) >> 5)) & 0xFF
+            b = (b0 - ((g2b * g) >> 5) - ((r2b * r0s) >> 5)) & 0xFF
+            argb = ((argb & np.uint32(0xFF00FF00))
+                    | (r.astype(np.uint32) << 16) | b.astype(np.uint32))
+        elif t == "predictor":
+            res = np.zeros_like(argb)
+            for y in range(h):
+                for x in range(w):
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = int(argb[0, x - 1])
+                    elif x == 0:
+                        pred = int(argb[y - 1, 0])
+                    else:
+                        pred = 0xFF000000      # mode 0 everywhere
+                    p = int(argb[y, x])
+                    res[y, x] = ((((p >> 24) - (pred >> 24)) & 0xFF) << 24
+                                 | (((p >> 16) - (pred >> 16)) & 0xFF) << 16
+                                 | (((p >> 8) - (pred >> 8)) & 0xFF) << 8
+                                 | ((p - pred) & 0xFF))
+            argb = res
+        elif t == "palette":
+            colors, inv = np.unique(argb.ravel(), return_inverse=True)
+            if len(colors) > 256:
+                raise ValueError("palette transform needs <= 256 colors")
+            pal = colors
+            idx = inv.reshape(h, w)
+
+    for t in write_order:
+        bw.write(1, 1)
+        if t == "predictor":
+            bw.write(0, 2)
+            bw.write(9 - 2, 3)               # 512px tiles: one tile
+            tw, th = (w + 511) >> 9, (h + 511) >> 9
+            _vp8l_encode_subimage(bw, np.zeros(tw * th, np.uint32))
+        elif t == "color":
+            bw.write(1, 2)
+            bw.write(9 - 2, 3)
+            tw, th = (w + 511) >> 9, (h + 511) >> 9
+            cte_pix = (cte[0] << 16) | (cte[1] << 8) | cte[2]
+            _vp8l_encode_subimage(
+                bw, np.full(tw * th, cte_pix, np.uint32))
+        elif t == "subtract_green":
+            bw.write(2, 2)
+        else:                                 # palette
+            bw.write(3, 2)
+            n = len(pal)
+            bw.write(n - 1, 8)
+            deltas = np.zeros(n, np.uint32)
+            prev = 0
+            for i in range(n):
+                cur = int(pal[i])
+                deltas[i] = ((((cur >> 24) - (prev >> 24)) & 0xFF) << 24
+                             | (((cur >> 16) - (prev >> 16)) & 0xFF) << 16
+                             | (((cur >> 8) - (prev >> 8)) & 0xFF) << 8
+                             | ((cur - prev) & 0xFF))
+                prev = cur
+            _vp8l_encode_subimage(bw, deltas)
+            wbits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+            if wbits:
+                bpp = 8 >> wbits
+                ppu = 1 << wbits
+                xsize = (w + ppu - 1) >> wbits
+                packed = np.zeros((h, xsize), np.uint32)
+                for x in range(w):
+                    packed[:, x >> wbits] |= idx[:, x].astype(np.uint32) \
+                        << ((x & (ppu - 1)) * bpp + 8)
+                argb = packed
+            else:
+                argb = (idx.astype(np.uint32) << 8)
+    bw.write(0, 1)                            # end of transforms
+
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+
+    group_of = None
+    groups = None
+    if meta_bits is not None:
+        bw.write(1, 1)
+        bw.write(meta_bits - 2, 3)
+        ew = (xsize + (1 << meta_bits) - 1) >> meta_bits
+        eh = (h + (1 << meta_bits) - 1) >> meta_bits
+        # two groups: left/right tile halves
+        tile_group = np.zeros((eh, ew), np.uint32)
+        tile_group[:, ew // 2:] = 1
+        _vp8l_encode_subimage(bw, (tile_group << 8).ravel())
+        groups = [0, 1]
+
+        def group_of(pos, _ew=ew, _xs=xsize, _tg=tile_group,
+                     _mb=meta_bits):
+            x, y = pos % _xs, pos // _xs
+            return int(_tg[y >> _mb, x >> _mb])
+    else:
+        bw.write(0, 1)
+
+    flat = argb.ravel()
+    lz_ops = None
+    if lz77 is not None:
+        if h < 2 or not (argb[1:] == argb[0]).all():
+            raise ValueError("lz77 test mode needs identical rows")
+        dist = xsize
+        dist_value = dist + 120 if lz77 == "plain" else 1  # (0,1) 2D code
+        lz_ops = {xsize: ((h - 1) * xsize, dist_value)}
+    _vp8l_emit_literals(bw, flat, cache_bits=cache_bits, groups=groups,
+                        group_of=group_of, lz77_ops=lz_ops)
+
+    body = b"\x2f" + bw.finish()
+    riff = b"VP8L" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        riff += b"\x00"
+    return (b"RIFF" + (4 + len(riff)).to_bytes(4, "little")
+            + b"WEBP" + riff)

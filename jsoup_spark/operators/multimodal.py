@@ -11,10 +11,13 @@ shapes) is real and tested. Codec work is two-tier:
   natively, `resize_stage` really resamples (area average) and
   re-encodes PNG, and `decode_stage` extracts real per-channel
   mean/std features.
-* STUB for formats that need external codec libraries (progressive
-  JPEG, WebP, MP3, H.264, ...): NotImplementedError unless `fake=True`
-  produces a deterministic hash-derived decode (for plumbing tests) —
-  per the environment contract (no PIL/opencv/ffmpeg in this container).
+* STUB for formats that need external codec libraries (lossy-VP8 WebP,
+  arithmetic/lossless-process JPEG, MP3, H.264, ...):
+  NotImplementedError unless `fake=True` produces a deterministic
+  hash-derived decode (for plumbing tests) — per the environment
+  contract (no PIL/opencv/ffmpeg in this container). Progressive JPEG
+  and lossless (VP8L) WebP left this tier in r6/r7: both decode
+  natively in operators/codecs.py.
 """
 
 from __future__ import annotations
@@ -113,19 +116,19 @@ def _hash_image(doc_id: str) -> "np.ndarray":
 
 def decode_image(payload: bytes, *, fake: bool = False):
     """Decode an image payload -> (width, height). PNG / uncompressed
-    BMP / binary netpbm / baseline JPEG decode NATIVELY
-    (operators/codecs.py — stdlib + numpy). Other formats (progressive
-    JPEG, WebP, ...) need an external codec library:
-    NotImplementedError, or a deterministic hash-derived fake when
-    `fake=True` (plumbing tests)."""
+    BMP / binary netpbm / baseline+progressive JPEG / lossless (VP8L)
+    WebP decode NATIVELY (operators/codecs.py — stdlib + numpy). Other
+    formats (lossy VP8 WebP, arithmetic JPEG, ...) need an external
+    codec library: NotImplementedError, or a deterministic hash-derived
+    fake when `fake=True` (plumbing tests)."""
     arr = decode_image_array(payload)
     if arr is not None:
         return arr.shape[1], arr.shape[0]
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/BMP/netpbm/baseline-JPEG; decoding other "
-            "image formats requires an imaging library (PIL/opencv) on "
-            "the cluster")
+            "payload is not PNG/BMP/netpbm/JPEG/lossless-WebP; decoding "
+            "other image formats requires an imaging library "
+            "(PIL/opencv) on the cluster")
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -145,8 +148,10 @@ def decode_image_array(payload: bytes):
             return codecs.decode_ppm(payload)
         if fmt == "jpeg":
             return codecs.decode_jpeg(payload)
+        if fmt == "webp":
+            return codecs.decode_webp(payload)
     except ValueError:
-        return None  # esoteric variant (interlaced/16-bit/progressive/...)
+        return None  # esoteric variant (interlaced/16-bit/lossy-VP8/...)
     return None
 
 

@@ -347,3 +347,128 @@ def test_progressive_jpeg_truncation_and_errors():
     for cut in (4, 40, len(full) // 3, len(full) // 2):
         with pytest.raises(ValueError):
             codecs.decode_jpeg(full[:cut])
+
+
+# ------------------------------------------------------------ WebP (VP8L)
+# Round-trip validation strategy: no VP8L fixtures or encoders exist in
+# this container, so the spec-conformant test encoder in codecs.py
+# (flat complete prefix codes, every feature reachable by knob) generates
+# REAL bitstreams and decode_webp must reproduce the source pixels
+# exactly. Each test pins one decoder feature.
+
+
+def _rt_webp(img, **kw):
+    data = codecs.encode_webp_lossless(img, **kw)
+    assert codecs.sniff_format(data) == "webp"
+    out = codecs.decode_webp(data)
+    src = img if img.ndim == 3 else img[:, :, None].repeat(3, axis=2)
+    if src.shape[2] == 4 and out.shape[2] == 3:
+        assert (src[:, :, 3] == 255).all()
+        src = src[:, :, :3]
+    assert out.shape == src.shape
+    assert (out == src).all()
+    return data
+
+
+def test_webp_roundtrip_plain_and_alpha():
+    rng = np.random.RandomState(11)
+    _rt_webp(rng.randint(0, 256, (13, 17, 3), np.uint8))
+    _rt_webp(rng.randint(0, 256, (8, 9, 4), np.uint8))   # varying alpha
+    _rt_webp(np.array([[[3, 200, 7]]], np.uint8))        # 1x1
+    _rt_webp(rng.randint(0, 256, (6, 5), np.uint8))      # gray input
+
+
+def test_webp_transforms_roundtrip():
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (21, 19, 3), np.uint8)
+    _rt_webp(img, subtract_green=True)
+    _rt_webp(img, predictor=True)
+    _rt_webp(img, color_transform=True)
+    # composition: decoder inverts in reverse read order; the color
+    # transform does NOT commute with the others, so this pins the
+    # forward/inverse ordering contract
+    _rt_webp(img, predictor=True, subtract_green=True,
+             color_transform=True)
+
+
+def test_webp_color_indexing_all_packings():
+    rng = np.random.RandomState(13)
+    for ncolors, shape in ((2, (10, 23)), (4, (7, 13)), (16, (11, 29)),
+                           (200, (9, 13))):
+        pal = rng.randint(0, 256, (ncolors, 3), np.uint8)
+        img = pal[rng.randint(0, ncolors, shape)]
+        _rt_webp(img, palette=True)
+
+
+def test_webp_color_cache_and_meta_groups():
+    rng = np.random.RandomState(14)
+    img = rng.randint(0, 256, (20, 33, 3), np.uint8)
+    _rt_webp(img, cache_bits=4)
+    _rt_webp(np.tile(img[:1, :1], (6, 8, 1)), cache_bits=6)  # heavy hits
+    _rt_webp(img, meta_bits=2)
+    _rt_webp(img, meta_bits=3, cache_bits=5)
+
+
+def test_webp_lz77_plain_and_2d_distance():
+    rng = np.random.RandomState(15)
+    rows = np.tile(rng.randint(0, 256, (1, 19, 3), np.uint8), (6, 1, 1))
+    _rt_webp(rows, lz77="plain")   # dist > 120 path
+    _rt_webp(rows, lz77="2d")      # (0, 1) neighbor mapping path
+
+
+def test_webp_random_config_fuzz():
+    ok = 0
+    for i in range(40):
+        r = np.random.RandomState(2000 + i)
+        img = r.randint(0, 256,
+                        (r.randint(1, 40), r.randint(1, 40),
+                         int(r.choice([3, 4]))), np.uint8)
+        kw = {}
+        if r.rand() < .3:
+            kw["subtract_green"] = True
+        if r.rand() < .3:
+            kw["predictor"] = True
+        if r.rand() < .3:
+            kw["color_transform"] = True
+        if r.rand() < .4:
+            kw["cache_bits"] = int(r.randint(1, 9))
+        if r.rand() < .3:
+            kw["meta_bits"] = int(r.randint(2, 6))
+        _rt_webp(img, **kw)
+        ok += 1
+    assert ok == 40
+
+
+def test_webp_lossy_vp8_stays_stub_tier():
+    # minimal RIFF container with a (bogus) lossy VP8 chunk: decode_webp
+    # refuses, decode_image_array -> None, decode_image -> stub contract
+    body = b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    payload = (b"RIFF" + (4 + len(body)).to_bytes(4, "little")
+               + b"WEBP" + body)
+    assert codecs.sniff_format(payload) == "webp"
+    with pytest.raises(ValueError):
+        codecs.decode_webp(payload)
+    assert multimodal.decode_image_array(payload) is None
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(payload)
+    w, h = multimodal.decode_image(payload, fake=True)
+    assert w > 0 and h > 0
+
+
+def test_webp_truncation_raises_valueerror():
+    rng = np.random.RandomState(16)
+    data = codecs.encode_webp_lossless(
+        rng.randint(0, 256, (9, 9, 3), np.uint8))
+    for cut in (4, 11, 14, 21, len(data) - 3):
+        with pytest.raises(ValueError):
+            codecs.decode_webp(data[:cut])
+
+
+def test_webp_in_multimodal_pipeline():
+    # decode_image_array dispatch: a webp payload produces real pixels
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (12, 15, 3), np.uint8)
+    data = codecs.encode_webp_lossless(img, predictor=True)
+    arr = multimodal.decode_image_array(data)
+    assert arr is not None and (arr == img).all()
+    assert multimodal.decode_image(data) == (15, 12)
