@@ -424,6 +424,29 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_webp(spark, sf_dir):
+    """Lossless-WebP media path: every payload is a real VP8L bitstream
+    from the native encoder (codecs.encode_webp_lossless — predictor +
+    subtract-green transforms, color cache), decoded back by the native
+    VP8L decoder (codecs.decode_webp). VP8L is LOSSLESS, so unlike the
+    JPEG geometry-only check this query reuses the FULL symbolic feature
+    oracle: a hash match proves encode -> binary column -> decode ->
+    feature extraction is pixel-exact through the WebP round trip."""
+    from jsoup_spark.operators.multimodal import (
+        decode_stage, synthesize_media)
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    media = synthesize_media(docs, real=True, codec="webp")
+    dec = decode_stage(media, fake=False)
+    f = F.col("feature")
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        *[F.round(f[i], 5).alias(n) for i, n in enumerate(_FEATURE_NAMES)],
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Full media chain: synthesize real PNG/BMP -> decode -> box-filter
     resize (codecs.resize_area, max_side=16) -> PNG re-encode -> decode
@@ -527,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_webp": q_multimodal_webp,
     }
 
 
@@ -570,7 +594,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 5, 'media', 'standalone media for ' || CAST(doc_id AS VARCHAR),
                'http://img.example/' || CAST(doc_id AS VARCHAR) || '/cover.jpg' FROM d
     """
-    return {
+    out = {
         "extract_title": (
             "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title "
             "FROM documents"),
@@ -1039,3 +1063,7 @@ GROUP BY g.doc_id""",
                    16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 3, 2))::INT % 48) AS height
             FROM documents""",
     }
+    # VP8L is lossless: the webp round trip must reproduce the exact
+    # pixels, so it shares the full symbolic feature oracle
+    out["multimodal_webp"] = out["multimodal_features"]
+    return out

@@ -61,7 +61,10 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
     whose pixels derive from the doc_id hash) built in a mapInPandas
     stage, so the REAL decoders run end-to-end with zero fixtures.
     codec="jpeg" (with real=True): every payload is a baseline JPEG from
-    the native encoder instead of the lossless PNG/BMP mix."""
+    the native encoder instead of the lossless PNG/BMP mix.
+    codec="webp": every payload is a lossless VP8L WebP (predictor +
+    subtract-green transforms, color cache) — lossless, so downstream
+    features stay pixel-exact through the round trip."""
     if not real:
         payload = F.to_binary(F.md5(F.col("doc_id")), F.lit("hex"))
         meta = F.struct(
@@ -86,6 +89,11 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
                 img = _hash_image(str(doc_id))
                 if codec == "jpeg":
                     b, mime = codecs.encode_jpeg(img), "image/jpeg"
+                elif codec == "webp":
+                    b = codecs.encode_webp_lossless(
+                        img, predictor=True, subtract_green=True,
+                        cache_bits=6)
+                    mime = "image/webp"
                 elif int(hashlib.md5(str(doc_id).encode())
                          .hexdigest(), 16) % 2 == 0:
                     b, mime = codecs.encode_png(img), "image/png"
