@@ -252,9 +252,11 @@ def _has_taskset() -> bool:
 # Pinned scaling protocol (VERDICT r6 #6): the corpus grew ad hoc with the
 # engine each round (180 -> 360 -> 720), which made cross-round efficiency
 # numbers incomparable without archaeology. The protocol is now constants:
-#   * SCALING_REPLICATE=720 (3.6M docs at sf0.1) and SCALING_CORPUS_FILES=128
-#     (one clean multiple of both leg widths; 32 files would give the 4-core
-#     leg 8 waves but the 16-core leg only 2 — uneven tail weighting).
+#   * SCALING_REPLICATE=2880 (14.4M docs at sf0.1; bumped r7 from 720 when
+#     the pump-lite engine speedup pushed the 16-core leg to 14.7s and the
+#     floor check fired) and SCALING_CORPUS_FILES=128 (one clean multiple of
+#     both leg widths; 32 files would give the 4-core leg 8 waves but the
+#     16-core leg only 2 — uneven tail weighting).
 #   * MIN_LEG_SEC=40: if the WIDE leg's median wall drops under this floor,
 #     fixed session costs (~1.5-2s scan/stage setup) exceed ~5% of the
 #     measurement and the run self-reports `leg_below_floor: true` — the
@@ -262,7 +264,7 @@ def _has_taskset() -> bool:
 #     rather than to trust the number.
 # Env overrides remain for exploration, but an unannotated run is comparable
 # across rounds by construction.
-SCALING_REPLICATE = 720
+SCALING_REPLICATE = 2880
 SCALING_CORPUS_FILES = 128
 MIN_LEG_SEC = 40.0
 

@@ -11,10 +11,13 @@ Real decoders for the formats that need no external codec library:
          nearest chroma upsampling, restart markers; progressive (SOF2)
          via the multi-scan decoder below.
 * WebP — lossless VP8L: all four transforms, meta prefix groups, color
-         cache, LZ77 with the 2D distance mapping (decode_webp below).
+         cache, LZ77 with the 2D distance mapping (decode_webp below);
+         lossy VP8 keyframes incl. the ALPH alpha plane via
+         operators/vp8.py — both byte-identical to libwebp
+         (tests/test_vp8.py).
 * WAV  — stdlib `wave` (PCM 8/16/32-bit), samples as float32 in [-1, 1].
 
-Formats that require external codecs (lossy VP8 WebP, arithmetic /
+Formats that require external codecs (arithmetic /
 lossless-process JPEG, MP3, H.264, ...) remain stubbed in
 operators/multimodal.py per the environment contract — decode raises
 ValueError / `sniff_format` returns None and the caller decides
@@ -1234,8 +1237,9 @@ class _Canonical:
 
 
 #: code-length alphabet transmission order (spec 3.7.2.2)
-_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8,
-                  9, 10, 11, 12, 13, 14, 15, 16)
+# kCodeLengthCodeOrder (spec 3.7.2.2): 16 sits between 5 and 6
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7,
+                  8, 9, 10, 11, 12, 13, 14, 15)
 
 
 def _vp8l_read_code(br: _LsbBitReader, alphabet: int) -> _Canonical:
@@ -1471,9 +1475,11 @@ def _vp8l_inv_color(img: np.ndarray, sub: np.ndarray, sbits: int):
     ys = np.arange(h) >> sbits
     xs = np.arange(w) >> sbits
     cte = sub[ys][:, xs]
-    g2r = ((cte >> 16) & 0xFF).astype(np.int32)
+    # ColorTransformElement packing: green_to_red in bits 0-7, green_to_
+    # blue in 8-15, red_to_blue in 16-23 (spec 3.5.2 "cte" layout)
+    g2r = (cte & 0xFF).astype(np.int32)
     g2b = ((cte >> 8) & 0xFF).astype(np.int32)
-    r2b = (cte & 0xFF).astype(np.int32)
+    r2b = ((cte >> 16) & 0xFF).astype(np.int32)
     for v in (g2r, g2b, r2b):
         v[v > 127] -= 256  # int8 semantics
     g = ((img >> 8) & 0xFF).astype(np.int32)
@@ -1574,28 +1580,94 @@ def _vp8l_inv_predictor(img: np.ndarray, sub: np.ndarray, sbits: int):
     return out
 
 
+def _decode_webp_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane (WebP container spec,
+    "Alpha" subchunk): 1 header byte (2 reserved | 2 preprocessing |
+    2 filtering | 2 compression bits), then either raw w*h bytes or a
+    header-less VP8L bitstream carrying alpha in the green channel,
+    followed by the optional per-pixel prediction filter inversion."""
+    if not body:
+        raise ValueError("WebP: empty ALPH chunk")
+    hdr = body[0]
+    compression = hdr & 3
+    filtering = (hdr >> 2) & 3
+    if compression == 0:
+        raw = np.frombuffer(body, dtype=np.uint8, count=w * h, offset=1)
+        alpha = raw.reshape(h, w).astype(np.int32)
+    elif compression == 1:
+        br = _LsbBitReader(bytes(body), 1)
+        argb = _vp8l_decode_image(br, w, h, True)
+        alpha = ((argb >> 8) & 0xFF).astype(np.int32)
+    else:
+        raise ValueError("WebP: bad alpha compression method")
+    if filtering:
+        # inverse prediction, raster order: top-left predicts 0, first
+        # row predicts left, first column predicts top
+        out = np.zeros((h, w), dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    p = 0
+                elif y == 0:
+                    p = out[0, x - 1]
+                elif x == 0:
+                    p = out[y - 1, 0]
+                elif filtering == 1:
+                    p = out[y, x - 1]
+                elif filtering == 2:
+                    p = out[y - 1, x]
+                else:
+                    g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+                    p = 0 if g < 0 else (255 if g > 255 else g)
+                out[y, x] = (alpha[y, x] + p) & 0xFF
+        alpha = out
+    return alpha.astype(np.uint8)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a lossless (VP8L) WebP file -> (H, W, 3|4) uint8 array.
-    Handles the plain RIFF layout and VP8X extended layout. Lossy VP8
-    payloads raise ValueError (external-codec stub tier)."""
+    """Decode a WebP file -> (H, W, 3|4) uint8 array.  Handles the
+    plain RIFF layout and the VP8X extended layout, both the lossless
+    (VP8L) and the lossy (VP8 keyframe, operators/vp8.py) bitstreams,
+    and the ALPH alpha plane of lossy files.  The lossy pipeline --
+    YUV reconstruction, fancy 9/3/3/1 chroma upsampling and the
+    fixed-point YUV->RGB matrix -- is byte-identical to libwebp's
+    WebPDecodeRGB/RGBA (tests/test_vp8.py)."""
     if len(payload) < 20 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
     vp8l = None
+    vp8 = None
+    alph = None
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
         body = payload[pos + 8:pos + 8 + size]
+        if tag in (b"VP8L", b"VP8 ", b"ALPH") and len(body) < size:
+            # the lossy boolean decoder reads past-the-end bytes as
+            # zeros by spec, so truncation must be caught at the
+            # container level to honor the degrade-one-doc contract
+            raise ValueError("WebP: truncated %s chunk" % tag.decode())
         if tag == b"VP8L":
             vp8l = body
             break
+        if tag == b"ALPH":
+            alph = body
         if tag == b"VP8 ":
-            raise ValueError(
-                "lossy VP8 WebP needs an external codec (libwebp)")
+            vp8 = body
+            break
         pos += 8 + size + (size & 1)
+    if vp8 is not None:
+        from .vp8 import decode_vp8, yuv_to_rgb
+        y, u, v = decode_vp8(vp8)
+        rgb = yuv_to_rgb(y, u, v)
+        if alph is None:
+            return rgb
+        h, w = y.shape
+        a = _decode_webp_alpha(alph, w, h)
+        return np.concatenate([rgb, a[:, :, None]], axis=-1)
     if vp8l is None:
-        raise ValueError("WebP: no VP8L chunk")
+        raise ValueError("WebP: no VP8L or VP8 chunk")
     if not vp8l or vp8l[0] != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     br = _LsbBitReader(bytes(vp8l), 1)
@@ -1710,8 +1782,10 @@ def _vp8l_write_code(bw: _LsbBitWriter, lengths: dict, alphabet: int):
     else:
         cl_lengths = _vp8l_flat_lengths(cl_used)
         cl_words = _vp8l_codewords(cl_lengths)
-    # CL_ORDER index of value v (0..16) is v+2; 17/18 unused here
-    num_codes = max(4, max(v + 2 for v in cl_used) + 1)
+    # num_codes must cover every used value's position in the
+    # transmission order (16 sits at index 8, between 5 and 6)
+    order_idx = {v: i for i, v in enumerate(_VP8L_CL_ORDER)}
+    num_codes = max(4, max(order_idx[v] for v in cl_used) + 1)
     bw.write(num_codes - 4, 4)
     for i in range(num_codes):
         v = _VP8L_CL_ORDER[i]
@@ -1922,7 +1996,8 @@ def encode_webp_lossless(img: np.ndarray, *, subtract_green=False,
             bw.write(1, 2)
             bw.write(9 - 2, 3)
             tw, th = (w + 511) >> 9, (h + 511) >> 9
-            cte_pix = (cte[0] << 16) | (cte[1] << 8) | cte[2]
+            # cte packing: g2r bits 0-7, g2b 8-15, r2b 16-23 (3.5.2)
+            cte_pix = (cte[2] << 16) | (cte[1] << 8) | cte[0]
             _vp8l_encode_subimage(
                 bw, np.full(tw * th, cte_pix, np.uint32))
         elif t == "subtract_green":

@@ -11,13 +11,14 @@ shapes) is real and tested. Codec work is two-tier:
   natively, `resize_stage` really resamples (area average) and
   re-encodes PNG, and `decode_stage` extracts real per-channel
   mean/std features.
-* STUB for formats that need external codec libraries (lossy-VP8 WebP,
-  arithmetic/lossless-process JPEG, MP3, H.264, ...):
+* STUB for formats that need external codec libraries
+  (arithmetic/lossless-process JPEG, MP3, H.264, ...):
   NotImplementedError unless `fake=True` produces a deterministic
   hash-derived decode (for plumbing tests) — per the environment
   contract (no PIL/opencv/ffmpeg in this container). Progressive JPEG
-  and lossless (VP8L) WebP left this tier in r6/r7: both decode
-  natively in operators/codecs.py.
+  left this tier in r6; WebP left it in r7 — both lossless (VP8L,
+  codecs.py) and lossy (VP8 keyframes, operators/vp8.py) decode
+  natively, byte-identical to libwebp (tests/test_vp8.py).
 """
 
 from __future__ import annotations
@@ -124,19 +125,19 @@ def _hash_image(doc_id: str) -> "np.ndarray":
 
 def decode_image(payload: bytes, *, fake: bool = False):
     """Decode an image payload -> (width, height). PNG / uncompressed
-    BMP / binary netpbm / baseline+progressive JPEG / lossless (VP8L)
-    WebP decode NATIVELY (operators/codecs.py — stdlib + numpy). Other
-    formats (lossy VP8 WebP, arithmetic JPEG, ...) need an external
-    codec library: NotImplementedError, or a deterministic hash-derived
-    fake when `fake=True` (plumbing tests)."""
+    BMP / binary netpbm / baseline+progressive JPEG / WebP (lossless
+    VP8L and lossy VP8) decode NATIVELY (operators/codecs.py + vp8.py,
+    stdlib + numpy). Other formats (arithmetic JPEG, ...) need an
+    external codec library: NotImplementedError, or a deterministic
+    hash-derived fake when `fake=True` (plumbing tests)."""
     arr = decode_image_array(payload)
     if arr is not None:
         return arr.shape[1], arr.shape[0]
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/BMP/netpbm/JPEG/lossless-WebP; decoding "
-            "other image formats requires an imaging library "
-            "(PIL/opencv) on the cluster")
+            "payload is not PNG/BMP/netpbm/JPEG/WebP; decoding other "
+            "image formats requires an imaging library (PIL/opencv) "
+            "on the cluster")
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -159,7 +160,7 @@ def decode_image_array(payload: bytes):
         if fmt == "webp":
             return codecs.decode_webp(payload)
     except ValueError:
-        return None  # esoteric variant (interlaced/16-bit/lossy-VP8/...)
+        return None  # esoteric/corrupt variant (interlaced/16-bit/...)
     return None
 
 

@@ -439,9 +439,11 @@ def test_webp_random_config_fuzz():
     assert ok == 40
 
 
-def test_webp_lossy_vp8_stays_stub_tier():
-    # minimal RIFF container with a (bogus) lossy VP8 chunk: decode_webp
-    # refuses, decode_image_array -> None, decode_image -> stub contract
+def test_webp_corrupt_vp8_degrades():
+    # lossy VP8 decodes natively since r7 (operators/vp8.py); a corrupt
+    # chunk must still degrade per contract: decode_webp raises
+    # ValueError, decode_image_array -> None, decode_image -> the
+    # fake=True plumbing path
     body = b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
     payload = (b"RIFF" + (4 + len(body)).to_bytes(4, "little")
                + b"WEBP" + body)
