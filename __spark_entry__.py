@@ -447,6 +447,27 @@ def q_multimodal_webp(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_arith(spark, sf_dir):
+    """Arithmetic-coded JPEG media path: every payload is a real SOF9
+    stream from the native QM encoder (operators/jpeg_arith.py, ITU
+    T.81 Annex D/F), decoded back by the native QM decoder — both
+    validated byte-exactly against libjpeg in tests/test_jpeg_arith.py.
+    Lossy like the Huffman path, so the oracle checks the
+    decode-invariant geometry; entropy-level fidelity is pinned by the
+    lossless-transcode pytest gates."""
+    from jsoup_spark.operators.multimodal import (
+        decode_stage, synthesize_media)
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    media = synthesize_media(docs, real=True, codec="jpeg_arith")
+    dec = decode_stage(media, fake=False)
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Full media chain: synthesize real PNG/BMP -> decode -> box-filter
     resize (codecs.resize_area, max_side=16) -> PNG re-encode -> decode
@@ -550,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_jpeg_arith": q_multimodal_jpeg_arith,
         "multimodal_webp": q_multimodal_webp,
     }
 
@@ -1066,4 +1088,7 @@ GROUP BY g.doc_id""",
     # VP8L is lossless: the webp round trip must reproduce the exact
     # pixels, so it shares the full symbolic feature oracle
     out["multimodal_webp"] = out["multimodal_features"]
+    # arithmetic JPEG is lossy like the Huffman path: same
+    # geometry-invariant oracle
+    out["multimodal_jpeg_arith"] = out["multimodal_jpeg"]
     return out

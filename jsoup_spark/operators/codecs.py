@@ -9,7 +9,9 @@ Real decoders for the formats that need no external codec library:
 * JPEG — baseline sequential DCT (SOF0): Huffman entropy decode,
          dequantize, float IDCT, 4:4:4/4:2:2/4:4:0/4:2:0 sampling with
          nearest chroma upsampling, restart markers; progressive (SOF2)
-         via the multi-scan decoder below.
+         via the multi-scan decoder below; arithmetic-coded SOF9/SOF10
+         via operators/jpeg_arith.py (ITU T.81 QM coder, validated
+         byte-exactly against libjpeg in tests/test_jpeg_arith.py).
 * WebP — lossless VP8L: all four transforms, meta prefix groups, color
          cache, LZ77 with the 2D distance mapping (decode_webp below);
          lossy VP8 keyframes incl. the ALPH alpha plane via
@@ -17,8 +19,8 @@ Real decoders for the formats that need no external codec library:
          (tests/test_vp8.py).
 * WAV  — stdlib `wave` (PCM 8/16/32-bit), samples as float32 in [-1, 1].
 
-Formats that require external codecs (arithmetic /
-lossless-process JPEG, MP3, H.264, ...) remain stubbed in
+Formats that require external codecs (lossless-process JPEG, MP3,
+H.264, ...) remain stubbed in
 operators/multimodal.py per the environment contract — decode raises
 ValueError / `sniff_format` returns None and the caller decides
 (fake-decode for plumbing tests, NotImplementedError otherwise).
@@ -288,7 +290,8 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 # components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 with
 # nearest-neighbor chroma upsampling), restart markers. Encoder: 4:4:4
 # interleaved with the Annex K quantization + Huffman tables (quality
-# scaling as in libjpeg jcparam.c). Progressive/arithmetic/12-bit JPEGs
+# scaling as in libjpeg jcparam.c). Arithmetic-coded JPEGs (SOF9/SOF10)
+# dispatch to operators/jpeg_arith.py; lossless-process/12-bit JPEGs
 # raise ValueError -> the multimodal stub tier handles them.
 
 _ZIGZAG = np.array([
@@ -455,8 +458,9 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 (H, W, 3|1). Raises ValueError on
-    progressive/arithmetic/12-bit, unsupported sampling, OR truncated /
+    """JPEG -> uint8 (H, W, 3|1): baseline (SOF0/1), progressive (SOF2)
+    and arithmetic-coded (SOF9/SOF10, operators/jpeg_arith.py). Raises
+    ValueError on lossless/12-bit, unsupported sampling, OR truncated /
     corrupt input.
 
     The ValueError contract matters for the pipeline: sniff_format routes
@@ -831,9 +835,11 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker == 0xC2:    # SOF2: progressive, own multi-scan path
             return _decode_jpeg_progressive(payload)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise ValueError("lossless/arithmetic JPEG unsupported")
+        elif marker in (0xC9, 0xCA):    # arithmetic (sequential/progressive)
+            from .jpeg_arith import decode_jpeg_arith
+            return decode_jpeg_arith(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("lossless/hierarchical JPEG unsupported")
         elif marker == 0xDD:    # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:    # SOS

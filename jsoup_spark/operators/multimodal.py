@@ -12,7 +12,7 @@ shapes) is real and tested. Codec work is two-tier:
   re-encodes PNG, and `decode_stage` extracts real per-channel
   mean/std features.
 * STUB for formats that need external codec libraries
-  (arithmetic/lossless-process JPEG, MP3, H.264, ...):
+  (lossless-process JPEG, MP3, H.264, ...):
   NotImplementedError unless `fake=True` produces a deterministic
   hash-derived decode (for plumbing tests) — per the environment
   contract (no PIL/opencv/ffmpeg in this container). Progressive JPEG
@@ -63,6 +63,8 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
     stage, so the REAL decoders run end-to-end with zero fixtures.
     codec="jpeg" (with real=True): every payload is a baseline JPEG from
     the native encoder instead of the lossless PNG/BMP mix.
+    codec="jpeg_arith": arithmetic-coded (SOF9) JPEG from the native QM
+    encoder (operators/jpeg_arith.py).
     codec="webp": every payload is a lossless VP8L WebP (predictor +
     subtract-green transforms, color cache) — lossless, so downstream
     features stay pixel-exact through the round trip."""
@@ -90,6 +92,10 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
                 img = _hash_image(str(doc_id))
                 if codec == "jpeg":
                     b, mime = codecs.encode_jpeg(img), "image/jpeg"
+                elif codec == "jpeg_arith":
+                    from .jpeg_arith import encode_jpeg_arith
+                    b = encode_jpeg_arith(img)
+                    mime = "image/jpeg"
                 elif codec == "webp":
                     b = codecs.encode_webp_lossless(
                         img, predictor=True, subtract_green=True,
@@ -125,9 +131,9 @@ def _hash_image(doc_id: str) -> "np.ndarray":
 
 def decode_image(payload: bytes, *, fake: bool = False):
     """Decode an image payload -> (width, height). PNG / uncompressed
-    BMP / binary netpbm / baseline+progressive JPEG / WebP (lossless
-    VP8L and lossy VP8) decode NATIVELY (operators/codecs.py + vp8.py,
-    stdlib + numpy). Other formats (arithmetic JPEG, ...) need an
+    BMP / binary netpbm / baseline+progressive+arithmetic JPEG / WebP
+    (lossless VP8L and lossy VP8) decode NATIVELY (operators/codecs.py
+    + jpeg_arith.py + vp8.py, stdlib + numpy). Other formats need an
     external codec library: NotImplementedError, or a deterministic
     hash-derived fake when `fake=True` (plumbing tests)."""
     arr = decode_image_array(payload)
