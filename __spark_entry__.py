@@ -447,6 +447,30 @@ def q_multimodal_webp(spark, sf_dir):
     )
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """GIF media path: every payload is a real GIF89a stream from the
+    native strip encoder (operators/gif.py encode_gif — per-strip local
+    color tables, variable-width LZW), decoded back by the native GIF
+    decoder (LZW + canvas composition), index-exact vs the system giflib
+    in tests/test_gif.py. The strip encoding is LOSSLESS for arbitrary
+    RGB, so like multimodal_webp this reuses the FULL symbolic feature
+    oracle: a hash match proves encode -> binary column -> decode ->
+    feature extraction is pixel-exact through the GIF round trip."""
+    from jsoup_spark.operators.multimodal import (
+        decode_stage, synthesize_media)
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    media = synthesize_media(docs, real=True, codec="gif")
+    dec = decode_stage(media, fake=False)
+    f = F.col("feature")
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        *[F.round(f[i], 5).alias(n) for i, n in enumerate(_FEATURE_NAMES)],
+    )
+
+
 def q_multimodal_jpeg_arith(spark, sf_dir):
     """Arithmetic-coded JPEG media path: every payload is a real SOF9
     stream from the native QM encoder (operators/jpeg_arith.py, ITU
@@ -573,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_jpeg_arith": q_multimodal_jpeg_arith,
         "multimodal_webp": q_multimodal_webp,
+        "multimodal_gif": q_multimodal_gif,
     }
 
 
@@ -1088,6 +1113,8 @@ GROUP BY g.doc_id""",
     # VP8L is lossless: the webp round trip must reproduce the exact
     # pixels, so it shares the full symbolic feature oracle
     out["multimodal_webp"] = out["multimodal_features"]
+    # GIF (strip encoder) is equally lossless: same full feature oracle
+    out["multimodal_gif"] = out["multimodal_features"]
     # arithmetic JPEG is lossy like the Huffman path: same
     # geometry-invariant oracle
     out["multimodal_jpeg_arith"] = out["multimodal_jpeg"]

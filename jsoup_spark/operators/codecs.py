@@ -59,6 +59,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "webp"
     if payload.startswith(b"\xff\xd8"):
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 

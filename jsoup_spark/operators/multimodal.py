@@ -18,7 +18,9 @@ shapes) is real and tested. Codec work is two-tier:
   contract (no PIL/opencv/ffmpeg in this container). Progressive JPEG
   left this tier in r6; WebP left it in r7 — both lossless (VP8L,
   codecs.py) and lossy (VP8 keyframes, operators/vp8.py) decode
-  natively, byte-identical to libwebp (tests/test_vp8.py).
+  natively, byte-identical to libwebp (tests/test_vp8.py); GIF
+  (87a/89a incl. animation, operators/gif.py) decodes natively,
+  index-exact vs giflib (tests/test_gif.py).
 """
 
 from __future__ import annotations
@@ -67,7 +69,9 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
     encoder (operators/jpeg_arith.py).
     codec="webp": every payload is a lossless VP8L WebP (predictor +
     subtract-green transforms, color cache) — lossless, so downstream
-    features stay pixel-exact through the round trip."""
+    features stay pixel-exact through the round trip.
+    codec="gif": lossless true-color GIF from the strip encoder
+    (operators/gif.py encode_gif) — also pixel-exact downstream."""
     if not real:
         payload = F.to_binary(F.md5(F.col("doc_id")), F.lit("hex"))
         meta = F.struct(
@@ -101,6 +105,9 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
                         img, predictor=True, subtract_green=True,
                         cache_bits=6)
                     mime = "image/webp"
+                elif codec == "gif":
+                    from .gif import encode_gif
+                    b, mime = encode_gif(img), "image/gif"
                 elif int(hashlib.md5(str(doc_id).encode())
                          .hexdigest(), 16) % 2 == 0:
                     b, mime = codecs.encode_png(img), "image/png"
@@ -132,7 +139,7 @@ def _hash_image(doc_id: str) -> "np.ndarray":
 def decode_image(payload: bytes, *, fake: bool = False):
     """Decode an image payload -> (width, height). PNG / uncompressed
     BMP / binary netpbm / baseline+progressive+arithmetic JPEG / WebP
-    (lossless VP8L and lossy VP8) decode NATIVELY (operators/codecs.py
+    (lossless VP8L and lossy VP8) / GIF decode NATIVELY (operators/codecs.py
     + jpeg_arith.py + vp8.py, stdlib + numpy). Other formats need an
     external codec library: NotImplementedError, or a deterministic
     hash-derived fake when `fake=True` (plumbing tests)."""
@@ -141,7 +148,7 @@ def decode_image(payload: bytes, *, fake: bool = False):
         return arr.shape[1], arr.shape[0]
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/BMP/netpbm/JPEG/WebP; decoding other "
+            "payload is not PNG/BMP/netpbm/JPEG/WebP/GIF; decoding other "
             "image formats requires an imaging library (PIL/opencv) "
             "on the cluster")
     h = hashlib.sha256(payload).digest()
@@ -165,6 +172,9 @@ def decode_image_array(payload: bytes):
             return codecs.decode_jpeg(payload)
         if fmt == "webp":
             return codecs.decode_webp(payload)
+        if fmt == "gif":
+            from .gif import decode_gif
+            return decode_gif(payload)
     except ValueError:
         return None  # esoteric/corrupt variant (interlaced/16-bit/...)
     return None
