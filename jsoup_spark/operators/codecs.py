@@ -66,49 +66,22 @@ def sniff_format(payload: bytes) -> str | None:
 
 # -------------------------------------------------------------------- PNG
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# (x_start, x_step, y_start, y_step) per Adam7 pass
+_ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> uint8 array (H, W, C). Supports bit depth 8, color types
-    gray/gray+alpha/RGB/RGBA, non-interlaced (the overwhelming majority
-    of real-world PNGs). Raises ValueError on anything else."""
-    if not payload.startswith(_PNG_MAGIC):
-        raise ValueError("not a PNG")
-    pos = 8
-    width = height = None
-    bit_depth = color_type = interlace = None
-    idat = bytearray()
-    n = len(payload)
-    while pos + 8 <= n:
-        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
-            payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG depth/color "
-                         f"({bit_depth}/{color_type})")
-    if interlace:
-        raise ValueError("interlaced PNG unsupported")
-    ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    raw = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+def _png_unfilter(raw: np.ndarray, row_bytes: int, bpp: int) -> np.ndarray:
+    """(h, 1 + row_bytes) filtered scanlines -> (h, row_bytes) uint8.
+    `bpp` is the filter byte offset (bytes per complete pixel, min 1)."""
+    height = raw.shape[0]
     filters = raw[:, 0]
     lines = raw[:, 1:].astype(np.int32)  # headroom for the filter math
-    out = np.empty((height, stride), np.int32)
-    prev = np.zeros(stride, np.int32)
+    out = np.empty((height, row_bytes), np.int32)
+    prev = np.zeros(row_bytes, np.int32)
     for y in range(height):
         f = filters[y]
         line = lines[y]
@@ -116,21 +89,21 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line.copy()
         elif f == 1:                    # Sub (serial in x: per-pixel loop
             cur = line.copy()           #  over pixels, vector over channels)
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+            for x in range(bpp, row_bytes):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
         elif f == 2:                    # Up
             cur = (line + prev) & 0xFF
         elif f == 3:                    # Average
             cur = line.copy()
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                a = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
         elif f == 4:                    # Paeth
             cur = line.copy()
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (
@@ -140,7 +113,135 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur
         prev = cur
-    return out.astype(np.uint8).reshape(height, width, ch)
+    return out.astype(np.uint8)
+
+
+def _png_rows_to_samples(rows: np.ndarray, width: int, ch: int,
+                         depth: int) -> np.ndarray:
+    """(h, row_bytes) unfiltered bytes -> (h, width*ch) native-depth
+    sample values (int32)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :width * ch].astype(np.int32)
+    if depth == 16:
+        return rows.reshape(h, -1).view(">u2")[:, :width * ch] \
+            .astype(np.int32)
+    bits = np.unpackbits(rows, axis=1)[:, :width * ch * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+    return bits.reshape(h, width * ch, depth).astype(np.int32) @ weights
+
+
+def _scale16(v: np.ndarray) -> np.ndarray:
+    # accurate 16 -> 8 scaling (round(v * 255 / 65535)); matches libpng's
+    # png_set_scale_16 / the simplified API under a declared encoding
+    # gamma — calibrated over all 65536 values in tests/test_png_full.py
+    return (v * 255 + 32767) // 65535
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array (H, W, C): the full static format — bit depths
+    1/2/4/8/16, all five color types (palette via PLTE), Adam7
+    interlacing, and tRNS transparency (palette alpha; gray/RGB color
+    keys surface as an alpha channel). 16-bit samples scale to 8 with
+    correct rounding; sub-byte gray replicates to 8 bits exactly as
+    libpng expands it. Gamma-naive by design (gAMA/iCCP are metadata
+    here, as in every pixel-stat pipeline). Raises ValueError on
+    malformed streams. Validated pixel-exactly against the system
+    libpng16 in tests/test_png_full.py."""
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    trns = None
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("PNG truncated chunk")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("PNG bad IHDR length")
+            width, height, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG bad PLTE length")
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if color_type not in _PNG_CHANNELS \
+            or bit_depth not in _PNG_DEPTHS.get(color_type, ()):
+        raise ValueError(f"unsupported PNG depth/color "
+                         f"({bit_depth}/{color_type})")
+    if width == 0 or height == 0:
+        raise ValueError("PNG empty image")
+    ch = _PNG_CHANNELS[color_type]
+    bpp = max(1, ch * bit_depth // 8)
+    raw = zlib.decompress(bytes(idat))
+
+    samples = np.zeros((height, width, ch), np.int32)
+    passes = [(0, 1, 0, 1, width, height)] if not interlace else [
+        (xs, xt, ys, yt,
+         (width - xs + xt - 1) // xt if width > xs else 0,
+         (height - ys + yt - 1) // yt if height > ys else 0)
+        for xs, xt, ys, yt in _ADAM7]
+    need = sum(ph * (1 + (pw * ch * bit_depth + 7) // 8)
+               for *_, pw, ph in passes if pw and ph)
+    if len(raw) != need:
+        raise ValueError("PNG data length mismatch")
+    off = 0
+    for xs, xt, ys, yt, pw, ph in passes:
+        if not pw or not ph:
+            continue
+        row_bytes = (pw * ch * bit_depth + 7) // 8
+        block = np.frombuffer(raw, np.uint8,
+                              count=ph * (1 + row_bytes),
+                              offset=off).reshape(ph, 1 + row_bytes)
+        off += ph * (1 + row_bytes)
+        rows = _png_unfilter(block, row_bytes, bpp)
+        vals = _png_rows_to_samples(rows, pw, ch, bit_depth)
+        samples[ys::yt, xs::xt] = vals.reshape(ph, pw, ch)
+
+    if color_type == 3:
+        idx = samples[:, :, 0]
+        if palette is None:
+            raise ValueError("PNG palette image missing PLTE")
+        if (idx >= len(palette)).any():
+            raise ValueError("PNG palette index out of range")
+        rgb = palette[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(palette), 255, np.uint8)
+        alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.dstack([rgb, alpha[idx]])
+
+    # scale native depth to 8 bits
+    if bit_depth == 16:
+        out = _scale16(samples)
+    elif bit_depth < 8:                 # gray only (color type 0)
+        out = samples * (255 // ((1 << bit_depth) - 1))
+    else:
+        out = samples
+    out = out.astype(np.uint8)
+    if trns is not None and color_type in (0, 2):
+        key = np.frombuffer(trns, ">u2").astype(np.int32)
+        if len(key) != ch:
+            raise ValueError("PNG bad tRNS length")
+        opaque = (samples != key).any(axis=2)
+        out = np.dstack([out, opaque.astype(np.uint8) * 255])
+    return out
 
 
 def encode_png(img: np.ndarray) -> bytes:
@@ -151,14 +252,103 @@ def encode_png(img: np.ndarray) -> bytes:
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + ctype + data
-                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b""))
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png_filter_rows(vals: np.ndarray, bpp: int, filters) -> bytes:
+    """(h, row_bytes) uint8 scanlines -> filtered bytes (filter id
+    prefix per row). `filters`: per-row filter ids (cycled)."""
+    h, row_bytes = vals.shape
+    out = bytearray()
+    prev = np.zeros(row_bytes, np.int32)
+    shift = np.zeros(row_bytes, np.int32)
+    for y in range(h):
+        cur = vals[y].astype(np.int32)
+        f = filters[y % len(filters)]
+        shift[:bpp] = 0
+        shift[bpp:] = cur[:-bpp] if row_bytes > bpp else 0
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - shift) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((shift + prev) >> 1)) & 0xFF
+        else:                           # Paeth
+            c = np.zeros(row_bytes, np.int32)
+            c[bpp:] = prev[:-bpp] if row_bytes > bpp else 0
+            p = shift + prev - c
+            pa, pb, pc = np.abs(p - shift), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), shift,
+                            np.where(pb <= pc, prev, c))
+            enc = (cur - pred) & 0xFF
+        out.append(f)
+        out += enc.astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(out)
+
+
+def _png_pack_rows(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(h, width*ch) native-depth samples -> (h, row_bytes) uint8."""
+    h, n = vals.shape
+    if depth == 8:
+        return vals.astype(np.uint8)
+    if depth == 16:
+        return vals.astype(">u2").view(np.uint8).reshape(h, 2 * n)
+    bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1) \
+        .astype(np.uint8).reshape(h, n * depth)
+    return np.packbits(bits, axis=1)
+
+
+def encode_png_ex(samples: np.ndarray, color_type: int, bit_depth: int,
+                  *, palette: np.ndarray | None = None,
+                  trns: bytes | None = None, interlace: bool = False,
+                  gama: int | None = None,
+                  filters=(0, 1, 2, 3, 4)) -> bytes:
+    """Spec-conformant PNG test encoder covering the decoder's full
+    matrix (the encode_gif / encode_webp_lossless zero-fixtures
+    tradition): any legal color-type/bit-depth combination, Adam7
+    interlacing, PLTE/tRNS, per-row filter cycling, optional gAMA.
+
+    `samples` holds NATIVE-depth values: (H, W) for gray/palette,
+    (H, W, ch) otherwise."""
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError("illegal PNG depth/color combination")
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, ch = samples.shape
+    if ch != _PNG_CHANNELS[color_type]:
+        raise ValueError("sample channels do not match color type")
+    bpp = max(1, ch * bit_depth // 8)
+    body = bytearray()
+    passes = [(0, 1, 0, 1)] if not interlace else _ADAM7
+    for xs, xt, ys, yt in passes:
+        sub = samples[ys::yt, xs::xt]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        rows = _png_pack_rows(sub.reshape(ph, pw * ch), bit_depth)
+        body += _png_filter_rows(rows, bpp, filters)
+    out = bytearray(_PNG_MAGIC)
+    out += _png_chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, int(interlace)))
+    if gama is not None:
+        out += _png_chunk(b"gAMA", struct.pack(">I", gama))
+    if palette is not None:
+        out += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
 
 
 # -------------------------------------------------------------------- BMP
