@@ -20,7 +20,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from jsoup_spark.operators import dedup, events, similarity, textstats
+from jsoup_spark.operators import (
+    dedup, events, scrub, similarity, textstats)
 from jsoup_spark.operators.pipeline import (
     clean_stage, extract_stage, fragment_stage, positions_stage,
     select_stage, spans_to_rows, xml_stage,
@@ -296,6 +297,37 @@ def q_ngram_topk(spark, sf_dir):
     """Global top-20 word bigrams (corpus statistics): map-side-combined
     hash aggregate + TakeOrdered; total order (count desc, ngram asc)."""
     return textstats.ngram_topk(_documents(spark, sf_dir), n=2, k=20)
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher repetition-filter building blocks (top-bigram count,
+    duplicated-trigram chars) — per-doc local sorted-run aggregates,
+    zero exchanges (textstats.repetition_stats)."""
+    return textstats.repetition_stats(_documents(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over deterministically synthesized emails / phones /
+    IPs (scrub.with_synth_pii -> scrub.pii_scrub): pure-Catalyst regex
+    in the Java∩RE2 subset, map-only; the oracle recomputes the same
+    augmented text and redactions symbolically."""
+    return scrub.pii_scrub(scrub.with_synth_pii(
+        _documents(spark, sf_dir)))
+
+
+def q_url_normalize(spark, sf_dir):
+    """Crawl-frontier URL normalization over deterministic synthetic
+    URLs (scrub.with_synth_url -> scrub.url_normalize): lowercase host,
+    strip www./fragment/tracking params, registered domain. Map-only."""
+    return scrub.url_normalize(scrub.with_synth_url(
+        _documents(spark, sf_dir)))
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph-level exact dedup (3-word chunks at this
+    corpus' vocabulary): explode -> map-side-combined groupBy(md5) ->
+    co-partitioned join -> per-doc rollup (scrub.paragraph_dedup)."""
+    return scrub.paragraph_dedup(_documents(spark, sf_dir), chunk_words=3)
 
 
 def q_contamination(spark, sf_dir):
@@ -576,6 +608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "fingerprint_rolling": q_fingerprint_rolling,
         "ngram_topk": q_ngram_topk,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "url_normalize": q_url_normalize,
+        "paragraph_dedup": q_paragraph_dedup,
         "contamination": q_contamination,
         "dedup_exact": q_dedup_exact,
         "minhash": q_minhash,
@@ -743,6 +779,117 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT ngram, count(*) AS n_count FROM g GROUP BY 1
             ORDER BY n_count DESC, ngram ASC LIMIT 20""",
+        "repetition": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+            grams AS (
+              SELECT doc_id, len(words) AS nw,
+                     len(list_distinct(words)) AS nd,
+                     list_transform(range(1, len(words)),
+                       i -> words[i] || ' ' || words[i+1]) AS bigrams,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_transform(range(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1] || ' '
+                              || words[i+2])
+                     ELSE []::VARCHAR[] END AS trigrams
+              FROM base),
+            bg AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(bigrams) AS g FROM grams)
+              GROUP BY doc_id, g),
+            tg AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(trigrams) AS g FROM grams)
+              GROUP BY doc_id, g)
+            SELECT g.doc_id AS doc_id,
+                   CAST(nw AS INT) AS n_words,
+                   CAST(nd AS INT) AS n_distinct_words,
+                   CAST(coalesce(b.mc, 0) AS INT) AS top_bigram_count,
+                   CAST(coalesce(t.dc, 0) AS INT) AS dup_trigram_chars
+            FROM grams g
+            LEFT JOIN (SELECT doc_id, max(c) AS mc FROM bg
+                       GROUP BY doc_id) b USING (doc_id)
+            LEFT JOIN (SELECT doc_id, sum(c * length(g)) AS dc FROM tg
+                       WHERE c >= 2 GROUP BY doc_id) t USING (doc_id)""",
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR)
+                  || '@example.'
+                  || (CASE doc_id % 3 WHEN 0 THEN 'com'
+                      WHEN 1 THEN 'net' ELSE 'org' END)
+                  || ' or call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || (CASE WHEN doc_id % 2 = 0 THEN
+                        ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      ELSE '' END) AS a
+              FROM documents),
+            red AS (
+              SELECT doc_id, a,
+                regexp_replace(regexp_replace(regexp_replace(a,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g'),
+                  '\\+1-555-[0-9]{4}', '[PHONE]', 'g'),
+                  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                  '[IP]', 'g') AS redacted
+              FROM aug)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(a,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(a, '\\+1-555-[0-9]{4}'))
+                AS INT) AS n_phones,
+              CAST(len(regexp_extract_all(a,
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                AS INT) AS n_ips,
+              redacted,
+              CAST(length(redacted) AS INT) AS redacted_len
+            FROM red""",
+        "url_normalize": """
+            WITH u AS (
+              SELECT doc_id,
+                'HTTPS://WWW.' || upper(source) || '.Example.COM/'
+                  || lang || '/page-' || CAST(doc_id % 7 AS VARCHAR)
+                  || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                  || '&ref=r' || CAST(doc_id % 3 AS VARCHAR)
+                  || '#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+              FROM documents),
+            parts AS (
+              SELECT doc_id,
+                regexp_replace(lower(regexp_extract(url,
+                  '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+                regexp_extract(url,
+                  '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                regexp_extract(regexp_extract(url, '\\?([^#]*)', 1),
+                  '(?:^|&)(id=[0-9]+)', 1) AS id_param
+              FROM u)
+            SELECT doc_id, host,
+              regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                AS registered_domain,
+              'https://' || host || path ||
+                (CASE WHEN id_param <> '' THEN '?' || id_param
+                 ELSE '' END) AS norm_url
+            FROM parts""",
+        "paragraph_dedup": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, unnest(list_transform(
+                range(0, CAST(ceil(len(words) / 3.0) AS BIGINT)),
+                i -> array_to_string(words[i*3+1:i*3+3], ' '))) AS para
+              FROM base),
+            f AS (SELECT para, count(*) AS freq FROM chunks
+                  GROUP BY para)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_paras,
+              CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_paras,
+              CAST(sum(CASE WHEN freq = 1 THEN length(para) ELSE 0 END)
+                AS BIGINT) AS retained_chars
+            FROM chunks JOIN f USING (para) GROUP BY doc_id""",
         "contamination": f"""
             WITH sh AS (
               SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle

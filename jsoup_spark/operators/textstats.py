@@ -168,6 +168,73 @@ def fingerprint_rolling(documents: DataFrame, k: int = 8,
     )
 
 
+def _word_ngrams(words, n: int):
+    """Array of space-joined word n-grams (empty when size < n)."""
+    size = F.size(words)
+    g = words
+    for i in range(1, n):
+        g = F.zip_with(g, F.slice(words, i + 1, size),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    out = F.slice(g, 1, F.greatest(size - (n - 1), F.lit(0)))
+    return F.when(size >= n, out).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    occurrence count of the most-frequent word bigram and the characters
+    covered by duplicated trigrams, plus word/distinct-word counts — the
+    integer building blocks of the top-n-gram-fraction and
+    dup-n-gram-char-fraction rules.
+
+    Scale shape: per-doc LOCAL computation — n-grams are sorted per doc
+    and duplicate runs counted with a single O(n log n) aggregate, all
+    inside whole-stage codegen. Zero exchanges, zero UDFs; at 100 TB
+    this is a pure map stage (unlike an explode -> groupBy(doc, gram)
+    formulation, which would shuffle the whole n-gram stream)."""
+    d = with_words(documents)
+    w = F.col("_words")
+
+    def _max_run(grams):
+        # max duplicate-run length over the sorted gram array
+        step = lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+            .alias("best"))
+        init = F.struct(F.lit("\x00").alias("prev"),
+                        F.lit(0).alias("run"), F.lit(0).alias("best"))
+        return F.aggregate(F.array_sort(grams), init, step,
+                           lambda acc: acc["best"])
+
+    def _dup_chars(grams):
+        # sum of run_len * len(gram) over runs with run_len >= 2
+        flush = lambda acc: F.when(
+            acc["run"] >= 2,
+            acc["total"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["total"])
+        step = lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.when(x == acc["prev"], acc["total"]).otherwise(flush(acc))
+            .alias("total"))
+        init = F.struct(F.lit("\x00").alias("prev"),
+                        F.lit(0).alias("run"), F.lit(0).alias("total"))
+        return F.aggregate(F.array_sort(grams), init, step, flush)
+
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        _max_run(_word_ngrams(w, 2)).alias("top_bigram_count"),
+        _dup_chars(_word_ngrams(w, 3)).alias("dup_trigram_chars"),
+    )
+
+
 def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Global top-k word n-grams by count (corpus statistics / vocabulary
     audits). Ties break lexicographically on the n-gram.
