@@ -503,6 +503,27 @@ def q_multimodal_gif(spark, sf_dir):
     )
 
 
+def q_multimodal_tiff(spark, sf_dir):
+    """TIFF media path: every payload is a real LZW+predictor TIFF from
+    the native encoder (operators/tiff.py), decoded back by the native
+    baseline-TIFF decoder — both validated against the system libtiff in
+    BOTH directions in tests/test_tiff.py. Lossless, so like webp/gif
+    this reuses the FULL symbolic pixel-exact feature oracle."""
+    from jsoup_spark.operators.multimodal import (
+        decode_stage, synthesize_media)
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    media = synthesize_media(docs, real=True, codec="tiff")
+    dec = decode_stage(media, fake=False)
+    f = F.col("feature")
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        *[F.round(f[i], 5).alias(n) for i, n in enumerate(_FEATURE_NAMES)],
+    )
+
+
 def q_multimodal_jpeg_arith(spark, sf_dir):
     """Arithmetic-coded JPEG media path: every payload is a real SOF9
     stream from the native QM encoder (operators/jpeg_arith.py, ITU
@@ -634,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_arith": q_multimodal_jpeg_arith,
         "multimodal_webp": q_multimodal_webp,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_tiff": q_multimodal_tiff,
     }
 
 
@@ -1260,8 +1282,10 @@ GROUP BY g.doc_id""",
     # VP8L is lossless: the webp round trip must reproduce the exact
     # pixels, so it shares the full symbolic feature oracle
     out["multimodal_webp"] = out["multimodal_features"]
-    # GIF (strip encoder) is equally lossless: same full feature oracle
+    # GIF (strip encoder) and TIFF (LZW+predictor) are equally lossless:
+    # same full feature oracle
     out["multimodal_gif"] = out["multimodal_features"]
+    out["multimodal_tiff"] = out["multimodal_features"]
     # arithmetic JPEG is lossy like the Huffman path: same
     # geometry-invariant oracle
     out["multimodal_jpeg_arith"] = out["multimodal_jpeg"]

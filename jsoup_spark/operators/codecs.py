@@ -61,6 +61,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 

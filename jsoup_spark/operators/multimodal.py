@@ -20,7 +20,10 @@ shapes) is real and tested. Codec work is two-tier:
   codecs.py) and lossy (VP8 keyframes, operators/vp8.py) decode
   natively, byte-identical to libwebp (tests/test_vp8.py); GIF
   (87a/89a incl. animation, operators/gif.py) decodes natively,
-  index-exact vs giflib (tests/test_gif.py).
+  index-exact vs giflib (tests/test_gif.py); baseline TIFF
+  (strips/tiles/planar, None/LZW/Deflate/PackBits, predictor,
+  operators/tiff.py) decodes natively, validated both directions vs
+  libtiff (tests/test_tiff.py).
 """
 
 from __future__ import annotations
@@ -71,7 +74,9 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
     subtract-green transforms, color cache) — lossless, so downstream
     features stay pixel-exact through the round trip.
     codec="gif": lossless true-color GIF from the strip encoder
-    (operators/gif.py encode_gif) — also pixel-exact downstream."""
+    (operators/gif.py encode_gif) — also pixel-exact downstream.
+    codec="tiff": LZW+predictor TIFF (operators/tiff.py encode_tiff) —
+    also pixel-exact downstream."""
     if not real:
         payload = F.to_binary(F.md5(F.col("doc_id")), F.lit("hex"))
         meta = F.struct(
@@ -108,6 +113,11 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
                 elif codec == "gif":
                     from .gif import encode_gif
                     b, mime = encode_gif(img), "image/gif"
+                elif codec == "tiff":
+                    from .tiff import encode_tiff
+                    b = encode_tiff(img.astype("int64"),
+                                    compression=5, predictor=2)
+                    mime = "image/tiff"
                 elif int(hashlib.md5(str(doc_id).encode())
                          .hexdigest(), 16) % 2 == 0:
                     b, mime = codecs.encode_png(img), "image/png"
@@ -139,7 +149,7 @@ def _hash_image(doc_id: str) -> "np.ndarray":
 def decode_image(payload: bytes, *, fake: bool = False):
     """Decode an image payload -> (width, height). PNG / uncompressed
     BMP / binary netpbm / baseline+progressive+arithmetic JPEG / WebP
-    (lossless VP8L and lossy VP8) / GIF decode NATIVELY (operators/codecs.py
+    (lossless VP8L and lossy VP8) / GIF / TIFF decode NATIVELY (operators/codecs.py
     + jpeg_arith.py + vp8.py, stdlib + numpy). Other formats need an
     external codec library: NotImplementedError, or a deterministic
     hash-derived fake when `fake=True` (plumbing tests)."""
@@ -148,8 +158,8 @@ def decode_image(payload: bytes, *, fake: bool = False):
         return arr.shape[1], arr.shape[0]
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/BMP/netpbm/JPEG/WebP/GIF; decoding other "
-            "image formats requires an imaging library (PIL/opencv) "
+            "payload is not PNG/BMP/netpbm/JPEG/WebP/GIF/TIFF; decoding "
+            "other image formats requires an imaging library (PIL/opencv) "
             "on the cluster")
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
@@ -175,6 +185,9 @@ def decode_image_array(payload: bytes):
         if fmt == "gif":
             from .gif import decode_gif
             return decode_gif(payload)
+        if fmt == "tiff":
+            from .tiff import decode_tiff
+            return decode_tiff(payload)
     except ValueError:
         return None  # esoteric/corrupt variant (interlaced/16-bit/...)
     return None
