@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from jsoup_spark.operators import (
-    dedup, events, scrub, similarity, textstats)
+    dedup, events, relational, scrub, similarity, textstats)
 from jsoup_spark.operators.pipeline import (
     clean_stage, extract_stage, fragment_stage, positions_stage,
     select_stage, spans_to_rows, xml_stage,
@@ -427,6 +427,52 @@ def q_embed_neardup_scale(spark, sf_dir):
                                     threshold=-1.0, scale="large")
 
 
+# ------------------------------------------------------------ relational
+
+def _table(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join (purchase -> latest prior click per user): union +
+    one hash shuffle + running last(ignorenulls) window — the
+    O(n log n)/key, single-exchange shape, NOT an exploding range join
+    (operators/relational.py asof_join). Deterministic tie-break,
+    all-integer output."""
+    return relational.events_asof(_table(spark, sf_dir, "events"))
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1 shape over lineitem: scan-side date filter + one
+    map-side-combined aggregate; money sums as exact BIGINT cents
+    (relational.pricing_summary)."""
+    return relational.pricing_summary(
+        _table(spark, sf_dir, "lineitem"), cutoff="1998-09-01")
+
+
+def q_tpch_order_topk(spark, sf_dir):
+    """TPC-H Q3 shape: filtered customer/orders/lineitem natural-key
+    joins, hash aggregate, deterministic top-10 by revenue
+    (relational.order_revenue_topk)."""
+    return relational.order_revenue_topk(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: fact joins on natural keys + BROADCAST
+    nation/region dims, local-supplier condition, per-nation revenue in
+    exact cents (relational.region_revenue)."""
+    return relational.region_revenue(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"))
+
+
 # ------------------------------------------------------------ multimodal
 
 _FEATURE_NAMES = ("r_mean", "g_mean", "b_mean", "all_mean",
@@ -649,6 +695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_scale": q_embed_neardup_scale,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_order_topk": q_tpch_order_topk,
+        "tpch_region_revenue": q_tpch_region_revenue,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -1134,6 +1184,70 @@ def oracle_sql() -> dict[str, str]:
                             (a, b) -> (a + b) % 1000000007), 0) AS sketch_sum
             FROM g""",
         "token_count_bpe": "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens, len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe_tokens FROM documents",
+        "events_asof": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+            c AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'),
+            m AS (
+              SELECT p.event_id, p.user_id, p.ts,
+                (SELECT c.event_id FROM c
+                 WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                 AS click_event_id
+              FROM p)
+            SELECT m.event_id, m.user_id,
+                   epoch_us(m.ts) AS ts_us, m.click_event_id,
+                   CAST(round(c.value * 100000) AS BIGINT)
+                     AS click_value_e5,
+                   CAST((epoch_us(m.ts) - epoch_us(c.ts)) // 1000
+                     AS BIGINT) AS gap_ms
+            FROM m LEFT JOIN c ON c.event_id = m.click_event_id""",
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                AS BIGINT) AS sum_qty_c,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_base_c,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+                AS sum_charge_c,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "tpch_order_topk": """
+            SELECT l_orderkey,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+              min(strftime(o_orderdate, '%Y-%m-%d')) AS o_orderdate
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1 ORDER BY revenue_c DESC, l_orderkey ASC
+            LIMIT 10""",
+        "tpch_region_revenue": """
+            SELECT n_name,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1 ORDER BY revenue_c DESC, n_name ASC""",
         "events_windowed": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
                    event_type, count(*) AS n_events,
