@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from jsoup_spark.operators import (
-    dedup, events, relational, scrub, similarity, textstats)
+    dedup, events, graph, relational, scrub, similarity, textstats)
 from jsoup_spark.operators.pipeline import (
     clean_stage, extract_stage, fragment_stage, positions_stage,
     select_stage, spans_to_rows, xml_stage,
@@ -427,6 +427,16 @@ def q_embed_neardup_scale(spark, sf_dir):
                                     threshold=-1.0, scale="large")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering end to end: LSH candidate pairs ->
+    iterative hash-min connected components (localCheckpoint per round,
+    scalar convergence probe) -> per-doc (cluster_id, is_keeper)
+    (operators/graph.py). The DuckDB oracle computes the same
+    components with a recursive CTE — min-label fixpoints are unique,
+    so both engines agree exactly."""
+    return graph.dedup_clusters(_documents(spark, sf_dir))
+
+
 # ------------------------------------------------------------ relational
 
 def _table(spark, sf_dir, name):
@@ -693,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_mp": q_ann_ivf_mp,
         "embed_neardup_mp": q_embed_neardup_mp,
         "embed_neardup_scale": q_embed_neardup_scale,
+        "dedup_clusters": q_dedup_clusters,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1001,6 +1012,30 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM sh a JOIN sh b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct({_SHINGLE_SQL}) AS sh,
+                     md5({_mh_sql(0)} || '|' || {_mh_sql(1)}) AS band_key
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+            reach(v, w) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, r.w FROM edges e JOIN reach r ON r.v = e.b),
+            cc AS (SELECT v, min(w) AS label FROM reach GROUP BY v)
+            SELECT d.doc_id,
+                   coalesce(cc.label, d.doc_id) AS cluster_id,
+                   CAST(coalesce(cc.label, d.doc_id) = d.doc_id AS INT)
+                     AS is_keeper
+            FROM documents d LEFT JOIN cc ON cc.v = d.doc_id""",
         "ngram_jaccard_capped": f"""
             WITH sh AS (
               SELECT doc_id,
