@@ -452,6 +452,22 @@ def q_events_asof(spark, sf_dir):
     return relational.events_asof(_table(spark, sf_dir, "events"))
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Top-5 documents per language by n_chars (rank window with
+    deterministic doc_id tie-break) — relational.top_k_per_group."""
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    return relational.top_k_per_group(
+        docs, "lang", "n_chars", k=5, id_col="doc_id")
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact p50/p90/p99 per event type over fixed-point value units
+    (relational.events_quantiles)."""
+    return relational.events_quantiles(_table(spark, sf_dir, "events"))
+
+
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1 shape over lineitem: scan-side date filter + one
     map-side-combined aggregate; money sums as exact BIGINT cents
@@ -707,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "topk_per_group": q_topk_per_group,
+        "events_quantiles": q_events_quantiles,
         "tpch_pricing": q_tpch_pricing,
         "tpch_order_topk": q_tpch_order_topk,
         "tpch_region_revenue": q_tpch_region_revenue,
@@ -1240,6 +1258,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST((epoch_us(m.ts) - epoch_us(c.ts)) // 1000
                      AS BIGINT) AS gap_ms
             FROM m LEFT JOIN c ON c.event_id = m.click_event_id""",
+        "topk_per_group": """
+            SELECT doc_id, lang, n_chars, CAST(rnk AS INT) AS rnk
+            FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rnk
+              FROM documents)
+            WHERE rnk <= 5""",
+        "events_quantiles": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 100000) AS BIGINT) AS v_e5
+              FROM events)
+            SELECT event_type, count(*) AS n,
+              CAST(round(quantile_cont(v_e5, 0.5)) AS BIGINT) AS p50_e5,
+              CAST(round(quantile_cont(v_e5, 0.9)) AS BIGINT) AS p90_e5,
+              CAST(round(quantile_cont(v_e5, 0.99)) AS BIGINT) AS p99_e5
+            FROM v GROUP BY 1 ORDER BY 1""",
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,
               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))

@@ -101,6 +101,37 @@ def events_asof(events: DataFrame, *, left_type: str = "purchase",
     )
 
 
+def top_k_per_group(df: DataFrame, group: str, order: str, *,
+                    k: int = 5, id_col: str | None = None) -> DataFrame:
+    """Top-k rows per group by `order` (desc), deterministic tie-break
+    on `id_col`. One shuffle (the rank window); at scale the window's
+    per-partition TopK pushdown keeps state bounded per group."""
+    w = Window.partitionBy(group).orderBy(
+        F.col(order).desc(),
+        *( [F.col(id_col).asc()] if id_col else []))
+    return (df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .withColumn("rnk", F.col("rnk").cast("int")))
+
+
+def events_quantiles(events: DataFrame) -> DataFrame:
+    """Exact per-type value quantiles (p50/p90/p99) computed over the
+    fixed-point 1e-5 units. Both engines interpolate at (n-1)*p over
+    identical long inputs, so the doubles are bit-identical; emitted
+    rounded to 1e-5-unit precision as BIGINT."""
+    v = F.round(F.col("value") * 1e5).cast("long")
+    e = events.select("event_type", v.alias("v_e5"))
+
+    def q(p, name):
+        return F.round(F.expr(f"percentile(v_e5, {p})")) \
+            .cast("long").alias(name)
+
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 q(0.5, "p50_e5"), q(0.9, "p90_e5"), q(0.99, "p99_e5"))
+            .orderBy("event_type"))
+
+
 def _cents(col):
     return F.round(col * 100).cast("long")
 

@@ -119,3 +119,84 @@ def running_totals_stateful(extracted_stream: DataFrame) -> DataFrame:
     return keyed.groupBy("group_key").applyInPandasWithState(
         update, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def sessionize_stateful(events_stream: DataFrame,
+                        gap_seconds: int = 1800,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of operators/events.sessionize: gap-based session
+    windows as a custom stateful operator (applyInPandasWithState with
+    EVENT-TIME TIMEOUT). Per user the state holds the open session
+    (start/end/count/fixed-point value sum); an event within
+    `gap_seconds` of the open session extends it, a later event closes
+    it (emitting the finished session) and opens a new one, and the
+    event-time timeout closes idle sessions once the WATERMARK passes
+    session_end + gap — so sessions emit exactly once, in append mode,
+    without waiting for the user's next event.
+
+    Semantics match the batch operator: same gap rule, same
+    deterministic (ts, event_id) order within a micro-batch, same
+    all-integer output contract (epoch-second bounds, sum in 1e-5
+    units). State per key is O(1) — the 100 TB shape (the batch window
+    sort becomes a per-key running fold)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_e5", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_e5", T.LongType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v = state.get
+                closed.append((key[0], s, e, n, v))
+                state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True) \
+                if pdfs else pd.DataFrame()
+            if len(rows):
+                rows = rows.sort_values(["ts", "event_id"])
+                for ts, val in zip(
+                        rows["ts"].astype("int64") // 10**9,
+                        rows["value"]):
+                    e5 = int(round(val * 100000))
+                    ts = int(ts)
+                    if cur is None:
+                        cur = (ts, ts, 1, e5)
+                    elif ts - cur[1] <= gap_seconds:
+                        cur = (cur[0], max(cur[1], ts),
+                               cur[2] + 1, cur[3] + e5)
+                    else:
+                        closed.append((key[0], *cur))
+                        cur = (ts, ts, 1, e5)
+            if cur is not None:
+                state.update(cur)
+                # close via event time: when the watermark passes
+                # session_end + gap no earlier event can extend it
+                state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start",
+                                 "session_end", "n_events",
+                                 "sum_value_e5"])
+
+    keyed = (events_stream
+             .withWatermark("ts", watermark)
+             .select("user_id", "ts", "event_id", "value"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout)
