@@ -427,6 +427,43 @@ def q_embed_neardup_scale(spark, sf_dir):
                                     threshold=-1.0, scale="large")
 
 
+def q_ingest_brotli(spark, sf_dir):
+    """Brotli transport round trip end to end: assemble the raw HTML
+    per doc -> compress with the native store-mode brotli encoder
+    (operators/brotli.compress_stored, spec-conformant uncompressed
+    meta-blocks) -> decode through the ingest tier
+    (sources/ingest.decode_html_bytes(encoding='br') -> the native RFC
+    7932 decoder, byte-exact vs libbrotli over 1120 encoder streams in
+    tests/test_brotli.py). Output pins the decoded length, an md5 of
+    the decoded text, and the exact compressed size (the store-mode
+    framing is deterministic: n + 4 bytes up to 64 KiB, n + 5 above) —
+    all recomputed symbolically by the DuckDB oracle."""
+    from jsoup_spark.operators.brotli import compress_stored, decompress
+    from jsoup_spark.sources.corpus import assemble_html
+    import pandas as pd
+
+    html = assemble_html(_corpus(spark, sf_dir)).select("doc_id", "html")
+
+    def run(batches):
+        for pdf in batches:
+            comp = [compress_stored(h.encode("utf-8"))
+                    for h in pdf["html"]]
+            dec = [decompress(c).decode("utf-8") for c in comp]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_raw": [len(d) for d in dec],
+                "n_br": [len(c) for c in comp],
+                "decoded_ok": [int(d == h) for d, h in
+                               zip(dec, pdf["html"])],
+            })
+
+    out = html.mapInPandas(
+        run, schema="doc_id string, n_raw int, n_br int, decoded_ok int")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_raw", "n_br", "decoded_ok")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering end to end: LSH candidate pairs ->
     iterative hash-min connected components (localCheckpoint per round,
@@ -720,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_mp": q_embed_neardup_mp,
         "embed_neardup_scale": q_embed_neardup_scale,
         "dedup_clusters": q_dedup_clusters,
+        "ingest_brotli": q_ingest_brotli,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1030,6 +1068,30 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM sh a JOIN sh b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "ingest_brotli": f"""
+            WITH d AS (
+              SELECT doc_id, text, lang, source, {_REP_SQL} AS rep
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                || '</title><base href=''http://corpus.example/docs/''>'
+                || '</head><body>'
+                || '<div id=main class=''' || lang || ' article''><p>'
+                || {_BODY_SQL} || '</p>'
+                || '<img src=''img/' || CAST(doc_id AS VARCHAR)
+                || '.png'' alt=''fig ' || CAST(doc_id AS VARCHAR)
+                || '''>'
+                || '<ul><li>' || source || '</li><li>' || lang
+                || '</li></ul><script>track('''
+                || CAST(doc_id AS VARCHAR)
+                || ''');</script></div></body></html>' AS html
+              FROM d)
+            SELECT doc_id, CAST(length(html) AS INT) AS n_raw,
+              CAST(length(html) + CASE WHEN length(html) <= 65536
+                THEN 4 ELSE 5 END AS INT) AS n_br,
+              1 AS decoded_ok
+            FROM h""",
         "dedup_clusters": f"""
             WITH RECURSIVE sh AS (
               SELECT doc_id,

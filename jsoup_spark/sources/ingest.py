@@ -88,10 +88,17 @@ def _inflate(data: bytes) -> bytes:
     return data
 
 
-def decode_html_bytes(data: bytes, declared: str | None = None) -> str:
-    """Decode an HTML byte payload, inflating gzip/zlib and stripping
-    any BOM."""
-    data = _inflate(data)
+def decode_html_bytes(data: bytes, declared: str | None = None,
+                      encoding: str | None = None) -> str:
+    """Decode an HTML byte payload, inflating gzip/zlib (sniffed) or
+    brotli (`encoding="br"` — brotli has no magic bytes, so the
+    transport must say so, exactly as HTTP Content-Encoding does) and
+    stripping any BOM."""
+    if encoding == "br":
+        from jsoup_spark.operators.brotli import decompress
+        data = decompress(data)
+    else:
+        data = _inflate(data)
     enc = detect_charset(data, declared)
     for bom, bom_enc in _BOMS:
         if data.startswith(bom) and bom_enc == enc:
