@@ -1,0 +1,217 @@
+"""Native LZ4 decoder (block + frame formats) and xxHash32 — pure
+Python, no external dependency.
+
+LZ4 is the default codec of half the data-lake stack (Kafka, Parquet
+pages, RocksDB, Arrow IPC); the frame format is what `.lz4` files and
+HTTP payloads carry. Implemented from the public specs
+(lz4_Block_format.md / lz4_Frame_format.md, Yann Collet):
+
+* block: token nibbles, 255-continuation lengths, 16-bit offsets,
+  overlap-capable match copy;
+* frame: magic, FLG/BD descriptor (version 01, block independence,
+  block/content checksums, content size, dict id), header-checksum
+  byte, per-block uncompressed marker bit, EndMark, and all three
+  xxHash32 checks (header, per-block, content);
+* xxh32: the full avalanche/merge-round algorithm (needed for the
+  checksums; also exposed — it is the hash Parquet/Kafka use for
+  integrity).
+
+Validated against the system liblz4 in tests/test_lz4.py (its encoder
+generates the streams: LZ4_compress_default blocks and
+LZ4F_compressFrame frames at several block sizes / flag sets).
+
+Reference parity anchor (semantic, not a port): extends the transport
+decodings of helper/DataUtil.java (gzip) to the LZ4 frame ecosystem,
+reference-free by design.
+"""
+
+from __future__ import annotations
+
+_P1 = 2654435761
+_P2 = 2246822519
+_P3 = 3266489917
+_P4 = 668265263
+_P5 = 374761393
+_M = 0xFFFFFFFF
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (32 - r))) & _M
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 of `data` (public algorithm, xxhash.c)."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i + 16 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 4 * j:i + 4 * j + 4],
+                                      "little")
+                v = (v + lane * _P2) & _M
+                v = (_rotl(v, 13) * _P1) & _M
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i:i + 4], "little") * _P3) & _M
+        h = (_rotl(h, 17) * _P4) & _M
+        i += 4
+    while i < n:
+        h = (h + data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 15
+    h = (h * _P2) & _M
+    h ^= h >> 13
+    h = (h * _P3) & _M
+    h ^= h >> 16
+    return h
+
+
+def decompress_block(data: bytes, max_output: int = 1 << 30,
+                     prefix: bytes = b"") -> bytes:
+    """LZ4 block format -> bytes. `prefix` seeds the match window for
+    dependent blocks."""
+    out = bytearray(prefix)
+    base = len(prefix)
+    i = 0
+    n = len(data)
+    while True:
+        if i >= n:
+            raise ValueError("lz4: truncated block")
+        token = data[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated literal length")
+                b = data[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("lz4: truncated literals")
+        out += data[i:i + lit]
+        i += lit
+        if len(out) - base > max_output:
+            raise ValueError("lz4: output limit exceeded")
+        if i == n:
+            break                       # last sequence: literals only
+        if i + 2 > n:
+            raise ValueError("lz4: truncated offset")
+        offset = data[i] | (data[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("lz4: invalid offset")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated match length")
+                b = data[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        if len(out) - base + mlen > max_output:
+            raise ValueError("lz4: output limit exceeded")
+        if offset >= mlen:
+            out += out[-offset:len(out) - offset + mlen]
+        else:
+            for _ in range(mlen):
+                out.append(out[-offset])
+    return bytes(out[base:])
+
+
+def decompress_frame(data: bytes, max_output: int = 1 << 30) -> bytes:
+    """LZ4 frame format -> bytes, verifying every xxHash32 the frame
+    carries (header, optional per-block, optional content)."""
+    if data[:4] != b"\x04\x22\x4d\x18":
+        raise ValueError("lz4: bad frame magic")
+    if len(data) < 7:
+        raise ValueError("lz4: truncated frame header")
+    flg = data[4]
+    bd = data[5]
+    if (flg >> 6) != 1:
+        raise ValueError("lz4: unsupported frame version")
+    b_indep = (flg >> 5) & 1
+    b_checksum = (flg >> 4) & 1
+    c_size = (flg >> 3) & 1
+    c_checksum = (flg >> 2) & 1
+    if (flg >> 1) & 1:
+        raise ValueError("lz4: reserved FLG bit set")
+    dict_id = flg & 1
+    if bd & 0x8F:
+        raise ValueError("lz4: reserved BD bits set")
+    if not 4 <= (bd >> 4) <= 7:
+        raise ValueError("lz4: invalid block max size")
+    pos = 6
+    content_size = None
+    if c_size:
+        content_size = int.from_bytes(data[pos:pos + 8], "little")
+        pos += 8
+    if dict_id:
+        pos += 4                         # external dictionary: id only
+    if pos >= len(data):
+        raise ValueError("lz4: truncated frame header")
+    hc = data[pos]
+    if (xxh32(data[4:pos]) >> 8) & 0xFF != hc:
+        raise ValueError("lz4: header checksum mismatch")
+    pos += 1
+
+    out = bytearray()
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("lz4: truncated block size")
+        bsize = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        if bsize == 0:                   # EndMark
+            break
+        uncompressed = bsize >> 31
+        bsize &= 0x7FFFFFFF
+        if pos + bsize > len(data):
+            raise ValueError("lz4: truncated block")
+        block = data[pos:pos + bsize]
+        pos += bsize
+        if b_checksum:
+            if pos + 4 > len(data):
+                raise ValueError("lz4: truncated block checksum")
+            if int.from_bytes(data[pos:pos + 4], "little") \
+                    != xxh32(block):
+                raise ValueError("lz4: block checksum mismatch")
+            pos += 4
+        if uncompressed:
+            out += block
+        else:
+            prefix = b"" if b_indep else bytes(out[-65536:])
+            out += decompress_block(
+                block, max_output=max_output - len(out), prefix=prefix)
+        if len(out) > max_output:
+            raise ValueError("lz4: output limit exceeded")
+    if c_checksum:
+        if pos + 4 > len(data):
+            raise ValueError("lz4: truncated content checksum")
+        if int.from_bytes(data[pos:pos + 4], "little") != xxh32(out):
+            raise ValueError("lz4: content checksum mismatch")
+        pos += 4
+    if content_size is not None and len(out) != content_size:
+        raise ValueError("lz4: content size mismatch")
+    return bytes(out)

@@ -85,6 +85,24 @@ def _inflate(data: bytes) -> bytes:
             return zlib.decompress(data)
         except zlib.error:
             return data
+    if data.startswith(b"BZh"):             # bzip2
+        import bz2
+        try:
+            return bz2.decompress(data)
+        except (OSError, ValueError):
+            return data
+    if data.startswith(b"\xfd7zXZ\x00"):    # xz
+        import lzma
+        try:
+            return lzma.decompress(data)
+        except lzma.LZMAError:
+            return data
+    if data.startswith(b"\x04\x22\x4d\x18"):   # LZ4 frame
+        from jsoup_spark.operators.lz4 import decompress_frame
+        try:
+            return decompress_frame(data)
+        except ValueError:
+            return data
     return data
 
 
