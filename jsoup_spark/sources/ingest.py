@@ -103,6 +103,12 @@ def _inflate(data: bytes) -> bytes:
             return decompress_frame(data)
         except ValueError:
             return data
+    if data.startswith(b"\x28\xb5\x2f\xfd"):   # zstd frame
+        from jsoup_spark.operators.zstd import decompress
+        try:
+            return decompress(data)
+        except ValueError:
+            return data
     return data
 
 
