@@ -464,6 +464,64 @@ def q_ingest_brotli(spark, sf_dir):
         "n_raw", "n_br", "decoded_ok")
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC ingestion end to end (sources/warc.py): per-doc HTML +
+    synthetic target URI -> HTTP response records with a deterministic
+    mix of transport encodings (identity / gzip / brotli by doc_id%3)
+    -> multi-record archives (25 docs each, alternating plain and
+    gzip-member layout, records sorted by doc_id) -> warc_stage
+    explodes records and decodes bodies through the ingest tier. The
+    oracle recomputes every output symbolically (record index via a
+    window, body length/md5 from the reconstructed HTML)."""
+    from jsoup_spark.sources.corpus import assemble_html
+    from jsoup_spark.sources.warc import (
+        build_warc, http_response, warc_stage)
+    import pandas as pd
+
+    html = assemble_html(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "html")
+    urls = scrub.with_synth_url(_documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "url")
+    joined = html.join(urls, "doc_id").select(
+        (F.col("doc_id") % 25).alias("archive_id"),
+        F.struct("doc_id", "url", "html").alias("rec"))
+    grouped = joined.groupBy("archive_id").agg(
+        F.sort_array(F.collect_list("rec")).alias("recs"))
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid, recs in zip(pdf["archive_id"], pdf["recs"]):
+                records = []
+                for r in recs:
+                    enc = (None, "gzip", "br")[int(r["doc_id"]) % 3]
+                    records.append((
+                        {"WARC-Type": "response",
+                         "WARC-Target-URI": r["url"],
+                         "WARC-Date": "2026-08-17T00:00:00Z",
+                         "Content-Type":
+                             "application/http;msgtype=response"},
+                        http_response(r["html"].encode("utf-8"),
+                                      encoding=enc)))
+                ids.append(str(aid))
+                payloads.append(build_warc(
+                    records, gzip_members=int(aid) % 2 == 0))
+            yield pd.DataFrame({"archive_id": ids, "payload": payloads})
+
+    archives = grouped.mapInPandas(
+        run, schema="archive_id string, payload binary")
+    rows = warc_stage(archives)
+    return rows.select(
+        F.regexp_extract("target_uri", r"[?&]id=([0-9]+)", 1)
+        .cast("long").alias("doc_id"),
+        F.col("archive_id").cast("int").alias("archive_id"),
+        F.col("record_idx").cast("int").alias("record_idx"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length("body").alias("body_len"),
+        F.md5(F.col("body")).alias("body_md5"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering end to end: LSH candidate pairs ->
     iterative hash-min connected components (localCheckpoint per round,
@@ -758,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_scale": q_embed_neardup_scale,
         "dedup_clusters": q_dedup_clusters,
         "ingest_brotli": q_ingest_brotli,
+        "warc_extract": q_warc_extract,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1068,6 +1127,33 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM sh a JOIN sh b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "warc_extract": f"""
+            WITH d AS (
+              SELECT doc_id, text, lang, source, {_REP_SQL} AS rep
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                || '</title><base href=''http://corpus.example/docs/''>'
+                || '</head><body>'
+                || '<div id=main class=''' || lang || ' article''><p>'
+                || {_BODY_SQL} || '</p>'
+                || '<img src=''img/' || CAST(doc_id AS VARCHAR)
+                || '.png'' alt=''fig ' || CAST(doc_id AS VARCHAR)
+                || '''>'
+                || '<ul><li>' || source || '</li><li>' || lang
+                || '</li></ul><script>track('''
+                || CAST(doc_id AS VARCHAR)
+                || ''');</script></div></body></html>' AS html
+              FROM d)
+            SELECT doc_id,
+              CAST(doc_id % 25 AS INT) AS archive_id,
+              CAST(row_number() OVER (PARTITION BY doc_id % 25
+                     ORDER BY doc_id) - 1 AS INT) AS record_idx,
+              200 AS http_status,
+              CAST(length(html) AS INT) AS body_len,
+              md5(html) AS body_md5
+            FROM h""",
         "ingest_brotli": f"""
             WITH d AS (
               SELECT doc_id, text, lang, source, {_REP_SQL} AS rep
