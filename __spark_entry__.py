@@ -464,6 +464,33 @@ def q_ingest_brotli(spark, sf_dir):
         "n_raw", "n_br", "decoded_ok")
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling at exactly 16384/65536 = 25%
+    (curation.hash_sample): the hex-prefix-as-number trick makes the
+    decision identical portable SQL in both engines; idempotent and
+    partitioning-independent, unlike seeded sample()."""
+    from jsoup_spark.operators import curation
+    return curation.hash_sample(_documents(spark, sf_dir), 16384)
+
+
+def q_split_assign(spark, sf_dir):
+    """Leakage-free train/val/test assignment BY near-dup cluster
+    (curation.split_assign over graph.dedup_clusters): every cluster
+    member shares the cluster hash bucket, so near-duplicates never
+    straddle splits. Exact 204/26/26 out of 256 fractions."""
+    from jsoup_spark.operators import curation
+    return curation.split_assign(_documents(spark, sf_dir))
+
+
+def q_corpus_filter(spark, sf_dir):
+    """The composed curation decision (curation.corpus_filter): exact-
+    dup representative election + eval-set contamination + Gopher
+    repetition thresholds + quality gate + min length, emitted as one
+    keep flag with a per-rule reason bitmask. Integer-only output."""
+    from jsoup_spark.operators import curation
+    return curation.corpus_filter(_documents(spark, sf_dir))
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC ingestion end to end (sources/warc.py): per-doc HTML +
     synthetic target URI -> HTTP response records with a deterministic
@@ -817,6 +844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ingest_brotli": q_ingest_brotli,
         "warc_extract": q_warc_extract,
+        "hash_sample": q_hash_sample,
+        "split_assign": q_split_assign,
+        "corpus_filter": q_corpus_filter,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1127,6 +1157,111 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM sh a JOIN sh b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "hash_sample": """
+            SELECT doc_id,
+                   substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                          1, 4) AS bucket
+            FROM documents
+            WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                         1, 4) < '4000'""",
+        "split_assign": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct({_SHINGLE_SQL}) AS sh,
+                     md5({_mh_sql(0)} || '|' || {_mh_sql(1)}) AS band_key
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+            reach(v, w) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, r.w FROM edges e JOIN reach r ON r.v = e.b),
+            cc AS (SELECT v, min(w) AS label FROM reach GROUP BY v),
+            assigned AS (
+              SELECT d.doc_id,
+                     coalesce(cc.label, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN cc ON cc.v = d.doc_id)
+            SELECT doc_id, cluster_id,
+              CASE WHEN substr(md5('split:'
+                     || CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+                   THEN 'train'
+                   WHEN substr(md5('split:'
+                     || CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                   THEN 'val' ELSE 'test' END AS split
+            FROM assigned""",
+        "corpus_filter": f"""
+            WITH w AS (
+              SELECT doc_id, n_chars, text,
+                     string_split(text, ' ') AS ws
+              FROM documents),
+            dup AS (
+              SELECT doc_id,
+                CASE WHEN doc_id <> min(doc_id) OVER
+                       (PARTITION BY md5(text)) THEN 1 ELSE 0 END
+                  AS is_dup
+              FROM documents),
+            shn AS (
+              SELECT doc_id,
+                     unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+              FROM documents),
+            ev AS (SELECT DISTINCT shingle FROM shn WHERE doc_id < 10),
+            cont AS (
+              SELECT DISTINCT shn.doc_id, 1 AS is_cont
+              FROM shn JOIN ev USING (shingle) WHERE shn.doc_id >= 10),
+            grams AS (
+              SELECT doc_id, len(ws) AS nw, n_chars,
+                     list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1]) AS bigrams,
+                     CASE WHEN len(ws) >= 3 THEN
+                       list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' '
+                              || ws[i+2])
+                     ELSE []::VARCHAR[] END AS trigrams,
+                     len(list_filter(ws, x -> x IN {_STOP_SQL}))
+                       AS n_stop
+              FROM w),
+            bg AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(bigrams) AS g FROM grams)
+              GROUP BY doc_id, g),
+            tg AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(trigrams) AS g FROM grams)
+              GROUP BY doc_id, g),
+            repf AS (
+              SELECT g.doc_id,
+                CASE WHEN coalesce(b.mc, 0) * 100 > g.nw * 20
+                       OR coalesce(t.dc, 0) * 100 > g.n_chars * 60
+                     THEN 1 ELSE 0 END AS is_rep,
+                CASE WHEN g.nw < 20 THEN 1 ELSE 0 END AS is_short,
+                CASE WHEN g.n_chars >= 20 AND g.n_chars <= 100000
+                          AND g.n_stop > 0 THEN 0 ELSE 1 END
+                  AS bad_quality
+              FROM grams g
+              LEFT JOIN (SELECT doc_id, max(c) AS mc FROM bg
+                         GROUP BY doc_id) b USING (doc_id)
+              LEFT JOIN (SELECT doc_id, sum(c * length(g)) AS dc
+                         FROM tg WHERE c >= 2 GROUP BY doc_id) t
+                USING (doc_id))
+            SELECT d.doc_id,
+              CAST(dup.is_dup * 1 + coalesce(cont.is_cont, 0) * 2
+                   + repf.is_rep * 4 + repf.bad_quality * 8
+                   + repf.is_short * 16 AS INT) AS reasons,
+              CAST(CASE WHEN dup.is_dup = 0
+                         AND coalesce(cont.is_cont, 0) = 0
+                         AND repf.is_rep = 0 AND repf.bad_quality = 0
+                         AND repf.is_short = 0
+                    THEN 1 ELSE 0 END AS INT) AS keep
+            FROM documents d
+            JOIN dup USING (doc_id)
+            LEFT JOIN cont USING (doc_id)
+            JOIN repf USING (doc_id)""",
         "warc_extract": f"""
             WITH d AS (
               SELECT doc_id, text, lang, source, {_REP_SQL} AS rep
