@@ -63,6 +63,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") \
+            and len(payload) >= 6 \
+            and 0 < (payload[4] | (payload[5] << 8)) <= 1024:
+        return "ico"
     return None
 
 

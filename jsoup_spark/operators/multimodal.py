@@ -188,6 +188,9 @@ def decode_image_array(payload: bytes):
         if fmt == "tiff":
             from .tiff import decode_tiff
             return decode_tiff(payload)
+        if fmt == "ico":
+            from .ico import decode_ico
+            return decode_ico(payload)
     except ValueError:
         return None  # esoteric/corrupt variant (interlaced/16-bit/...)
     return None
