@@ -464,6 +464,55 @@ def q_ingest_brotli(spark, sf_dir):
         "n_raw", "n_br", "decoded_ok")
 
 
+def q_office_extract(spark, sf_dir):
+    """Office-document ingestion (sources/officedoc.py): even docs
+    become real DOCX containers (paragraphs = 8-word chunks of text,
+    Dublin-Core metadata), odd docs real EPUBs (two spine-ordered
+    XHTML chapters = the two word-halves) — built by the zero-fixture
+    encoders, extracted back through the engine's own XML/HTML parsers
+    via office_stage. The oracle reconstructs every field symbolically
+    (chunking in SQL, md5 of the extracted text)."""
+    from jsoup_spark.sources.officedoc import (
+        build_docx, build_epub, office_stage)
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text, source in zip(pdf["doc_id"], pdf["text"],
+                                         pdf["source"]):
+                words = text.split(" ")
+                if did % 2 == 0:
+                    paras = [" ".join(words[i:i + 8])
+                             for i in range(0, len(words), 8)]
+                    b = build_docx(paras, title=f"Doc {did}",
+                                   creator=source)
+                else:
+                    h = (len(words) + 1) // 2
+                    b = build_epub(
+                        [("ch0.xhtml",
+                          "<p>" + " ".join(words[:h]) + "</p>"),
+                         ("ch1.xhtml",
+                          "<p>" + " ".join(words[h:]) + "</p>")],
+                        title=f"Doc {did}", creator=source)
+                ids.append(str(did))
+                payloads.append(b)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(
+        run, schema="doc_id string, payload binary")
+    rows = office_stage(payloads)
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "format", "title", "creator",
+        F.col("n_parts").cast("int").alias("n_parts"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling at exactly 16384/65536 = 25%
     (curation.hash_sample): the hex-prefix-as-number trick makes the
@@ -844,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ingest_brotli": q_ingest_brotli,
         "warc_extract": q_warc_extract,
+        "office_extract": q_office_extract,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
         "corpus_filter": q_corpus_filter,
@@ -1157,6 +1207,32 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM sh a JOIN sh b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        "office_extract": """
+            WITH w AS (
+              SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'epub' END
+                AS format,
+              'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+              source AS creator,
+              CAST(CASE WHEN doc_id % 2 = 0
+                   THEN ceil(len(ws) / 8.0) ELSE 2 END AS INT)
+                AS n_parts,
+              md5(CASE WHEN doc_id % 2 = 0 THEN
+                    array_to_string(list_transform(
+                      range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                      i -> array_to_string(ws[i*8+1:i*8+8], ' ')),
+                      chr(10))
+                  ELSE
+                    array_to_string(
+                      ws[1:CAST(ceil(len(ws) / 2.0) AS BIGINT)], ' ')
+                    || chr(10) ||
+                    array_to_string(
+                      ws[CAST(ceil(len(ws) / 2.0) AS BIGINT) + 1
+                         :len(ws)], ' ')
+                  END) AS text_md5
+            FROM w""",
         "hash_sample": """
             SELECT doc_id,
                    substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
