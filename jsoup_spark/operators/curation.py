@@ -89,50 +89,47 @@ def corpus_filter(documents: DataFrame, *, n_eval: int = 10,
     * R_QUALITY: quality_score's gate (length bounds + stopwords);
     * R_SHORT: fewer than min_words words.
 
-    Integer-only output; every rule recomputable in portable SQL."""
-    base = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    Integer-only output; every rule recomputable in portable SQL.
 
-    keep_rep = (documents
-                .groupBy(F.md5("text").alias("k"))
-                .agg(F.min(F.col("doc_id").cast("long")).alias("rep")))
-    dup = (documents
-           .select(F.col("doc_id").cast("long").alias("doc_id"),
-                   F.md5("text").alias("k"))
-           .join(keep_rep, "k")
-           .select("doc_id",
-                   (F.col("doc_id") != F.col("rep")).cast("int")
-                   .alias("is_dup")))
+    Plan shape (audited): the repetition / quality / length rules are
+    per-doc LOCAL and fold into the ONE base scan (no join between
+    them); the exact-dup election is a window over md5(text) — one
+    shuffle, no join-back; contamination adds its broadcast-eval
+    lookup. Three exchanges total at any scale."""
+    from pyspark.sql import Window
+
+    stats = textstats.repetition_stats(documents)
+    docs_nc = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("k"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+    quality = textstats.quality_score(documents).select(
+        "doc_id",
+        (F.col("quality_ok") == 0).cast("int").alias("bad_quality"))
+    # stats/quality both derive from the same scan projection —
+    # Catalyst collapses them into one pass over `documents`
+    local = (docs_nc.join(stats, "doc_id").join(quality, "doc_id")
+             .select(
+                 "doc_id", "k",
+                 ((F.col("top_bigram_count") * 100
+                   > F.col("n_words") * max_top_bigram_pct)
+                  | (F.col("dup_trigram_chars") * 100
+                     > F.col("n_chars") * max_dup_tri_pct))
+                 .cast("int").alias("is_rep"),
+                 (F.col("n_words") < min_words).cast("int")
+                 .alias("is_short"),
+                 "bad_quality"))
+    is_dup = (F.col("doc_id") != F.min("doc_id").over(
+        Window.partitionBy("k"))).cast("int")
+    with_dup = local.withColumn("is_dup", is_dup).drop("k")
 
     cont = dedup.contamination(documents, n_eval=n_eval).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit(1).alias("is_cont"))
 
-    # repetition flags (joined with n_chars from the documents table)
-    stats = textstats.repetition_stats(documents)
-    docs_nc = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_chars").cast("long").alias("n_chars"))
-    repf = (stats.join(docs_nc, "doc_id")
-            .select("doc_id",
-                    ((F.col("top_bigram_count") * 100
-                      > F.col("n_words") * max_top_bigram_pct)
-                     | (F.col("dup_trigram_chars") * 100
-                        > F.col("n_chars") * max_dup_tri_pct))
-                    .cast("int").alias("is_rep"),
-                    (F.col("n_words") < min_words).cast("int")
-                    .alias("is_short")))
-
-    qual = textstats.quality_score(documents).select(
-        "doc_id",
-        (F.col("quality_ok") == 0).cast("int").alias("bad_quality"))
-
-    out = (base
-           .join(dup, "doc_id", "left")
+    out = (with_dup
            .join(cont, "doc_id", "left")
-           .join(repf, "doc_id", "left")
-           .join(qual, "doc_id", "left")
-           .fillna(0, ["is_dup", "is_cont", "is_rep", "is_short",
-                       "bad_quality"]))
+           .fillna(0, ["is_cont"]))
     reasons = (F.col("is_dup") * R_DUP
                + F.col("is_cont") * R_CONTAMINATED
                + F.col("is_rep") * R_REPETITION
