@@ -464,6 +464,20 @@ def q_ingest_brotli(spark, sf_dir):
         "n_raw", "n_br", "decoded_ok")
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Morton/Z-order keys over (n_chars, doc_id) — the
+    multi-dimensional data-skipping layout key (operators/layout.py;
+    Delta/Iceberg OPTIMIZE ZORDER's core). Pure Catalyst bit
+    arithmetic; the layout effect itself (several-fold narrower
+    per-file min/max on BOTH columns) is evidenced from parquet
+    footers in tests/test_layout.py."""
+    from jsoup_spark.operators.layout import zvalue
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+    return zvalue(docs, "n_chars", "doc_id")
+
+
 def q_office_extract(spark, sf_dir):
     """Office-document ingestion (sources/officedoc.py): even docs
     become real DOCX containers (paragraphs = 8-word chunks of text,
@@ -894,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_brotli": q_ingest_brotli,
         "warc_extract": q_warc_extract,
         "office_extract": q_office_extract,
+        "zorder_keys": q_zorder_keys,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
         "corpus_filter": q_corpus_filter,
@@ -925,6 +940,15 @@ _SHINGLE_SQL = """
                  string_split(text, ' ')[i+2])
     ELSE [text] END
 """
+
+
+# Morton interleave of (n_chars, doc_id) low-16-bit planes as plain
+# BIGINT arithmetic (bit planes are disjoint, so + == |) — mirrors
+# operators/layout.zvalue exactly.
+_ZORDER_SQL = " + ".join(
+    f"((n_chars >> {i}) & 1) * {1 << (2 * i)}"
+    f" + ((doc_id >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(16))
 
 
 def _mh_sql(p: int) -> str:
@@ -1233,6 +1257,10 @@ def oracle_sql() -> dict[str, str]:
                          :len(ws)], ' ')
                   END) AS text_md5
             FROM w""",
+        "zorder_keys": f"""
+            SELECT doc_id, n_chars,
+                   CAST({_ZORDER_SQL} AS BIGINT) AS zvalue
+            FROM documents""",
         "hash_sample": """
             SELECT doc_id,
                    substr(md5('sample:' || CAST(doc_id AS VARCHAR)),

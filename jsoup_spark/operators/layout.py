@@ -1,0 +1,78 @@
+"""Z-order file layout optimization — the data-skipping lever for
+large parquet lakes.
+
+A 100 TB table is read through row-group/file min-max statistics;
+range-partitioning by ONE column gives perfect pruning on that column
+and none on any other. Interleaving the bits of several columns into
+a single Morton (Z-order) key and range-partitioning on IT gives
+every participating column locally-narrow min/max ranges per file —
+multi-dimensional data skipping, the same technique Delta/Iceberg
+OPTIMIZE ZORDER ships.
+
+`zvalue` builds the interleaved key as a pure Catalyst expression
+(rank each column to a uniform 16-bit domain via percent_rank when
+requested, or use the low 16 bits directly for already-uniform keys;
+then 32 shift-or terms — integer ops in whole-stage codegen, no UDF).
+`zorder_by` repartitionByRange's on the key and sorts within
+partitions so parquet writes carry tight per-file statistics.
+
+The pytest evidence is direct: write the same data random vs
+z-ordered, read the parquet FOOTERS with pyarrow, and compare the
+per-file min-max spans of both dimensions — z-order must shrink the
+average span of BOTH columns several-fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+Z_BITS = 16
+
+
+def _interleave2(a, b):
+    """Morton-interleave two 16-bit Catalyst columns -> 32-bit key
+    (a in even bit positions, b in odd)."""
+    out = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long")
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+        out = (out
+               .bitwiseOR(F.shiftleft(bit_a, 2 * i))
+               .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1)))
+    return out
+
+
+def zvalue(df: DataFrame, col_a: str, col_b: str,
+           out_col: str = "zvalue") -> DataFrame:
+    """Attach the Z-order key of (col_a, col_b): each column masked to
+    its low 16 bits (callers with skewed domains should pre-rank —
+    `zorder_by` does). Pure Catalyst bit arithmetic."""
+    a = F.col(col_a).cast("long").bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    b = F.col(col_b).cast("long").bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    return df.withColumn(out_col, _interleave2(a, b))
+
+
+def zorder_by(df: DataFrame, col_a: str, col_b: str, *,
+              num_files: int = 8) -> DataFrame:
+    """Layout df for multi-dimensional data skipping: rank both
+    columns to uniform 16-bit domains (rank-based, so arbitrary value
+    distributions z-order well), interleave, range-partition on the
+    key, sort within partitions. Write the result with
+    `.write.parquet(...)` and every file carries narrow min/max on
+    BOTH columns.
+
+    Scale note: percent_rank needs a global sort of each key column —
+    at warehouse scale substitute an approx-quantile bucketizer (same
+    plan shape, sampled boundaries); rank keeps the oracle exact
+    here."""
+    from pyspark.sql import Window
+    ra = (F.percent_rank().over(Window.orderBy(F.col(col_a)))
+          * ((1 << Z_BITS) - 1)).cast("long")
+    rb = (F.percent_rank().over(Window.orderBy(F.col(col_b)))
+          * ((1 << Z_BITS) - 1)).cast("long")
+    keyed = df.withColumn("_za", ra).withColumn("_zb", rb) \
+        .withColumn("_z", _interleave2(F.col("_za"), F.col("_zb"))) \
+        .drop("_za", "_zb")
+    return (keyed.repartitionByRange(num_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z"))
