@@ -527,6 +527,57 @@ def q_office_extract(spark, sf_dir):
     )
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF ingestion (sources/pdf.py — from-scratch ISO 32000 object
+    model, xref tables/streams/ObjStm, 5 filter families, WinAnsi and
+    Identity-H+ToUnicode fonts, content-stream text interpreter).
+    Each doc becomes a real PDF (paragraphs = 8-word chunks, 4 lines
+    per page) with knobs cycling by doc_id over the full decoder
+    matrix — filters x xref kind x object streams x font x string
+    form x TJ-kerning — all output-invariant, so the oracle
+    reconstructs every field symbolically (page count is
+    ceil(words/32), text is the 8-word chunks joined by newline)."""
+    from jsoup_spark.sources.pdf import build_pdf, pdf_stage
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+
+    FILTERS = ["flate", "lzw", "ahx", "a85+flate", "rl",
+               "flate-pred", "none"]
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text, source in zip(pdf["doc_id"], pdf["text"],
+                                         pdf["source"]):
+                did = int(did)
+                words = text.split(" ")
+                paras = [" ".join(words[i:i + 8])
+                         for i in range(0, len(words), 8)]
+                b = build_pdf(
+                    paras, title=f"Doc {did}", author=source,
+                    filters=FILTERS[did % 7],
+                    xref_kind=["table", "stream"][did % 2],
+                    objstm=(did % 4 == 1),
+                    font=["winansi", "cid"][did % 2],
+                    strings=["literal", "hex"][did % 3 == 0],
+                    kerning=(did % 5 == 0))
+                ids.append(did)
+                payloads.append(b)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(
+        run, schema="doc_id long, payload binary")
+    rows = pdf_stage(payloads)
+    return rows.select(
+        "doc_id", "title",
+        F.col("author").alias("creator"),
+        F.col("n_pages").cast("int").alias("n_pages"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling at exactly 16384/65536 = 25%
     (curation.hash_sample): the hex-prefix-as-number trick makes the
@@ -908,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_brotli": q_ingest_brotli,
         "warc_extract": q_warc_extract,
         "office_extract": q_office_extract,
+        "pdf_extract": q_pdf_extract,
         "zorder_keys": q_zorder_keys,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
@@ -1256,6 +1308,19 @@ def oracle_sql() -> dict[str, str]:
                       ws[CAST(ceil(len(ws) / 2.0) AS BIGINT) + 1
                          :len(ws)], ' ')
                   END) AS text_md5
+            FROM w""",
+        "pdf_extract": """
+            WITH w AS (
+              SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents)
+            SELECT doc_id,
+              'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+              source AS creator,
+              CAST(ceil(len(ws) / 32.0) AS INT) AS n_pages,
+              md5(array_to_string(list_transform(
+                    range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                    i -> array_to_string(ws[i*8+1:i*8+8], ' ')),
+                  chr(10))) AS text_md5
             FROM w""",
         "zorder_keys": f"""
             SELECT doc_id, n_chars,

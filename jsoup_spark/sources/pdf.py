@@ -1,0 +1,1656 @@
+"""PDF text extraction (ISO 32000-1/-2 subset) — built from scratch.
+
+The north rule names "PDF/layout parse" as part of the main-content
+extraction pipeline; PDF is the #1 non-HTML document format in web
+corpora. This module implements the document model and the parts of
+the content-stream language a text extractor needs:
+
+* object lexer/parser — numbers, names (#xx escapes), literal strings
+  (nested parens, octal/char escapes, line continuations), hex
+  strings, arrays, dicts, indirect references, streams (/Length may
+  itself be indirect);
+* cross-reference: classic tables (multi-subsection, free chains),
+  xref STREAMS (/W field widths, /Index), /Prev chains from
+  incremental updates (newest-wins), and a brute-force
+  "N G obj" reconstruction fallback for damaged tails;
+* object streams (/Type/ObjStm compressed objects);
+* stream filters with chaining and /DecodeParms: FlateDecode (zlib)
+  with PNG predictors 10-15 and TIFF predictor 2, LZWDecode
+  (MSB-first, early change, same bitstream family as the
+  libtiff-validated operators/tiff.py codec), ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode;
+* page tree walk with attribute inheritance (/Resources via /Parent);
+* content-stream interpreter for the text object machine: BT/ET,
+  Tf Td TD Tm T* TL Tc Tw Tz Ts, Tj ' " and TJ (kerning
+  displacements re-materialise as spaces past a pinned threshold),
+  q/Q/cm CTM tracking;
+* fonts: simple fonts with Standard/WinAnsi/MacRoman base encodings
+  plus /Differences (glyph names resolved through an embedded AGL
+  subset + uniXXXX), and composite Type0/Identity-H CID fonts with
+  /ToUnicode CMaps (bfchar + both bfrange forms, UTF-16BE targets);
+* document metadata from the trailer /Info dict (PDFDocEncoding-ish
+  latin or UTF-16BE-with-BOM text strings).
+
+Zero-fixture strategy (the officedoc/codecs model — no PDF library
+exists in this sandbox, verified by ldconfig + import sweep):
+`build_pdf` is a spec-shaped test ENCODER whose knobs cover the
+decoder matrix (filters x xref kind x object streams x font kind x
+string kind x kerning x incremental update). Sub-components are
+additionally pinned against the INDEPENDENT oracles that do exist:
+stdlib `zlib` for Flate, `base64.a85encode` as the encoding direction
+for our ASCII85 decoder, and operators/tiff.py's libtiff-validated
+LZW encoder for LZWDecode (identical early-change bitstream).
+
+`pdf_stage` lifts extraction to Spark via mapInPandas over binary
+payloads — Arrow-batched, never per-row Python.
+
+Reference parity anchor: extraction semantics (whitespace-normalised
+reading order per page) mirror the reference engine's text() contract
+(org/jsoup/nodes/Element.java) applied to paginated text layers.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import io
+import re
+import struct
+import zlib
+from typing import Any, Iterator
+
+__all__ = [
+    "PDFError", "PDFDocument", "extract_pdf", "build_pdf", "pdf_stage",
+]
+
+
+class PDFError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- lexer
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+class Name(str):
+    """A /Name object (distinct from a string for dict keys/values)."""
+    __slots__ = ()
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):
+        return f"{self.num} {self.gen} R"
+
+    def __eq__(self, o):
+        return isinstance(o, Ref) and (o.num, o.gen) == (self.num, self.gen)
+
+    def __hash__(self):
+        return hash((self.num, self.gen))
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict, self.raw = d, raw
+
+
+class _Lexer:
+    """Byte-level PDF tokenizer; parse_object() builds full objects."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data, self.pos = data, pos
+
+    def skip_ws(self):
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:                      # % comment to EOL
+                j = self.pos + 1
+                while j < n and data[j] not in b"\r\n":
+                    j += 1
+                self.pos = j
+            else:
+                return
+
+    def _keyword(self) -> bytes:
+        data, n = self.data, len(self.data)
+        j = self.pos
+        while j < n and data[j] not in _WS and data[j] not in _DELIM:
+            j += 1
+        kw = data[self.pos:j]
+        self.pos = j
+        return kw
+
+    def next_token(self):
+        """-> ('num', float|int) | ('name', Name) | ('str', bytes)
+        | ('kw', bytes) | ('[', ']', 'dict<<', 'dict>>') | None at EOF"""
+        self.skip_ws()
+        data, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        c = data[self.pos]
+        if c == 0x2F:                            # /Name
+            self.pos += 1
+            j = self.pos
+            out = bytearray()
+            while j < n and data[j] not in _WS and data[j] not in _DELIM:
+                if data[j] == 0x23 and j + 2 < n:        # #xx
+                    out.append(int(data[j + 1:j + 3], 16))
+                    j += 3
+                else:
+                    out.append(data[j])
+                    j += 1
+            self.pos = j
+            return ("name", Name(out.decode("latin-1")))
+        if c == 0x28:                            # ( literal string
+            return ("str", self._literal_string())
+        if c == 0x3C:                            # < hex or <<
+            if self.pos + 1 < n and data[self.pos + 1] == 0x3C:
+                self.pos += 2
+                return ("dict<<", None)
+            return ("str", self._hex_string())
+        if c == 0x3E:                            # >>
+            if self.pos + 1 < n and data[self.pos + 1] == 0x3E:
+                self.pos += 2
+                return ("dict>>", None)
+            raise PDFError("stray '>'")
+        if c == 0x5B:
+            self.pos += 1
+            return ("[", None)
+        if c == 0x5D:
+            self.pos += 1
+            return ("]", None)
+        if c in b"+-.0123456789":
+            m = _NUM_RE.match(data, self.pos)
+            if not m:
+                raise PDFError(f"bad number at {self.pos}")
+            self.pos = m.end()
+            t = m.group()
+            if b"." in t:
+                return ("num", float(t))
+            return ("num", int(t))
+        if c in _DELIM:                          # ) { } — lone delimiter
+            self.pos += 1
+            return ("kw", bytes([c]))
+        return ("kw", self._keyword())
+
+    def _literal_string(self) -> bytes:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1
+        depth = 1
+        out = bytearray()
+        while pos < n:
+            c = data[pos]
+            if c == 0x5C:                        # backslash
+                pos += 1
+                if pos >= n:
+                    break
+                e = data[pos]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9,
+                                0x62: 8, 0x66: 12}[e])
+                    pos += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    pos += 1
+                elif e in b"01234567":           # 1-3 octal digits
+                    j = pos
+                    while j < n and j < pos + 3 and data[j] in b"01234567":
+                        j += 1
+                    out.append(int(data[pos:j], 8) & 0xFF)
+                    pos = j
+                elif e in b"\r\n":               # line continuation
+                    pos += 1
+                    if e == 0x0D and pos < n and data[pos] == 0x0A:
+                        pos += 1
+                else:                            # \x -> x
+                    out.append(e)
+                    pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                pos += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    pos += 1
+                    break
+                out.append(c)
+                pos += 1
+            elif c == 0x0D:                      # CR / CRLF -> LF
+                out.append(0x0A)
+                pos += 1
+                if pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:
+                out.append(c)
+                pos += 1
+        self.pos = pos
+        return bytes(out)
+
+    def _hex_string(self) -> bytes:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1
+        hexd = bytearray()
+        while pos < n and data[pos] != 0x3E:
+            if data[pos] not in _WS:
+                hexd.append(data[pos])
+            pos += 1
+        self.pos = pos + 1
+        if len(hexd) % 2:
+            hexd.append(0x30)
+        return binascii.unhexlify(bytes(hexd))
+
+    # -------------------------------------------------- object parser
+
+    def parse_object(self, doc: "PDFDocument | None" = None):
+        tok = self.next_token()
+        if tok is None:
+            raise PDFError("EOF while parsing object")
+        return self._parse_from(tok, doc)
+
+    def _parse_from(self, tok, doc):
+        kind, val = tok
+        if kind == "num":
+            # lookahead for "num num R"
+            if isinstance(val, int) and val >= 0:
+                save = self.pos
+                t2 = self.next_token()
+                if t2 and t2[0] == "num" and isinstance(t2[1], int):
+                    save2 = self.pos
+                    t3 = self.next_token()
+                    if t3 and t3[0] == "kw" and t3[1] == b"R":
+                        return Ref(val, t2[1])
+                    self.pos = save2
+                self.pos = save
+            return val
+        if kind in ("name", "str"):
+            return val
+        if kind == "[":
+            arr = []
+            while True:
+                t = self.next_token()
+                if t is None:
+                    raise PDFError("EOF in array")
+                if t[0] == "]":
+                    return arr
+                arr.append(self._parse_from(t, doc))
+        if kind == "dict<<":
+            d = {}
+            while True:
+                t = self.next_token()
+                if t is None:
+                    raise PDFError("EOF in dict")
+                if t[0] == "dict>>":
+                    break
+                if t[0] != "name":
+                    raise PDFError(f"dict key not a name: {t}")
+                d[str(t[1])] = self.parse_object(doc)
+            # stream?
+            save = self.pos
+            t = self.next_token()
+            if t and t[0] == "kw" and t[1] == b"stream":
+                return self._read_stream(d, doc)
+            self.pos = save
+            return d
+        if kind == "kw":
+            if val == b"true":
+                return True
+            if val == b"false":
+                return False
+            if val == b"null":
+                return None
+            raise PDFError(f"unexpected keyword {val!r}")
+        raise PDFError(f"unexpected token {tok}")
+
+    def _read_stream(self, d: dict, doc):
+        data = self.data
+        # EOL after 'stream': CRLF or LF (spec forbids bare CR; accept)
+        if data[self.pos:self.pos + 2] == b"\r\n":
+            self.pos += 2
+        elif data[self.pos:self.pos + 1] in (b"\n", b"\r"):
+            self.pos += 1
+        length = d.get("Length")
+        if isinstance(length, Ref):
+            length = doc.get(length) if doc is not None else None
+        start = self.pos
+        if isinstance(length, int):
+            raw = data[self.pos:self.pos + length]
+            self.pos += length
+            self.skip_ws()
+            kw = self._keyword()
+            if kw != b"endstream":
+                # /Length was wrong; fall back to searching from start
+                raw = None
+                self.pos = start
+        else:
+            raw = None
+        if raw is None:
+            end = data.find(b"endstream", self.pos)
+            if end < 0:
+                raise PDFError("unterminated stream")
+            raw = data[self.pos:end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
+            self.pos = end + len(b"endstream")
+        return Stream(d, raw)
+
+
+# -------------------------------------------------------------- filters
+
+def _png_predict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """Undo PNG row filters (predictor 10-15): per-row filter byte."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 + rowlen <= len(data) or (pos < len(data)):
+        f = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + rowlen])
+        if len(row) < rowlen:
+            row.extend(b"\0" * (rowlen - len(row)))
+        pos += 1 + rowlen
+        if f == 1:                               # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif f == 2:                             # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:                             # Average
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:                             # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise PDFError(f"bad PNG predictor filter {f}")
+        out += row
+        prev = row
+        if pos >= len(data):
+            break
+    return bytes(out)
+
+
+def _tiff_predict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    if bpc != 8:
+        raise PDFError("TIFF predictor: only 8 bpc supported")
+    rowlen = colors * columns
+    out = bytearray(data)
+    for r in range(0, len(out) - rowlen + 1, rowlen):
+        for i in range(colors, rowlen):
+            out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode: MSB-first, clear=256, EOD=257, width bumps
+    `early` codes before the table would overflow (default 1 — the
+    same bitstream family as operators/tiff._lzw_decode_tiff, which
+    is validated against libtiff; cross-tested in tests/test_pdf.py)."""
+    CLEAR, EOD = 256, 257
+    prefix = [0] * 4096
+    suffix = bytearray(4096)
+    out = bytearray()
+    acc = nbits = 0
+    pos, n = 0, len(data)
+    width, next_free, prev = 9, 258, -1
+    first_char = 0
+
+    def expand(code: int) -> bytearray:
+        chunk = bytearray()
+        while code >= 258:
+            chunk.append(suffix[code])
+            code = prefix[code]
+        chunk.append(code)
+        chunk.reverse()
+        return chunk
+
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)                # implicit EOD at EOF
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            width, next_free, prev = 9, 258, -1
+            continue
+        if code == EOD:
+            return bytes(out)
+        if prev < 0:
+            if code >= 256:
+                raise PDFError("LZW: bad first code")
+            out.append(code)
+            first_char = code
+            prev = code
+        else:
+            if code < next_free:
+                chunk = expand(code) if code >= 258 else bytearray([code])
+            elif code == next_free:
+                chunk = (expand(prev) if prev >= 258
+                         else bytearray([prev])) + bytes([first_char])
+            else:
+                raise PDFError("LZW: code out of range")
+            first_char = chunk[0]
+            out += chunk
+            if next_free < 4096:
+                prefix[next_free] = prev
+                suffix[next_free] = first_char
+                next_free += 1
+            prev = code
+        if next_free == (1 << width) - early and width < 12:
+            width += 1
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (with z shorthand and ~> EOD). The ENCODE
+    direction in tests is stdlib base64.a85encode — an independent
+    oracle for this decoder."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group = []
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x7A:                            # 'z' -> 4 zero bytes
+            if group:
+                raise PDFError("a85: z inside group")
+            out += b"\0\0\0\0"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PDFError(f"a85: bad char {c}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += struct.pack(">I", v)
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PDFError("a85: lone trailing digit")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        out += struct.pack(">I", v)[:k - 1]
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        l = data[pos]
+        pos += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[pos:pos + l + 1]
+            pos += l + 1
+        else:
+            out += bytes([data[pos]]) * (257 - l)
+            pos += 1
+    return bytes(out)
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """Test encoder for RunLengthDecode (runs >=3 collapsed)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+        else:
+            j = i
+            lit = bytearray()
+            while j < n and len(lit) < 128:
+                run = 1
+                while j + run < n and data[j + run] == data[j] and run < 3:
+                    run += 1
+                if run >= 3:
+                    break
+                lit.append(data[j])
+                j += 1
+            out += bytes([len(lit) - 1]) + lit
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _apply_one_filter(data: bytes, name: str, parms: dict | None,
+                      doc: "PDFDocument | None") -> bytes:
+    parms = parms or {}
+    if name in ("FlateDecode", "Fl"):
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            data = zlib.decompressobj().decompress(data)
+    elif name in ("LZWDecode", "LZW"):
+        data = _lzw_decode(data, early=int(parms.get("EarlyChange", 1)))
+    elif name in ("ASCIIHexDecode", "AHx"):
+        h = bytes(c for c in data.split(b">")[0] if c not in _WS)
+        if len(h) % 2:
+            h += b"0"
+        return binascii.unhexlify(h)
+    elif name in ("ASCII85Decode", "A85"):
+        return _a85_decode(data)
+    elif name in ("RunLengthDecode", "RL"):
+        return _rl_decode(data)
+    elif name in ("DCTDecode", "JPXDecode", "CCITTFaxDecode",
+                  "JBIG2Decode"):
+        return data                              # image data: pass through
+    elif name == "Crypt":
+        raise PDFError("encrypted streams unsupported")
+    else:
+        raise PDFError(f"unknown filter {name}")
+    pred = int(parms.get("Predictor", 1))
+    if pred >= 10:
+        data = _png_predict(data, int(parms.get("Colors", 1)),
+                            int(parms.get("BitsPerComponent", 8)),
+                            int(parms.get("Columns", 1)))
+    elif pred == 2:
+        data = _tiff_predict(data, int(parms.get("Colors", 1)),
+                             int(parms.get("BitsPerComponent", 8)),
+                             int(parms.get("Columns", 1)))
+    return data
+
+
+def decode_stream(st: Stream, doc: "PDFDocument | None" = None) -> bytes:
+    d = st.dict
+    filt = d.get("Filter")
+    if doc is not None:
+        filt = doc.deref(filt)
+    if filt is None:
+        return st.raw
+    parms = d.get("DecodeParms", d.get("DP"))
+    if doc is not None:
+        parms = doc.deref(parms)
+    if not isinstance(filt, list):
+        filt, parms = [filt], [parms]
+    elif not isinstance(parms, list):
+        parms = [parms] + [None] * (len(filt) - 1)
+    data = st.raw
+    for f, p in zip(filt, parms + [None] * (len(filt) - len(parms))):
+        if doc is not None:
+            f, p = doc.deref(f), doc.deref(p)
+        data = _apply_one_filter(data, str(f), p, doc)
+    return data
+
+
+# ------------------------------------------------------------- document
+
+class PDFDocument:
+    """Random-access PDF: xref chain -> indirect-object resolution."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: dict[int, tuple] = {}          # num -> ('n',off) | ('o',stm,idx)
+        self.trailer: dict = {}
+        self._cache: dict[int, Any] = {}
+        self._objstm_cache: dict[int, list] = {}
+        try:
+            self._load_xref_chain()
+        except PDFError:
+            self.xref.clear()
+            self._reconstruct()
+        if "Root" not in self.trailer:
+            self._find_root_brute()
+
+    # ------------------------------------------------- xref loading
+
+    def _load_xref_chain(self):
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PDFError("no startxref")
+        pos = int(m.group(1))
+        seen = set()
+        while pos not in seen:
+            seen.add(pos)
+            trailer = self._load_xref_section(pos)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)     # newest wins
+            nxt = trailer.get("Prev")
+            if nxt is None:
+                xs = trailer.get("XRefStm")       # hybrid-reference
+                if xs is None:
+                    break
+                nxt = xs
+            pos = int(nxt)
+
+    def _load_xref_section(self, pos: int) -> dict:
+        lex = _Lexer(self.data, pos)
+        lex.skip_ws()
+        if self.data[lex.pos:lex.pos + 4] == b"xref":
+            return self._load_xref_table(lex)
+        # xref stream: "N G obj <<...>> stream"
+        obj = self._parse_indirect_at(pos)
+        if not isinstance(obj, Stream):
+            raise PDFError(f"no xref at {pos}")
+        return self._load_xref_stream(obj)
+
+    def _load_xref_table(self, lex: _Lexer) -> dict:
+        lex.pos += 4
+        while True:
+            lex.skip_ws()
+            if self.data[lex.pos:lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                t = lex.parse_object(self)
+                if not isinstance(t, dict):
+                    raise PDFError("bad trailer")
+                return t
+            t1 = lex.next_token()
+            t2 = lex.next_token()
+            if not (t1 and t2 and t1[0] == "num" and t2[0] == "num"):
+                raise PDFError("bad xref subsection header")
+            start, count = int(t1[1]), int(t2[1])
+            for i in range(count):
+                m = re.match(rb"\s*(\d{10})\s(\d{5})\s([fn])",
+                             self.data[lex.pos:lex.pos + 26])
+                if not m:
+                    raise PDFError("bad xref entry")
+                off, kind = int(m.group(1)), m.group(3)[0]
+                lex.pos += m.end()
+                num = start + i
+                if kind == 0x6E and num not in self.xref:     # 'n'
+                    self.xref[num] = ("n", off)
+
+    def _load_xref_stream(self, st: Stream) -> dict:
+        d = st.dict
+        data = decode_stream(st, self)
+        w = [int(x) for x in d["W"]]
+        size = int(self.deref(d["Size"]))
+        index = d.get("Index", [0, size])
+        index = [int(self.deref(x)) for x in index]
+        rowlen = sum(w)
+        pos = 0
+        for k in range(0, len(index), 2):
+            start, count = index[k], index[k + 1]
+            for i in range(count):
+                row = data[pos:pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    break
+                fields = []
+                o = 0
+                for width in w:
+                    fields.append(int.from_bytes(row[o:o + width], "big")
+                                  if width else None)
+                    o += width
+                typ = fields[0] if w[0] else 1
+                num = start + i
+                if num in self.xref:
+                    continue
+                if typ == 1:
+                    self.xref[num] = ("n", fields[1])
+                elif typ == 2:
+                    self.xref[num] = ("o", fields[1], fields[2])
+        return d
+
+    def _reconstruct(self):
+        """Damaged xref: scan for 'N G obj' and the trailer dict."""
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.data):
+            self.xref[int(m.group(1))] = ("n", m.start())
+        for m in re.finditer(rb"trailer", self.data):
+            lex = _Lexer(self.data, m.end())
+            try:
+                t = lex.parse_object(self)
+                if isinstance(t, dict):
+                    self.trailer.update(t)
+            except PDFError:
+                pass
+
+    def _find_root_brute(self):
+        for num, ent in self.xref.items():
+            try:
+                obj = self.get_num(num)
+            except PDFError:
+                continue
+            if isinstance(obj, dict) and obj.get("Type") == Name("Catalog"):
+                self.trailer["Root"] = Ref(num, 0)
+                return
+        raise PDFError("no /Root catalog")
+
+    # ---------------------------------------------------- resolution
+
+    def _parse_indirect_at(self, off: int):
+        lex = _Lexer(self.data, off)
+        t1, t2, t3 = lex.next_token(), lex.next_token(), lex.next_token()
+        if not (t1 and t3 and t1[0] == "num" and t3 == ("kw", b"obj")):
+            raise PDFError(f"no obj at {off}")
+        return lex.parse_object(self)
+
+    def get_num(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        if ent is None:
+            return None
+        if ent[0] == "n":
+            obj = self._parse_indirect_at(ent[1])
+        else:
+            obj = self._objstm_object(ent[1], ent[2])
+        self._cache[num] = obj
+        return obj
+
+    def _objstm_object(self, stm_num: int, idx: int):
+        objs = self._objstm_cache.get(stm_num)
+        if objs is None:
+            st = self.get_num(stm_num)
+            if not isinstance(st, Stream):
+                raise PDFError(f"ObjStm {stm_num} missing")
+            data = decode_stream(st, self)
+            n = int(self.deref(st.dict["N"]))
+            first = int(self.deref(st.dict["First"]))
+            hl = _Lexer(data)
+            pairs = []
+            for _ in range(n):
+                a, b = hl.next_token(), hl.next_token()
+                pairs.append((int(a[1]), int(b[1])))
+            objs = []
+            for _num, off in pairs:
+                objs.append(_Lexer(data, first + off).parse_object(self))
+            self._objstm_cache[stm_num] = objs
+        return objs[idx]
+
+    def get(self, ref: Ref):
+        return self.get_num(ref.num)
+
+    def deref(self, obj):
+        while isinstance(obj, Ref):
+            obj = self.get(obj)
+        return obj
+
+    # ---------------------------------------------------- page tree
+
+    def pages(self) -> list[dict]:
+        root = self.deref(self.trailer["Root"])
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node_ref, inherited):
+            node = self.deref(node_ref)
+            if not isinstance(node, dict):
+                return
+            nid = id(node)
+            if nid in seen:
+                return
+            seen.add(nid)
+            inh = dict(inherited)
+            for key in ("Resources", "MediaBox", "CropBox", "Rotate"):
+                if key in node:
+                    inh[key] = node[key]
+            if node.get("Type") == Name("Page"):
+                page = dict(node)
+                for key, val in inh.items():
+                    page.setdefault(key, val)
+                out.append(page)
+            else:
+                for kid in self.deref(node.get("Kids", [])) or []:
+                    walk(kid, inh)
+
+        walk(root.get("Pages"), {})
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        c = self.deref(page.get("Contents"))
+        if c is None:
+            return b""
+        if isinstance(c, Stream):
+            return decode_stream(c, self)
+        parts = []
+        for ref in c:
+            st = self.deref(ref)
+            if isinstance(st, Stream):
+                parts.append(decode_stream(st, self))
+        return b"\n".join(parts)
+
+    def info(self) -> dict:
+        info = self.deref(self.trailer.get("Info")) or {}
+        out = {}
+        for k in ("Title", "Author", "Subject", "Producer", "Creator"):
+            v = self.deref(info.get(k))
+            if isinstance(v, bytes):
+                out[k] = _text_string(v)
+        return out
+
+
+def _text_string(b: bytes) -> str:
+    """PDF text string: UTF-16BE with BOM, UTF-8 with BOM (2.0),
+    else PDFDocEncoding (≈ latin-1 for the printable range)."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    if b.startswith(b"\xef\xbb\xbf"):
+        return b[3:].decode("utf-8", "replace")
+    return b.decode("latin-1")
+
+
+# ------------------------------------------------------------ encodings
+
+def _cp_table(codec: str) -> dict[int, str]:
+    table = {}
+    for c in range(32, 256):
+        try:
+            table[c] = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            pass
+    return table
+
+
+_WINANSI = _cp_table("cp1252")
+_MACROMAN = _cp_table("mac_roman")
+# Adobe StandardEncoding (ISO 32000-1 Annex D.2), code -> char
+_STANDARD = dict(_cp_table("ascii"))
+_STANDARD.update({39: "’", 96: "‘"})
+_STANDARD.update({
+    161: "¡", 162: "¢", 163: "£", 164: "⁄",
+    165: "¥", 166: "ƒ", 167: "§", 168: "¤",
+    169: "'", 170: "“", 171: "«", 172: "‹",
+    173: "›", 174: "ﬁ", 175: "ﬂ", 177: "–",
+    178: "†", 179: "‡", 180: "·", 182: "¶",
+    183: "•", 184: "‚", 185: "„", 186: "”",
+    187: "»", 188: "…", 189: "‰", 191: "¿",
+    193: "`", 194: "´", 195: "ˆ", 196: "˜",
+    197: "¯", 198: "˘", 199: "˙", 200: "¨",
+    202: "˚", 203: "¸", 205: "˝", 206: "˛",
+    207: "ˇ", 208: "—", 225: "Æ", 227: "ª",
+    232: "Ł", 233: "Ø", 234: "Œ", 235: "º",
+    241: "æ", 245: "ı", 248: "ł", 249: "ø",
+    250: "œ", 251: "ß",
+})
+
+# AGL subset: glyph names reachable from the three base encodings'
+# /Differences plus the ligature/punctuation names wild PDFs use.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "exclamdown": "¡", "cent": "¢",
+    "sterling": "£", "fraction": "⁄", "yen": "¥",
+    "florin": "ƒ", "section": "§", "currency": "¤",
+    "quotedblleft": "“", "guillemotleft": "«",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fi": "ﬁ", "fl": "ﬂ", "endash": "–",
+    "dagger": "†", "daggerdbl": "‡",
+    "periodcentered": "·", "paragraph": "¶",
+    "bullet": "•", "quotesinglbase": "‚",
+    "quotedblbase": "„", "quotedblright": "”",
+    "guillemotright": "»", "ellipsis": "…",
+    "perthousand": "‰", "questiondown": "¿",
+    "acute": "´", "circumflex": "ˆ", "tilde": "˜",
+    "macron": "¯", "breve": "˘", "dotaccent": "˙",
+    "dieresis": "¨", "ring": "˚", "cedilla": "¸",
+    "hungarumlaut": "˝", "ogonek": "˛", "caron": "ˇ",
+    "emdash": "—", "AE": "Æ", "ordfeminine": "ª",
+    "Lslash": "Ł", "Oslash": "Ø", "OE": "Œ",
+    "ordmasculine": "º", "ae": "æ", "dotlessi": "ı",
+    "lslash": "ł", "oslash": "ø", "oe": "œ",
+    "germandbls": "ß", "quoteright": "’",
+    "quoteleft": "‘", "Euro": "€", "trademark": "™",
+    "copyright": "©", "registered": "®",
+    "degree": "°", "plusminus": "±", "mu": "µ",
+    "nbspace": " ", "divide": "÷", "multiply": "×",
+    "onehalf": "½", "onequarter": "¼",
+    "threequarters": "¾", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6",
+    "seven": "7", "eight": "8", "nine": "9",
+}
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL[_ch] = _ch
+    _AGL[_ch.lower()] = _ch.lower()
+# accented-letter names: Aacute, adieresis, ccedilla, ntilde, ...
+_ACCENTS = {
+    "acute": "́", "grave": "̀", "circumflex": "̂",
+    "tilde": "̃", "dieresis": "̈", "ring": "̊",
+    "cedilla": "̧", "macron": "̄", "breve": "̆",
+    "caron": "̌", "hungarumlaut": "̋", "ogonek": "̨",
+    "dotaccent": "̇", "slash": "̸",
+}
+import unicodedata as _ud
+
+for _base in "AEIOUYNCaeiouyncSsZzGgLlRrTtDdHhWw":
+    for _acc, _comb in _ACCENTS.items():
+        _name = _base + _acc
+        _composed = _ud.normalize("NFC", _base + _comb)
+        if len(_composed) == 1 and _name not in _AGL:
+            _AGL[_name] = _composed
+_AGL.setdefault("Thorn", "Þ")
+_AGL.setdefault("thorn", "þ")
+_AGL.setdefault("Eth", "Ð")
+_AGL.setdefault("eth", "ð")
+
+
+def _glyph_to_char(name: str) -> str:
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(chr(int(name[i:i + 4], 16))
+                           for i in range(3, len(name) - 3 + 1, 4))
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    return "�"
+
+
+_BASE_ENCODINGS = {
+    "WinAnsiEncoding": _WINANSI,
+    "MacRomanEncoding": _MACROMAN,
+    "StandardEncoding": _STANDARD,
+    "MacExpertEncoding": {},                     # expert set: rare; FFFD
+}
+
+
+# ---------------------------------------------------------------- fonts
+
+class _SimpleFont:
+    """Type1/TrueType/Type3 with a single-byte encoding."""
+
+    def __init__(self, doc: PDFDocument, d: dict):
+        enc = doc.deref(d.get("Encoding"))
+        table = dict(_STANDARD)
+        if isinstance(enc, str):
+            table = dict(_BASE_ENCODINGS.get(str(enc), _STANDARD))
+        elif isinstance(enc, dict):
+            base = doc.deref(enc.get("BaseEncoding"))
+            if isinstance(base, str):
+                table = dict(_BASE_ENCODINGS.get(str(base), _STANDARD))
+            diffs = doc.deref(enc.get("Differences")) or []
+            code = 0
+            for item in diffs:
+                item = doc.deref(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                else:
+                    table[code] = _glyph_to_char(str(item))
+                    code += 1
+        self.table = table
+        self.tounicode = _parse_tounicode(doc, d)
+        first = int(doc.deref(d.get("FirstChar", 0)) or 0)
+        widths = doc.deref(d.get("Widths")) or []
+        self.widths = {first + i: float(doc.deref(w))
+                       for i, w in enumerate(widths)}
+        fd = doc.deref(d.get("FontDescriptor")) or {}
+        self.default_width = float(doc.deref(fd.get("MissingWidth", 500)))
+
+    def decode(self, raw: bytes):
+        """-> [(code, char, width/1000)]"""
+        out = []
+        for c in raw:
+            if self.tounicode and c in self.tounicode:
+                ch = self.tounicode[c]
+            else:
+                ch = self.table.get(c, "�")
+            out.append((c, ch,
+                        self.widths.get(c, self.default_width) / 1000.0))
+        return out
+
+
+class _Type0Font:
+    """Composite font, Identity-H/V encoding, ToUnicode for text."""
+
+    def __init__(self, doc: PDFDocument, d: dict):
+        self.tounicode = _parse_tounicode(doc, d) or {}
+        desc = doc.deref(d.get("DescendantFonts")) or []
+        self.default_width = 1.0
+        self.widths: dict[int, float] = {}
+        if desc:
+            df = doc.deref(desc[0]) or {}
+            self.default_width = float(doc.deref(df.get("DW", 1000))) / 1000.0
+            w = doc.deref(df.get("W")) or []
+            i = 0
+            while i < len(w):
+                c = int(doc.deref(w[i]))
+                nxt = doc.deref(w[i + 1]) if i + 1 < len(w) else None
+                if isinstance(nxt, list):
+                    for j, wv in enumerate(nxt):
+                        self.widths[c + j] = float(doc.deref(wv)) / 1000.0
+                    i += 2
+                else:
+                    c2 = int(nxt)
+                    wv = float(doc.deref(w[i + 2])) / 1000.0
+                    for cid in range(c, c2 + 1):
+                        self.widths[cid] = wv
+                    i += 3
+
+    def decode(self, raw: bytes):
+        out = []
+        for i in range(0, len(raw) - 1, 2):
+            code = (raw[i] << 8) | raw[i + 1]
+            ch = self.tounicode.get(code, "�")
+            out.append((code, ch,
+                        self.widths.get(code, self.default_width)))
+        return out
+
+
+def _parse_tounicode(doc: PDFDocument, d: dict) -> dict[int, str] | None:
+    tu = doc.deref(d.get("ToUnicode"))
+    if not isinstance(tu, Stream):
+        return None
+    data = decode_stream(tu, doc)
+    cmap: dict[int, str] = {}
+    lex = _Lexer(data)
+    stack: list = []
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind == "kw" and val == b"beginbfchar":
+            while True:
+                a = lex.next_token()
+                if a is None or a == ("kw", b"endbfchar"):
+                    break
+                b = lex.next_token()
+                src = int.from_bytes(a[1], "big")
+                cmap[src] = b[1].decode("utf-16-be", "replace")
+        elif kind == "kw" and val == b"beginbfrange":
+            while True:
+                a = lex.next_token()
+                if a is None or a == ("kw", b"endbfrange"):
+                    break
+                b = lex.next_token()
+                lo = int.from_bytes(a[1], "big")
+                hi = int.from_bytes(b[1], "big")
+                c = lex.next_token()
+                if c[0] == "[":
+                    code = lo
+                    while True:
+                        t = lex.next_token()
+                        if t[0] == "]":
+                            break
+                        cmap[code] = t[1].decode("utf-16-be", "replace")
+                        code += 1
+                else:
+                    base = bytearray(c[1])
+                    for code in range(lo, hi + 1):
+                        cmap[code] = bytes(base).decode("utf-16-be",
+                                                        "replace")
+                        # increment last UTF-16 unit
+                        k = len(base) - 2
+                        unit = (base[k] << 8 | base[k + 1]) + 1
+                        base[k], base[k + 1] = unit >> 8, unit & 0xFF
+        else:
+            stack.append(tok)
+    return cmap
+
+
+def _load_font(doc: PDFDocument, d: dict):
+    sub = str(doc.deref(d.get("Subtype")) or "")
+    if sub == "Type0":
+        return _Type0Font(doc, d)
+    return _SimpleFont(doc, d)
+
+
+# -------------------------------------------- content-stream interpreter
+
+def _mat_mul(a, b):
+    """3x3 affine as 6-tuple (a b c d e f), row-vector convention."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (a0 * b0 + a1 * b2, a0 * b1 + a1 * b3,
+            a2 * b0 + a3 * b2, a2 * b1 + a3 * b3,
+            a4 * b0 + a5 * b2 + b4, a4 * b1 + a5 * b3 + b5)
+
+
+_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+# TJ displacement (text-space units, /1000 of em) past which a space is
+# re-materialised; standard extractor heuristic, pinned for determinism.
+TJ_SPACE_THOUSANDTHS = 180.0
+# x-gap between show ops (fraction of font size) that implies a space
+GAP_SPACE_FRAC = 0.22
+# y-jump (fraction of font size) that implies a new line
+LINE_JUMP_FRAC = 0.5
+
+
+class _TextState:
+    __slots__ = ("font", "size", "char_spacing", "word_spacing",
+                 "h_scale", "leading", "rise")
+
+    def __init__(self):
+        self.font = None
+        self.size = 0.0
+        self.char_spacing = 0.0
+        self.word_spacing = 0.0
+        self.h_scale = 1.0
+        self.leading = 0.0
+        self.rise = 0.0
+
+
+def _page_text(doc: PDFDocument, page: dict) -> str:
+    content = doc.page_content(page)
+    res = doc.deref(page.get("Resources")) or {}
+    fonts_dict = doc.deref(res.get("Font")) or {}
+    fonts: dict[str, Any] = {}
+
+    def get_font(name: str):
+        if name not in fonts:
+            fd = doc.deref(fonts_dict.get(name))
+            fonts[name] = _load_font(doc, fd) if isinstance(fd, dict) \
+                else _SimpleFont(doc, {})
+        return fonts[name]
+
+    ts = _TextState()
+    ctm = _IDENT
+    gstack: list = []
+    tm = tlm = _IDENT
+    lines: list[list[str]] = []
+    last_y = None
+    last_end_x = None
+    pending_space = False
+
+    def device_pos(m):
+        full = _mat_mul(m, ctm)
+        return full[4], full[5]
+
+    def show(raw: bytes):
+        nonlocal tm, last_y, last_end_x, pending_space
+        if ts.font is None or not raw:
+            return
+        decoded = ts.font.decode(raw)
+        x, y = device_pos(tm)
+        size = ts.size or 1.0
+        if last_y is None:
+            lines.append([])
+        elif abs(y - last_y) > LINE_JUMP_FRAC * size:
+            lines.append([])
+            pending_space = False
+        elif pending_space or (
+                last_end_x is not None
+                and x - last_end_x > GAP_SPACE_FRAC * size):
+            if lines[-1] and not lines[-1][-1].endswith(" "):
+                lines[-1].append(" ")
+        pending_space = False
+        text = []
+        adv = 0.0
+        single_byte = isinstance(ts.font, _SimpleFont)
+        for code, ch, w in decoded:
+            text.append(ch)
+            tx = (w * ts.size + ts.char_spacing
+                  + (ts.word_spacing
+                     if single_byte and code == 32 else 0.0))
+            adv += tx * ts.h_scale
+        lines[-1].append("".join(text))
+        tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+        last_y = y
+        last_end_x = _mat_mul(tm, ctm)[4]
+
+    lex = _Lexer(content)
+    stack: list = []
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        kind, val = tok
+        if kind in ("num", "str", "name"):
+            stack.append(val)
+            continue
+        if kind == "[":
+            arr = []
+            depth = 1
+            while depth:
+                t = lex.next_token()
+                if t is None:
+                    break
+                if t[0] == "[":
+                    depth += 1
+                elif t[0] == "]":
+                    depth -= 1
+                elif t[0] in ("num", "str", "name"):
+                    arr.append(t[1])
+            stack.append(arr)
+            continue
+        if kind == "dict<<":
+            lex.pos -= 2
+            try:
+                stack.append(lex.parse_object(doc))
+            except PDFError:
+                pass
+            continue
+        if kind != "kw":
+            continue
+        op = val
+        try:
+            if op == b"BT":
+                tm = tlm = _IDENT
+                last_end_x = None
+                pending_space = False
+            elif op == b"ET":
+                pass
+            elif op == b"Tf" and len(stack) >= 2:
+                ts.size = float(stack[-1])
+                ts.font = get_font(str(stack[-2]))
+            elif op == b"Td" and len(stack) >= 2:
+                tlm = _mat_mul((1, 0, 0, 1,
+                                float(stack[-2]), float(stack[-1])), tlm)
+                tm = tlm
+            elif op == b"TD" and len(stack) >= 2:
+                ts.leading = -float(stack[-1])
+                tlm = _mat_mul((1, 0, 0, 1,
+                                float(stack[-2]), float(stack[-1])), tlm)
+                tm = tlm
+            elif op == b"Tm" and len(stack) >= 6:
+                tlm = tuple(float(v) for v in stack[-6:])
+                tm = tlm
+            elif op == b"T*":
+                tlm = _mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
+                tm = tlm
+            elif op == b"TL" and stack:
+                ts.leading = float(stack[-1])
+            elif op == b"Tc" and stack:
+                ts.char_spacing = float(stack[-1])
+            elif op == b"Tw" and stack:
+                ts.word_spacing = float(stack[-1])
+            elif op == b"Tz" and stack:
+                ts.h_scale = float(stack[-1]) / 100.0
+            elif op == b"Ts" and stack:
+                ts.rise = float(stack[-1])
+            elif op == b"Tj" and stack:
+                show(stack[-1])
+            elif op == b"'" and stack:
+                tlm = _mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
+                tm = tlm
+                show(stack[-1])
+            elif op == b'"' and len(stack) >= 3:
+                ts.word_spacing = float(stack[-3])
+                ts.char_spacing = float(stack[-2])
+                tlm = _mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
+                tm = tlm
+                show(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, bytes):
+                        show(item)
+                    elif isinstance(item, (int, float)):
+                        disp = -float(item)
+                        tx = disp / 1000.0 * ts.size * ts.h_scale
+                        tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
+                        if disp > TJ_SPACE_THOUSANDTHS:
+                            pending_space = True
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"q":
+                gstack.append(ctm)
+            elif op == b"Q":
+                if gstack:
+                    ctm = gstack.pop()
+            elif op == b"BI":
+                # inline image: skip to EI
+                end = content.find(b"EI", lex.pos)
+                lex.pos = len(content) if end < 0 else end + 2
+        except (ValueError, TypeError, IndexError):
+            pass
+        stack.clear()
+    return "\n".join("".join(parts).rstrip() for parts in lines)
+
+
+# ------------------------------------------------------------ extractor
+
+def extract_pdf(payload: bytes) -> dict:
+    """PDF bytes -> {title, author, n_pages, pages: [str], text}."""
+    doc = PDFDocument(payload)
+    pages = doc.pages()
+    texts = [_page_text(doc, p) for p in pages]
+    info = doc.info()
+    return {
+        "title": info.get("Title", ""),
+        "author": info.get("Author", ""),
+        "n_pages": len(pages),
+        "pages": texts,
+        "text": "\n".join(texts),
+    }
+
+
+# ----------------------------------------------------------- Spark stage
+
+def pdf_stage(df: "DataFrame") -> "DataFrame":
+    """(doc_id, payload binary) -> (doc_id, title, author, n_pages,
+    text, ok). Arrow-batched mapInPandas; malformed payloads yield
+    ok=false rows instead of failing the task (per-partition error
+    accounting, the north-rule lineage contract)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+    ])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    r = extract_pdf(bytes(payload))
+                    rows.append((int(doc_id), r["title"], r["author"],
+                                 r["n_pages"], r["text"], True))
+                except Exception:
+                    rows.append((int(doc_id), "", "", 0, "", False))
+            out = pd.DataFrame(rows, columns=[f.name for f in schema])
+            out["n_pages"] = out["n_pages"].astype("int32")
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------- test encoder
+
+def _esc_literal(s: bytes) -> bytes:
+    # CR/LF must be escaped: a raw CR inside a literal string is
+    # EOL-normalised to LF by conforming readers (binary CID bytes!)
+    return (s.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
+            .replace(b")", b"\\)").replace(b"\r", b"\\r")
+            .replace(b"\n", b"\\n"))
+
+
+def _enc_stream(payload: bytes, filters: str):
+    """-> (filter entry bytes for the dict, encoded payload)."""
+    if filters == "none":
+        return b"", payload
+    if filters == "flate":
+        return b"/Filter /FlateDecode", zlib.compress(payload, 6)
+    if filters == "flate-pred":
+        cols = 16
+        pad = (-len(payload)) % cols
+        padded = payload + b"\0" * pad
+        rows = [padded[i:i + cols] for i in range(0, len(padded), cols)]
+        enc = bytearray()
+        prev = bytes(cols)
+        for row in rows:                         # PNG Up filter
+            enc.append(2)
+            enc += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+            prev = row
+        body = zlib.compress(bytes(enc), 6)
+        return (b"/Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 12 /Columns 16 >>", body)
+    if filters == "lzw":
+        from jsoup_spark.operators.tiff import _lzw_encode_tiff
+        return b"/Filter /LZWDecode", _lzw_encode_tiff(payload)
+    if filters == "a85+flate":
+        body = base64.a85encode(zlib.compress(payload, 6)) + b"~>"
+        return b"/Filter [/ASCII85Decode /FlateDecode]", body
+    if filters == "ahx":
+        return b"/Filter /ASCIIHexDecode", binascii.hexlify(payload) + b">"
+    if filters == "rl":
+        return b"/Filter /RunLengthDecode", _rl_encode(payload)
+    raise ValueError(f"unknown filter knob {filters}")
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = io.BytesIO()
+        self.offsets: dict[int, int] = {}
+        self.buf.write(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+
+    def add(self, num: int, body: bytes):
+        self.offsets[num] = self.buf.tell()
+        self.buf.write(b"%d 0 obj\n" % num)
+        self.buf.write(body)
+        self.buf.write(b"\nendobj\n")
+
+    def add_stream(self, num: int, dict_extra: bytes, payload: bytes,
+                   filters: str = "none"):
+        fent, enc = _enc_stream(payload, filters)
+        d = b"<< /Length %d %s %s >>" % (len(enc), fent, dict_extra)
+        self.offsets[num] = self.buf.tell()
+        self.buf.write(b"%d 0 obj\n" % num)
+        self.buf.write(d)
+        self.buf.write(b"\nstream\n")
+        self.buf.write(enc)
+        self.buf.write(b"\nendstream\nendobj\n")
+
+
+def _content_ops(lines: list[str], *, kerning: bool,
+                 strings: str, font: str,
+                 charmap: dict[str, int] | None) -> bytes:
+    """Build the page content stream text block."""
+    def enc_string(s: str) -> bytes:
+        if font == "cid":
+            raw = b"".join(struct.pack(">H", charmap[ch]) for ch in s)
+        else:
+            raw = s.encode("cp1252")
+        if strings == "hex":
+            return b"<" + binascii.hexlify(raw) + b">"
+        return b"(" + _esc_literal(raw) + b")"
+
+    out = io.BytesIO()
+    out.write(b"BT\n/F1 12 Tf\n14 TL\n72 720 Td\n")
+    for i, line in enumerate(lines):
+        if i > 0:
+            out.write(b"T*\n")
+        if kerning and " " in line:
+            words = line.split(" ")
+            out.write(b"[" + b" -600 ".join(
+                enc_string(w) for w in words) + b"] TJ\n")
+        else:
+            out.write(enc_string(line) + b" Tj\n")
+    out.write(b"ET\n")
+    return out.getvalue()
+
+
+def _tounicode_cmap(charmap: dict[str, int]) -> bytes:
+    pairs = sorted((code, ch) for ch, code in charmap.items())
+    ents = "\n".join(
+        f"<{code:04X}> <{ord(ch):04X}>" for code, ch in pairs)
+    return (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+        "begincmap\n/CMapName /Custom def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(pairs)} beginbfchar\n{ents}\nendbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+        "end\nend").encode("ascii")
+
+
+def build_pdf(paragraphs: list[str], *, title: str = "",
+              author: str = "", filters: str = "flate",
+              xref_kind: str = "table", objstm: bool = False,
+              font: str = "winansi", strings: str = "literal",
+              kerning: bool = False, paras_per_page: int = 4,
+              incremental: bool = False) -> bytes:
+    """Zero-fixture PDF test encoder. Each paragraph becomes one text
+    line; pages hold `paras_per_page` lines. Knobs cover the decoder
+    matrix — see module docstring. Text must be cp1252-encodable for
+    font='winansi'; font='cid' maps the document alphabet through a
+    generated Identity-H + ToUnicode font."""
+    if not paragraphs:
+        paragraphs = [""]
+    w = _Writer()
+    pages = [paragraphs[i:i + paras_per_page]
+             for i in range(0, len(paragraphs), paras_per_page)]
+    charmap = None
+    if font == "cid":
+        alphabet = sorted(set("".join(paragraphs)))
+        charmap = {ch: i + 1 for i, ch in enumerate(alphabet)}
+
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3 font, (4 tounicode,
+    # 5 descendant), then per page: content + page obj; finally info
+    FONT, TOUNI, DESC = 3, 4, 5
+    next_num = 6 if font == "cid" else 4
+    content_nums, page_nums = [], []
+    for _ in pages:
+        content_nums.append(next_num)
+        page_nums.append(next_num + 1)
+        next_num += 2
+    info_num = next_num
+    next_num += 1
+
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    cat = b"<< /Type /Catalog /Pages 2 0 R >>"
+    pages_obj = (b"<< /Type /Pages /Kids [%s] /Count %d "
+                 b"/Resources << /Font << /F1 %d 0 R >> >> "
+                 b"/MediaBox [0 0 612 792] >>"
+                 % (kids, n_pages, FONT))
+
+    if font == "cid":
+        font_obj = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+                    b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+                    b"/ToUnicode %d 0 R >>" % (DESC, TOUNI))
+        ncodes = len(charmap)
+        wlist = b" ".join(b"500" for _ in range(ncodes))
+        desc_obj = (b"<< /Type /Font /Subtype /CIDFontType2 "
+                    b"/BaseFont /Synth /DW 1000 "
+                    b"/CIDSystemInfo << /Registry (Adobe) "
+                    b"/Ordering (Identity) /Supplement 0 >> "
+                    b"/W [1 [%s]] >>" % wlist)
+    else:
+        widths = b" ".join(b"500" for _ in range(224))
+        font_obj = (b"<< /Type /Font /Subtype /Type1 "
+                    b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding "
+                    b"/FirstChar 32 /LastChar 255 /Widths [%s] >>"
+                    % widths)
+        desc_obj = None
+
+    def esc_text(s: str) -> bytes:
+        try:
+            return b"(" + _esc_literal(s.encode("ascii")) + b")"
+        except UnicodeEncodeError:
+            return (b"(" + _esc_literal(
+                b"\xfe\xff" + s.encode("utf-16-be")) + b")")
+
+    info_obj = (b"<< /Title %s /Author %s /Producer (jsoup_spark) >>"
+                % (esc_text(title), esc_text(author)))
+
+    page_objs = {}
+    for i, pnum in enumerate(page_nums):
+        page_objs[pnum] = (b"<< /Type /Page /Parent 2 0 R "
+                           b"/Contents %d 0 R >>" % content_nums[i])
+
+    simple = {1: cat, 2: pages_obj, FONT: font_obj, info_num: info_obj}
+    if desc_obj is not None:
+        simple[DESC] = desc_obj
+    simple.update(page_objs)
+
+    if objstm:
+        # pack the non-stream objects into one compressed object stream
+        objstm_num = next_num
+        next_num += 1
+        nums = sorted(simple)
+        bodies = [simple[n] for n in nums]
+        offs, acc = [], 0
+        for b in bodies:
+            offs.append(acc)
+            acc += len(b) + 1
+        header = " ".join(f"{n} {o}" for n, o in zip(nums, offs)) \
+            .encode("ascii") + b"\n"
+        payload = header + b"\n".join(bodies) + b"\n"
+        w.add_stream(objstm_num, b"/Type /ObjStm /N %d /First %d"
+                     % (len(nums), len(header)), payload, "flate")
+        in_objstm = {n: i for i, n in enumerate(nums)}
+    else:
+        in_objstm = {}
+        for n in sorted(simple):
+            w.add(n, simple[n])
+
+    for i, cnum in enumerate(content_nums):
+        ops = _content_ops(pages[i], kerning=kerning, strings=strings,
+                           font=font, charmap=charmap)
+        w.add_stream(cnum, b"", ops, filters)
+    if font == "cid":
+        w.add_stream(TOUNI, b"", _tounicode_cmap(charmap), filters)
+
+    size = next_num
+    trailer_extra = b"/Info %d 0 R" % info_num
+
+    if xref_kind == "stream" or objstm:
+        xref_num = next_num
+        size = next_num + 1
+        rows = bytearray()
+        w.offsets[xref_num] = 0                  # patched below
+        entries = {0: (0, 0, 65535)}             # type,f2,f3
+        for n in range(1, size):
+            if n in in_objstm:
+                entries[n] = (2, objstm_num, in_objstm[n])
+            elif n == xref_num:
+                entries[n] = (1, 0, 0)           # patched
+            else:
+                entries[n] = (1, w.offsets.get(n, 0), 0)
+        xref_off = w.buf.tell()
+        entries[xref_num] = (1, xref_off, 0)
+        for n in range(size):
+            t, f2, f3 = entries[n]
+            rows += bytes([t]) + f2.to_bytes(4, "big") + \
+                f3.to_bytes(2, "big")
+        w.add_stream(xref_num,
+                     b"/Type /XRef /Size %d /W [1 4 2] /Root 1 0 R %s"
+                     % (size, trailer_extra), bytes(rows), "flate")
+        # add_stream recorded the real offset; rewrite startxref to it
+        xref_off = w.offsets[xref_num]
+        w.buf.write(b"startxref\n%d\n%%%%EOF\n" % xref_off)
+    else:
+        xref_off = w.buf.tell()
+        w.buf.write(b"xref\n0 %d\n" % size)
+        w.buf.write(b"0000000000 65535 f \n")
+        for n in range(1, size):
+            w.buf.write(b"%010d 00000 n \n" % w.offsets.get(n, 0))
+        w.buf.write(b"trailer\n<< /Size %d /Root 1 0 R %s >>\n"
+                    % (size, trailer_extra))
+        w.buf.write(b"startxref\n%d\n%%%%EOF\n" % xref_off)
+
+    out = w.buf.getvalue()
+    if incremental:
+        # revision 2: replace /Info (title gains a suffix) via a classic
+        # update section chained with /Prev — exercises newest-wins
+        upd = io.BytesIO()
+        upd.write(out)
+        new_info_off = upd.tell()
+        upd.write(b"%d 0 obj\n" % info_num)
+        upd.write(b"<< /Title %s /Author %s /Producer (jsoup_spark) >>"
+                  % (esc_text(title + " (rev2)"), esc_text(author)))
+        upd.write(b"\nendobj\n")
+        x2 = upd.tell()
+        upd.write(b"xref\n0 1\n0000000000 65535 f \n")
+        upd.write(b"%d 1\n%010d 00000 n \n" % (info_num, new_info_off))
+        upd.write(b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R "
+                  b"/Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+                  % (size, info_num, xref_off, x2))
+        out = upd.getvalue()
+    return out
