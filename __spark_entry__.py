@@ -578,6 +578,59 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
+def q_main_content(spark, sf_dir):
+    """Main-content election by DOM heuristics (extract/maincontent.py
+    — readability scoring: paragraph mass -> ancestor credit, tag
+    priors, ±25 class/id hints, link-density scaling). Each doc is
+    wrapped in a full boilerplate page (nav header, link sidebar,
+    footer chrome) with the article as 8-word <p> chunks inside a
+    content div whose class alternates positive ('post-content') /
+    neutral ('cx') by doc_id — the neutral half must win on text mass
+    and link density alone. The elected block's text must be exactly
+    the original document text (Element.text() whitespace contract),
+    so the oracle is fully symbolic."""
+    from jsoup_spark.extract.maincontent import main_content_stage
+    import html as html_mod
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def run(batches):
+        for pdf in batches:
+            ids, pages = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = text.split(" ")
+                paras = "".join(
+                    "<p>" + html_mod.escape(" ".join(words[i:i + 8]))
+                    + "</p>"
+                    for i in range(0, len(words), 8))
+                cls = "post-content" if did % 2 == 0 else "cx"
+                page = (
+                    '<html><head><title>t</title></head><body>'
+                    '<div class="topnav"><a href="/">Home</a> '
+                    '<a href="/blog">Blog</a> <a href="/c">About</a>'
+                    '</div>'
+                    f'<div class="{cls}">{paras}</div>'
+                    '<div class="side"><a href="/x">More links</a> '
+                    '<a href="/y">Other reads</a> '
+                    '<a href="/z">Subscribe now</a></div>'
+                    '<div class="pagefoot"><a href="/p">Privacy</a> '
+                    'copyright notice</div>'
+                    '</body></html>')
+                ids.append(did)
+                pages.append(page)
+            yield pd.DataFrame({"doc_id": ids, "html": pages})
+
+    pages = docs.mapInPandas(run, schema="doc_id long, html string")
+    rows = main_content_stage(pages)
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "tag", "el_class",
+        F.md5("text").alias("text_md5"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling at exactly 16384/65536 = 25%
     (curation.hash_sample): the hex-prefix-as-number trick makes the
@@ -960,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "office_extract": q_office_extract,
         "pdf_extract": q_pdf_extract,
+        "main_content": q_main_content,
         "zorder_keys": q_zorder_keys,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
@@ -1309,6 +1363,12 @@ def oracle_sql() -> dict[str, str]:
                          :len(ws)], ' ')
                   END) AS text_md5
             FROM w""",
+        "main_content": """
+            SELECT doc_id, 'div' AS tag,
+                   CASE WHEN doc_id % 2 = 0 THEN 'post-content'
+                        ELSE 'cx' END AS el_class,
+                   md5(text) AS text_md5
+            FROM documents""",
         "pdf_extract": """
             WITH w AS (
               SELECT doc_id, source, string_split(text, ' ') AS ws
