@@ -562,7 +562,8 @@ def q_pdf_extract(spark, sf_dir):
                     objstm=(did % 4 == 1),
                     font=["winansi", "cid"][did % 2],
                     strings=["literal", "hex"][did % 3 == 0],
-                    kerning=(did % 5 == 0))
+                    kerning=(did % 5 == 0),
+                    columns=2 if did % 6 == 0 else 1)
                 ids.append(did)
                 payloads.append(b)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

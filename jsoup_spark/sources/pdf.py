@@ -1138,13 +1138,16 @@ def _mat_mul(a, b):
 
 _IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
-# TJ displacement (text-space units, /1000 of em) past which a space is
-# re-materialised; standard extractor heuristic, pinned for determinism.
-TJ_SPACE_THOUSANDTHS = 180.0
-# x-gap between show ops (fraction of font size) that implies a space
+# Layout-assembly constants (pinned for determinism; the standard
+# extractor heuristics). A TJ kerning displacement needs no separate
+# threshold: it moves the run's device x, so the gap rule below
+# re-materialises the space geometrically.
+# x-gap between runs on a line (fraction of font size) -> space
 GAP_SPACE_FRAC = 0.22
-# y-jump (fraction of font size) that implies a new line
+# y-distance (fraction of font size) within which runs share a line
 LINE_JUMP_FRAC = 0.5
+# x-gap (device points) between run intervals that separates COLUMNS
+COLUMN_GAP_PT = 18.0
 
 
 class _TextState:
@@ -1178,33 +1181,17 @@ def _page_text(doc: PDFDocument, page: dict) -> str:
     ctm = _IDENT
     gstack: list = []
     tm = tlm = _IDENT
-    lines: list[list[str]] = []
-    last_y = None
-    last_end_x = None
-    pending_space = False
-
-    def device_pos(m):
-        full = _mat_mul(m, ctm)
-        return full[4], full[5]
+    # collected text runs: (x0, x1, y, size, seq, text) in DEVICE space
+    runs: list[tuple] = []
 
     def show(raw: bytes):
-        nonlocal tm, last_y, last_end_x, pending_space
+        nonlocal tm
         if ts.font is None or not raw:
             return
         decoded = ts.font.decode(raw)
-        x, y = device_pos(tm)
+        full = _mat_mul(tm, ctm)
+        x0, y = full[4], full[5]
         size = ts.size or 1.0
-        if last_y is None:
-            lines.append([])
-        elif abs(y - last_y) > LINE_JUMP_FRAC * size:
-            lines.append([])
-            pending_space = False
-        elif pending_space or (
-                last_end_x is not None
-                and x - last_end_x > GAP_SPACE_FRAC * size):
-            if lines[-1] and not lines[-1][-1].endswith(" "):
-                lines[-1].append(" ")
-        pending_space = False
         text = []
         adv = 0.0
         single_byte = isinstance(ts.font, _SimpleFont)
@@ -1214,10 +1201,9 @@ def _page_text(doc: PDFDocument, page: dict) -> str:
                   + (ts.word_spacing
                      if single_byte and code == 32 else 0.0))
             adv += tx * ts.h_scale
-        lines[-1].append("".join(text))
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
-        last_y = y
-        last_end_x = _mat_mul(tm, ctm)[4]
+        x1 = _mat_mul(tm, ctm)[4]
+        runs.append((x0, x1, y, size, len(runs), "".join(text)))
 
     lex = _Lexer(content)
     stack: list = []
@@ -1306,11 +1292,10 @@ def _page_text(doc: PDFDocument, page: dict) -> str:
                     if isinstance(item, bytes):
                         show(item)
                     elif isinstance(item, (int, float)):
-                        disp = -float(item)
-                        tx = disp / 1000.0 * ts.size * ts.h_scale
+                        # kerning displacement moves device x; the
+                        # assembly gap rule re-materialises spaces
+                        tx = -float(item) / 1000.0 * ts.size * ts.h_scale
                         tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
-                        if disp > TJ_SPACE_THOUSANDTHS:
-                            pending_space = True
             elif op == b"cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
             elif op == b"q":
@@ -1325,7 +1310,70 @@ def _page_text(doc: PDFDocument, page: dict) -> str:
         except (ValueError, TypeError, IndexError):
             pass
         stack.clear()
-    return "\n".join("".join(parts).rstrip() for parts in lines)
+    return _assemble_runs(runs)
+
+
+def _assemble_runs(runs: list[tuple]) -> str:
+    """Geometric reading order: detect columns by x-interval
+    clustering (gap > COLUMN_GAP_PT splits), then within each column
+    group runs into lines by y proximity and merge left-to-right with
+    gap-based space insertion. Content-stream paint ORDER no longer
+    matters — row-major-painted multi-column pages read column-major,
+    the published layout-analysis approach (pdfminer/poppler family).
+
+    Documented limit: a full-width run (spanning headline) bridges
+    the column gap and collapses the page to one column — per-band
+    segmentation is the next refinement."""
+    if not runs:
+        return ""
+    # --- column detection: cluster x-intervals, gaps split columns
+    ivs = sorted((r[0], r[1]) for r in runs)
+    comps: list[list[float]] = []
+    for lo, hi in ivs:
+        if comps and lo <= comps[-1][1] + COLUMN_GAP_PT:
+            comps[-1][1] = max(comps[-1][1], hi)
+        else:
+            comps.append([lo, hi])
+    if len(comps) > 1:
+        cols: list[list[tuple]] = [[] for _ in comps]
+        for r in runs:
+            for i, (lo, hi) in enumerate(comps):
+                if lo - 1e-6 <= r[0] <= hi + 1e-6:
+                    cols[i].append(r)
+                    break
+        cols = [c for c in cols if c]
+    else:
+        cols = [runs]
+
+    out_cols = []
+    for col in cols:
+        # sort top-down (device y decreases down the page), then x
+        col = sorted(col, key=lambda r: (-r[2], r[0], r[4]))
+        lines: list[list[tuple]] = []
+        cur_y = None
+        for r in col:
+            size = r[3] or 1.0
+            if cur_y is None or abs(r[2] - cur_y) > LINE_JUMP_FRAC * size:
+                lines.append([r])
+                cur_y = r[2]
+            else:
+                lines[-1].append(r)
+        parts = []
+        for line in lines:
+            line.sort(key=lambda r: (r[0], r[4]))
+            buf = []
+            last_x1 = None
+            for x0, x1, _y, size, _seq, text in line:
+                if (last_x1 is not None
+                        and x0 - last_x1 > GAP_SPACE_FRAC * (size or 1.0)
+                        and buf and not buf[-1].endswith(" ")
+                        and not text.startswith(" ")):
+                    buf.append(" ")
+                buf.append(text)
+                last_x1 = max(last_x1, x1) if last_x1 is not None else x1
+            parts.append("".join(buf).rstrip())
+        out_cols.append("\n".join(parts))
+    return "\n".join(out_cols)
 
 
 # ------------------------------------------------------------ extractor
@@ -1450,7 +1498,8 @@ class _Writer:
 
 def _content_ops(lines: list[str], *, kerning: bool,
                  strings: str, font: str,
-                 charmap: dict[str, int] | None) -> bytes:
+                 charmap: dict[str, int] | None,
+                 columns: int = 1) -> bytes:
     """Build the page content stream text block."""
     def enc_string(s: str) -> bytes:
         if font == "cid":
@@ -1461,17 +1510,38 @@ def _content_ops(lines: list[str], *, kerning: bool,
             return b"<" + binascii.hexlify(raw) + b">"
         return b"(" + _esc_literal(raw) + b")"
 
-    out = io.BytesIO()
-    out.write(b"BT\n/F1 12 Tf\n14 TL\n72 720 Td\n")
-    for i, line in enumerate(lines):
-        if i > 0:
-            out.write(b"T*\n")
+    def show_ops(line: str) -> bytes:
         if kerning and " " in line:
             words = line.split(" ")
-            out.write(b"[" + b" -600 ".join(
+            return (b"[" + b" -600 ".join(
                 enc_string(w) for w in words) + b"] TJ\n")
-        else:
-            out.write(enc_string(line) + b" Tj\n")
+        return enc_string(line) + b" Tj\n"
+
+    out = io.BytesIO()
+    out.write(b"BT\n/F1 12 Tf\n")
+    if columns <= 1:
+        out.write(b"14 TL\n72 720 Td\n")
+        for i, line in enumerate(lines):
+            if i > 0:
+                out.write(b"T*\n")
+            out.write(show_ops(line))
+    else:
+        # two-column layout painted ROW-MAJOR (col0-line0, col1-line0,
+        # col0-line1, ...) via absolute Tm positioning — extraction
+        # must re-read column-major. All glyph widths are 500/1000 em
+        # at 12pt -> 6pt/char; the inter-column gutter clears
+        # COLUMN_GAP_PT even with kerning-widened spaces (7.2pt).
+        h = (len(lines) + 1) // 2
+        col0, col1 = lines[:h], lines[h:]
+        maxlen = max(len(l) for l in lines)
+        x1 = 72 + 6 * maxlen + 40
+        for r in range(h):
+            y = 720 - 14 * r
+            out.write(b"1 0 0 1 72 %d Tm\n" % y)
+            out.write(show_ops(col0[r]))
+            if r < len(col1):
+                out.write(b"1 0 0 1 %d %d Tm\n" % (x1, y))
+                out.write(show_ops(col1[r]))
     out.write(b"ET\n")
     return out.getvalue()
 
@@ -1494,7 +1564,7 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
               xref_kind: str = "table", objstm: bool = False,
               font: str = "winansi", strings: str = "literal",
               kerning: bool = False, paras_per_page: int = 4,
-              incremental: bool = False) -> bytes:
+              incremental: bool = False, columns: int = 1) -> bytes:
     """Zero-fixture PDF test encoder. Each paragraph becomes one text
     line; pages hold `paras_per_page` lines. Knobs cover the decoder
     matrix — see module docstring. Text must be cp1252-encodable for
@@ -1592,7 +1662,7 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
 
     for i, cnum in enumerate(content_nums):
         ops = _content_ops(pages[i], kerning=kerning, strings=strings,
-                           font=font, charmap=charmap)
+                           font=font, charmap=charmap, columns=columns)
         w.add_stream(cnum, b"", ops, filters)
     if font == "cid":
         w.add_stream(TOUNI, b"", _tounicode_cmap(charmap), filters)

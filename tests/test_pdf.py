@@ -280,3 +280,32 @@ def test_pdf_stage_spark(spark):
         assert out[i]["text"] == "\n".join(
             f"doc {i} line {j} words here" for j in range(5))
     assert out[99]["ok"] is False and out[99]["text"] == ""
+
+
+# -------------------------------------------------- multi-column layout
+
+def test_two_column_row_major_paint_reads_column_major():
+    """The encoder paints line pairs ROW-major (col0-r0, col1-r0,
+    col0-r1, ...); geometric assembly must restore column-major
+    reading order — the layout-parse contract."""
+    paras = [f"column line {i} text body" for i in range(8)]
+    for kerning in (False, True):
+        for font in ("winansi", "cid"):
+            b = build_pdf(paras, columns=2, paras_per_page=8,
+                          kerning=kerning, font=font)
+            r = extract_pdf(b)
+            assert r["n_pages"] == 1
+            assert r["text"] == "\n".join(paras), (kerning, font)
+
+
+def test_two_column_odd_lines_and_paging():
+    paras = [f"p{i} words here now" for i in range(11)]
+    b = build_pdf(paras, columns=2, paras_per_page=4)
+    r = extract_pdf(b)
+    assert r["n_pages"] == 3
+    assert r["text"] == "\n".join(paras)
+
+
+def test_single_column_unchanged_by_geometric_assembly():
+    b = build_pdf(PARAS, columns=1)
+    assert extract_pdf(b)["text"] == "\n".join(PARAS)
