@@ -632,6 +632,95 @@ def q_main_content(spark, sf_dir):
         F.md5("text").alias("text_md5"))
 
 
+def q_metadata_extract(spark, sf_dir):
+    """Page metadata across the four public vocabularies
+    (extract/metadata.py): doc_id%3 cycles the TITLE source between
+    og:title (with a twitter decoy that must lose), a bare <title>,
+    and a JSON-LD NewsArticle headline (with a <title> decoy);
+    doc_id%2 cycles description og/meta[name], author
+    meta[name]/article:author+JSON-LD, and published
+    article:published_time/<time datetime>. Canonical link, og
+    site_name and html[lang] always present. Every branch resolves to
+    the same symbolic value, so the oracle is pure SQL over
+    documents."""
+    from jsoup_spark.extract.metadata import metadata_stage
+    from datetime import date, timedelta
+    import html as html_mod
+    import json
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text", "lang", "source")
+
+    def run(batches):
+        for pdf in batches:
+            ids, pages = [], []
+            for did, text, lang, source in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"],
+                    pdf["source"]):
+                did = int(did)
+                words = text.split(" ")
+                desc = " ".join(words[:8])
+                title = f"Doc {did}"
+                pub = (date(2020, 1, 1)
+                       + timedelta(days=did % 1000)).isoformat()
+                esc = lambda s: html_mod.escape(s, quote=True)
+                head = ['<meta property="og:site_name" '
+                        'content="Example">',
+                        f'<link rel="canonical" '
+                        f'href="https://ex.com/doc/{did}">']
+                if did % 3 == 0:
+                    head.append(f'<meta property="og:title" '
+                                f'content="{esc(title)}">')
+                    head.append('<meta name="twitter:title" '
+                                'content="decoy tw">')
+                elif did % 3 == 1:
+                    head.append(f"<title>{esc(title)}</title>")
+                else:
+                    head.append("<title>decoy fallback</title>")
+                    ld = {"@context": "https://schema.org",
+                          "@type": "Article",
+                          "headline": title,
+                          "datePublished": pub,
+                          "author": {"@type": "Person",
+                                     "name": source}}
+                    # raw-text element: entities are NOT decoded in
+                    # script data, so the JSON goes in unescaped
+                    head.append(
+                        '<script type="application/ld+json">'
+                        + json.dumps(ld) + "</script>")
+                if did % 2 == 0:
+                    head.append(f'<meta property="og:description" '
+                                f'content="{esc(desc)}">')
+                    head.append(f'<meta name="author" '
+                                f'content="{esc(source)}">')
+                    head.append(f'<meta property='
+                                f'"article:published_time" '
+                                f'content="{pub}">')
+                    body = ""
+                else:
+                    head.append(f'<meta name="description" '
+                                f'content="{esc(desc)}">')
+                    head.append(f'<meta property="article:author" '
+                                f'content="{esc(source)}">')
+                    body = f'<time datetime="{pub}">then</time>'
+                page = (f'<html lang="{esc(lang)}"><head>'
+                        + "".join(head)
+                        + f"</head><body>{body}</body></html>")
+                ids.append(did)
+                pages.append(page)
+            yield pd.DataFrame({"doc_id": ids, "html": pages})
+
+    pages = docs.mapInPandas(run, schema="doc_id long, html string")
+    rows = metadata_stage(pages)
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "title", "description", "author", "published",
+        "canonical_url", "site_name",
+        F.col("lang").alias("lang_attr"), "jsonld_type")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling at exactly 16384/65536 = 25%
     (curation.hash_sample): the hex-prefix-as-number trick makes the
@@ -1015,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "office_extract": q_office_extract,
         "pdf_extract": q_pdf_extract,
         "main_content": q_main_content,
+        "metadata_extract": q_metadata_extract,
         "zorder_keys": q_zorder_keys,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
@@ -1363,6 +1453,25 @@ def oracle_sql() -> dict[str, str]:
                       ws[CAST(ceil(len(ws) / 2.0) AS BIGINT) + 1
                          :len(ws)], ' ')
                   END) AS text_md5
+            FROM w""",
+        "metadata_extract": """
+            WITH w AS (
+              SELECT doc_id, lang, source,
+                     string_split(text, ' ') AS ws
+              FROM documents)
+            SELECT doc_id,
+              'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+              array_to_string(ws[1:8], ' ') AS description,
+              source AS author,
+              strftime(DATE '2020-01-01'
+                       + (doc_id % 1000) * INTERVAL 1 DAY,
+                       '%Y-%m-%d') AS published,
+              'https://ex.com/doc/' || CAST(doc_id AS VARCHAR)
+                AS canonical_url,
+              'Example' AS site_name,
+              lang AS lang_attr,
+              CASE WHEN doc_id % 3 = 2 THEN 'Article' ELSE '' END
+                AS jsonld_type
             FROM w""",
         "main_content": """
             SELECT doc_id, 'div' AS tag,
