@@ -114,7 +114,7 @@ BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 QUERY_NAMES = ("extract_spans", "select_article_p", "clean_basic",
                "token_count", "quality", "lang_id", "fingerprint",
                "dedup_exact", "minhash", "lsh_buckets", "simhash",
-               "ann_brute", "ann_ivf")
+               "ann_brute", "ann_ivf", "main_content")
 
 
 def run_queries(spark, sf_dir: str, reps: int = BENCH_REPS) -> dict[str, float]:
