@@ -721,6 +721,111 @@ def q_metadata_extract(spark, sf_dir):
         F.col("lang").alias("lang_attr"), "jsonld_type")
 
 
+def q_feed_extract(spark, sf_dir):
+    """Syndication-feed ingestion (sources/webfeeds.py through the
+    engine's own XML tree builder): even docs become RSS 2.0 channels,
+    odd docs Atom feeds (with rel=self decoy links that must lose to
+    rel=alternate); items are the 8-word chunks. The oracle rebuilds
+    every entry row symbolically (struct-unnest over the chunk
+    list)."""
+    from jsoup_spark.sources.webfeeds import feed_stage
+    from datetime import date, timedelta
+    import html as html_mod
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def run(batches):
+        esc = lambda s: html_mod.escape(s, quote=True)
+        for pdf in batches:
+            ids, xmls = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = text.split(" ")
+                chunks = [" ".join(words[i:i + 8])
+                          for i in range(0, len(words), 8)]
+                pub = (date(2020, 1, 1)
+                       + timedelta(days=did % 1000)).isoformat()
+                if did % 2 == 0:
+                    items = "".join(
+                        f"<item><title>{esc(c)}</title>"
+                        f"<link>https://ex.com/{did}/{i}</link>"
+                        f"<guid>{did}-{i}</guid>"
+                        f"<pubDate>{pub}</pubDate></item>"
+                        for i, c in enumerate(chunks))
+                    xml = (f'<?xml version="1.0"?><rss version="2.0">'
+                           f"<channel><title>Feed {did}</title>"
+                           f"{items}</channel></rss>")
+                else:
+                    items = "".join(
+                        f"<entry><title>{esc(c)}</title>"
+                        f'<link rel="self" '
+                        f'href="https://ex.com/self"/>'
+                        f'<link rel="alternate" '
+                        f'href="https://ex.com/{did}/{i}"/>'
+                        f"<id>{did}-{i}</id>"
+                        f"<published>{pub}</published></entry>"
+                        for i, c in enumerate(chunks))
+                    xml = (f'<?xml version="1.0"?>'
+                           f'<feed xmlns='
+                           f'"http://www.w3.org/2005/Atom">'
+                           f"<title>Feed {did}</title>{items}</feed>")
+                ids.append(did)
+                xmls.append(xml)
+            yield pd.DataFrame({"doc_id": ids, "xml": xmls})
+
+    feeds = docs.mapInPandas(run, schema="doc_id long, xml string")
+    rows = feed_stage(feeds)
+    return rows.select(
+        "doc_id", "ord", "kind", "feed_title", "item_title", "link",
+        "item_id", "published")
+
+
+def q_robots_check(spark, sf_dir):
+    """robots.txt evaluation (sources/webfeeds.py, RFC 9309): group
+    selection by product-token substring (a gbot-specific deny-all
+    group exists for even docs), longest-match rule election, Allow
+    tie-wins, * wildcard and $ anchor. Five probe paths per doc
+    evaluated for agent 'gbot-news/1.0'; the oracle states every
+    decision as a CASE on doc parity."""
+    from jsoup_spark.sources.webfeeds import (
+        crawl_delay, parse_robots, robots_allowed)
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+    PATHS = ("/private/ok.html", "/private/x", "/public/page",
+             "/docs/x.pdf", "/docs/x.pdfx")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                txt = ""
+                if did % 2 == 0:
+                    txt += "User-agent: gbot\nDisallow: /\n\n"
+                txt += ("User-agent: *\nDisallow: /private/\n"
+                        "Allow: /private/ok\nDisallow: /*.pdf$\n"
+                        f"Crawl-delay: {did % 10}\n"
+                        "Sitemap: https://ex.com/sitemap.xml\n")
+                r = parse_robots(txt)
+                agent = "gbot-news/1.0"
+                rows.append((did, crawl_delay(r, agent),
+                             *(robots_allowed(r, agent, p)
+                               for p in PATHS)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "delay", "allowed_ok", "allowed_x",
+                "allowed_pub", "allowed_pdf", "allowed_pdfx"])
+
+    return docs.mapInPandas(
+        run, schema=("doc_id long, delay string, allowed_ok boolean, "
+                     "allowed_x boolean, allowed_pub boolean, "
+                     "allowed_pdf boolean, allowed_pdfx boolean"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling at exactly 16384/65536 = 25%
     (curation.hash_sample): the hex-prefix-as-number trick makes the
@@ -1105,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "main_content": q_main_content,
         "metadata_extract": q_metadata_extract,
+        "feed_extract": q_feed_extract,
+        "robots_check": q_robots_check,
         "zorder_keys": q_zorder_keys,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
@@ -1454,6 +1561,43 @@ def oracle_sql() -> dict[str, str]:
                          :len(ws)], ' ')
                   END) AS text_md5
             FROM w""",
+        "feed_extract": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                       i -> {'ord': i,
+                             'title': array_to_string(
+                                 ws[i*8+1:i*8+8], ' ')}) AS items
+              FROM w),
+            e AS (SELECT doc_id, unnest(items) AS u FROM c)
+            SELECT doc_id,
+              CAST(u['ord'] AS INT) AS ord,
+              CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+                AS kind,
+              'Feed ' || CAST(doc_id AS VARCHAR) AS feed_title,
+              u['title'] AS item_title,
+              'https://ex.com/' || CAST(doc_id AS VARCHAR) || '/'
+                || CAST(u['ord'] AS VARCHAR) AS link,
+              CAST(doc_id AS VARCHAR) || '-'
+                || CAST(u['ord'] AS VARCHAR) AS item_id,
+              strftime(DATE '2020-01-01'
+                       + (doc_id % 1000) * INTERVAL 1 DAY,
+                       '%Y-%m-%d') AS published
+            FROM e""",
+        "robots_check": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN ''
+                   ELSE CAST(doc_id % 10 AS VARCHAR) END AS delay,
+              doc_id % 2 = 1 AS allowed_ok,
+              FALSE AS allowed_x,
+              doc_id % 2 = 1 AS allowed_pub,
+              FALSE AS allowed_pdf,
+              doc_id % 2 = 1 AS allowed_pdfx
+            FROM documents""",
         "metadata_extract": """
             WITH w AS (
               SELECT doc_id, lang, source,
