@@ -826,6 +826,44 @@ def q_robots_check(spark, sf_dir):
                      "allowed_pdf boolean, allowed_pdfx boolean"))
 
 
+def q_archive_extract(spark, sf_dir):
+    """Archive-member explosion (sources/archive.py): even docs
+    become tar.gz archives, odd docs zip; members are the 8-word
+    chunks as part{i}.txt, and every third member is itself
+    gzip-compressed (the ingest tier must inflate it transparently).
+    One output row per member; fully symbolic oracle."""
+    from jsoup_spark.sources.archive import archive_stage, build_tar, \
+        build_zip
+    import gzip as gzip_mod
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = text.split(" ")
+                members = []
+                for i in range(0, len(words), 8):
+                    chunk = " ".join(words[i:i + 8]).encode()
+                    if (i // 8) % 3 == 2:
+                        chunk = gzip_mod.compress(chunk, mtime=0)
+                    members.append((f"part{i // 8}.txt", chunk))
+                b = (build_tar(members, compress="gz")
+                     if did % 2 == 0 else build_zip(members))
+                ids.append(did)
+                payloads.append(b)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(
+        run, schema="doc_id long, payload binary")
+    rows = archive_stage(payloads)
+    return rows.select("doc_id", "member", "member_idx", "text", "ok")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling at exactly 16384/65536 = 25%
     (curation.hash_sample): the hex-prefix-as-number trick makes the
@@ -1212,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_extract": q_metadata_extract,
         "feed_extract": q_feed_extract,
         "robots_check": q_robots_check,
+        "archive_extract": q_archive_extract,
         "zorder_keys": q_zorder_keys,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
@@ -1587,6 +1626,25 @@ def oracle_sql() -> dict[str, str]:
               strftime(DATE '2020-01-01'
                        + (doc_id % 1000) * INTERVAL 1 DAY,
                        '%Y-%m-%d') AS published
+            FROM e""",
+        "archive_extract": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                       i -> {'ord': i,
+                             'chunk': array_to_string(
+                                 ws[i*8+1:i*8+8], ' ')}) AS items
+              FROM w),
+            e AS (SELECT doc_id, unnest(items) AS u FROM c)
+            SELECT doc_id,
+              'part' || CAST(u['ord'] AS VARCHAR) || '.txt' AS member,
+              CAST(u['ord'] AS INT) AS member_idx,
+              u['chunk'] AS text,
+              TRUE AS ok
             FROM e""",
         "robots_check": """
             SELECT doc_id,
