@@ -864,6 +864,56 @@ def q_archive_extract(spark, sf_dir):
     return rows.select("doc_id", "member", "member_idx", "text", "ok")
 
 
+def q_html_to_md(spark, sf_dir):
+    """HTML -> Markdown serialisation (extract/markdown.py). Each doc
+    renders its 8-word chunks through a cycling element kind —
+    h2 / p / two-item ul (word-halves; single-word chunks fall back
+    to p on both sides) / blockquote — and the converter's pinned
+    policy makes the expected markdown a pure string expression, so
+    the oracle rebuilds it symbolically and compares md5. Corpus text
+    is alphanumeric+space (verified), so no escaping paths fire."""
+    from jsoup_spark.extract.markdown import markdown_stage
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def run(batches):
+        for pdf in batches:
+            ids, pages = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = text.split(" ")
+                parts = []
+                for k, i in enumerate(range(0, len(words), 8)):
+                    cw = words[i:i + 8]
+                    chunk = " ".join(cw)
+                    kind = k % 4
+                    if kind == 0:
+                        parts.append(f"<h2>{chunk}</h2>")
+                    elif kind == 2 and len(cw) >= 2:
+                        h = (len(cw) + 1) // 2
+                        parts.append(
+                            "<ul><li>" + " ".join(cw[:h])
+                            + "</li><li>" + " ".join(cw[h:])
+                            + "</li></ul>")
+                    elif kind == 3:
+                        parts.append(
+                            f"<blockquote><p>{chunk}</p></blockquote>")
+                    else:
+                        parts.append(f"<p>{chunk}</p>")
+                ids.append(did)
+                pages.append("<html><body>" + "".join(parts)
+                             + "</body></html>")
+            yield pd.DataFrame({"doc_id": ids, "html": pages})
+
+    pages = docs.mapInPandas(run, schema="doc_id long, html string")
+    rows = markdown_stage(pages)
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("markdown").alias("md_md5"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling at exactly 16384/65536 = 25%
     (curation.hash_sample): the hex-prefix-as-number trick makes the
@@ -1251,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_extract": q_feed_extract,
         "robots_check": q_robots_check,
         "archive_extract": q_archive_extract,
+        "html_to_md": q_html_to_md,
         "zorder_keys": q_zorder_keys,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
@@ -1627,6 +1678,36 @@ def oracle_sql() -> dict[str, str]:
                        + (doc_id % 1000) * INTERVAL 1 DAY,
                        '%Y-%m-%d') AS published
             FROM e""",
+        "html_to_md": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                list_transform(
+                  range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                  i -> CASE
+                    WHEN i % 4 = 0 THEN
+                      '## ' || array_to_string(ws[i*8+1:i*8+8], ' ')
+                    WHEN i % 4 = 2
+                         AND len(ws[i*8+1:i*8+8]) >= 2 THEN
+                      '- ' || array_to_string(
+                        ws[i*8+1
+                           :i*8 + CAST(ceil(len(ws[i*8+1:i*8+8])
+                                            / 2.0) AS BIGINT)], ' ')
+                      || chr(10) || '- ' || array_to_string(
+                        ws[i*8 + CAST(ceil(len(ws[i*8+1:i*8+8])
+                                           / 2.0) AS BIGINT) + 1
+                           :i*8+8], ' ')
+                    WHEN i % 4 = 3 THEN
+                      '> ' || array_to_string(ws[i*8+1:i*8+8], ' ')
+                    ELSE array_to_string(ws[i*8+1:i*8+8], ' ')
+                  END) AS parts
+              FROM w)
+            SELECT doc_id,
+                   md5(array_to_string(parts, chr(10) || chr(10)))
+                     AS md_md5
+            FROM p""",
         "archive_extract": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws
