@@ -563,7 +563,9 @@ def q_pdf_extract(spark, sf_dir):
                     font=["winansi", "cid"][did % 2],
                     strings=["literal", "hex"][did % 3 == 0],
                     kerning=(did % 5 == 0),
-                    columns=2 if did % 6 == 0 else 1)
+                    columns=2 if did % 6 == 0 else 1,
+                    encrypt=("rc4" if did % 9 == 3 else
+                             "aesv2" if did % 9 == 6 else None))
                 ids.append(did)
                 payloads.append(b)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -608,22 +608,168 @@ def decode_stream(st: Stream, doc: "PDFDocument | None" = None) -> bytes:
     return data
 
 
+# ----------------------------------------------- standard security handler
+
+# ISO 32000-1 §7.6.3 password padding string
+_PW_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a")
+
+
+def _std_key(password: bytes, o_entry: bytes, p: int, file_id: bytes,
+             length_bytes: int, r: int,
+             encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 2: the file encryption key from the (user) password."""
+    import hashlib
+    import struct as _st
+    h = hashlib.md5()
+    h.update((password + _PW_PAD)[:32])
+    h.update(o_entry[:32])
+    h.update(_st.pack("<i", p))
+    h.update(file_id)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:length_bytes]).digest()
+    return key[:length_bytes]
+
+
+def _std_o_entry(owner_pw: bytes, user_pw: bytes,
+                 length_bytes: int, r: int) -> bytes:
+    """Algorithm 3: the /O value."""
+    import hashlib
+    from ..helper.crypto import rc4 as _rc4
+    key = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:length_bytes]
+    o = _rc4(key, (user_pw + _PW_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_u_entry(key: bytes, file_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R>=3): the /U value."""
+    import hashlib
+    from ..helper.crypto import rc4 as _rc4
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    h = hashlib.md5(_PW_PAD + file_id).digest()
+    u = _rc4(key, h)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: the per-object key (MD5 of key + obj/gen bytes,
+    + the AESV2 'sAlT' salt)."""
+    import hashlib
+    h = hashlib.md5()
+    h.update(key)
+    h.update(bytes((num & 0xFF, (num >> 8) & 0xFF,
+                    (num >> 16) & 0xFF, gen & 0xFF,
+                    (gen >> 8) & 0xFF)))
+    if aes:
+        h.update(b"sAlT")
+    return h.digest()[:min(len(key) + 5, 16)]
+
+
+class _StdSecurity:
+    """Decrypt-side standard security handler (empty user password —
+    the wild-web common case; /V 2 RC4 and /V 4 /AESV2)."""
+
+    def __init__(self, doc: "PDFDocument", enc: dict, file_id: bytes,
+                 password: bytes = b""):
+        self.filter_ok = str(doc.deref(enc.get("Filter"))) == "Standard"
+        if not self.filter_ok:
+            raise PDFError("unsupported security handler")
+        self.v = int(doc.deref(enc.get("V", 0)))
+        self.r = int(doc.deref(enc.get("R", 2)))
+        if self.v not in (1, 2, 4):
+            raise PDFError(f"unsupported /Encrypt V {self.v}")
+        length = int(doc.deref(enc.get("Length", 40)))
+        self.cfm = "V2"                           # RC4
+        if self.v == 4:
+            cf = doc.deref(enc.get("CF")) or {}
+            stmf = str(doc.deref(enc.get("StmF", "Identity")))
+            cfd = doc.deref(cf.get(stmf)) or {}
+            self.cfm = str(doc.deref(cfd.get("CFM", "V2")))
+            cfl = doc.deref(cfd.get("Length"))
+            if cfl:
+                length = int(cfl) * (8 if int(cfl) <= 32 else 1)
+        o_entry = doc.deref(enc.get("O"))
+        u_entry = doc.deref(enc.get("U"))
+        p = int(doc.deref(enc.get("P", -1)))
+        em = doc.deref(enc.get("EncryptMetadata", True))
+        self.key = _std_key(password, o_entry, p, file_id,
+                            length // 8, self.r,
+                            em if isinstance(em, bool) else True)
+        want_u = _std_u_entry(self.key, file_id, self.r)
+        got = u_entry or b""
+        ok = (got[:16] == want_u[:16]) if self.r >= 3 else \
+            (got[:32] == want_u[:32])
+        if not ok:
+            raise PDFError("encrypted: password required")
+
+    def _obj_key(self, num: int, gen: int) -> bytes:
+        return _object_key(self.key, num, gen, self.cfm == "AESV2")
+
+    def decrypt(self, data: bytes, num: int, gen: int = 0) -> bytes:
+        from ..helper.crypto import aes_cbc_decrypt, rc4 as _rc4
+        k = self._obj_key(num, gen)
+        if self.cfm == "AESV2":
+            if len(data) < 16:
+                return b""
+            return aes_cbc_decrypt(k, data[:16], data[16:])
+        return _rc4(k, data)
+
+    def decrypt_object(self, obj, num: int, gen: int = 0):
+        """Recursively decrypt strings and stream payloads in place."""
+        if isinstance(obj, bytes):
+            return self.decrypt(obj, num, gen)
+        if isinstance(obj, list):
+            return [self.decrypt_object(x, num, gen) for x in obj]
+        if isinstance(obj, dict):
+            return {k: self.decrypt_object(v, num, gen)
+                    for k, v in obj.items()}
+        if isinstance(obj, Stream):
+            obj.dict = self.decrypt_object(obj.dict, num, gen)
+            obj.raw = self.decrypt(obj.raw, num, gen)
+            return obj
+        return obj
+
+
 # ------------------------------------------------------------- document
 
 class PDFDocument:
     """Random-access PDF: xref chain -> indirect-object resolution."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
         self.xref: dict[int, tuple] = {}          # num -> ('n',off) | ('o',stm,idx)
         self.trailer: dict = {}
         self._cache: dict[int, Any] = {}
         self._objstm_cache: dict[int, list] = {}
+        self.security: _StdSecurity | None = None
+        self._encrypt_num = -1
         try:
             self._load_xref_chain()
         except PDFError:
             self.xref.clear()
             self._reconstruct()
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            if isinstance(enc_ref, Ref):
+                self._encrypt_num = enc_ref.num
+            enc = self.deref(enc_ref)
+            ids = self.trailer.get("ID") or [b""]
+            fid = ids[0] if isinstance(ids[0], bytes) else b""
+            self.security = _StdSecurity(self, enc, fid, password)
         if "Root" not in self.trailer:
             self._find_root_brute()
 
@@ -761,6 +907,11 @@ class PDFDocument:
             return None
         if ent[0] == "n":
             obj = self._parse_indirect_at(ent[1])
+            # strings/streams of directly-stored objects are encrypted;
+            # ObjStm members are not (their container stream was), and
+            # the /Encrypt dict itself is never encrypted
+            if self.security is not None and num != self._encrypt_num:
+                obj = self.security.decrypt_object(obj, num, 0)
         else:
             obj = self._objstm_object(ent[1], ent[2])
         self._cache[num] = obj
@@ -1485,8 +1636,10 @@ class _Writer:
         self.buf.write(b"\nendobj\n")
 
     def add_stream(self, num: int, dict_extra: bytes, payload: bytes,
-                   filters: str = "none"):
+                   filters: str = "none", encrypt_fn=None):
         fent, enc = _enc_stream(payload, filters)
+        if encrypt_fn is not None:
+            enc = encrypt_fn(num, enc)
         d = b"<< /Length %d %s %s >>" % (len(enc), fent, dict_extra)
         self.offsets[num] = self.buf.tell()
         self.buf.write(b"%d 0 obj\n" % num)
@@ -1564,7 +1717,8 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
               xref_kind: str = "table", objstm: bool = False,
               font: str = "winansi", strings: str = "literal",
               kerning: bool = False, paras_per_page: int = 4,
-              incremental: bool = False, columns: int = 1) -> bytes:
+              incremental: bool = False, columns: int = 1,
+              encrypt: str | None = None) -> bytes:
     """Zero-fixture PDF test encoder. Each paragraph becomes one text
     line; pages hold `paras_per_page` lines. Knobs cover the decoder
     matrix — see module docstring. Text must be cp1252-encodable for
@@ -1592,6 +1746,50 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
         next_num += 2
     info_num = next_num
     next_num += 1
+    enc_num = -1
+    if encrypt:
+        enc_num = next_num
+        next_num += 1
+
+    # ---- standard security handler (encode side): empty user pw,
+    # owner pw "owner"; deterministic file ID and AES IVs (the spec
+    # wants random IVs; determinism is a test-encoder property)
+    sec = None
+    if encrypt:
+        import hashlib as _hl
+        from ..helper.crypto import aes_cbc_encrypt as _cbc_enc, \
+            rc4 as _rc4f
+        if encrypt not in ("rc4", "aesv2"):
+            raise ValueError(f"unknown encrypt knob {encrypt!r}")
+        _r = 3 if encrypt == "rc4" else 4
+        _aes = encrypt == "aesv2"
+        _fid = _hl.md5(("id:" + title + ":"
+                        + str(len(paragraphs))).encode()).digest()
+        _P = -3904
+        _O = _std_o_entry(b"owner", b"", 16, _r)
+        _key = _std_key(b"", _O, _P, _fid, 16, _r)
+        _U = _std_u_entry(_key, _fid, _r)
+
+        def sec(num: int, data: bytes) -> bytes:
+            k = _object_key(_key, num, 0, _aes)
+            if _aes:
+                iv = _hl.md5(b"iv%d" % num).digest()
+                return iv + _cbc_enc(k, iv, data)
+            return _rc4f(k, data)
+
+    def text_raw(s: str) -> bytes:
+        try:
+            return s.encode("ascii")
+        except UnicodeEncodeError:
+            return b"\xfe\xff" + s.encode("utf-16-be")
+
+    def str_token(raw: bytes, num: int) -> bytes:
+        """A string token; encrypted (as hex) for directly-stored
+        objects when encryption is on — ObjStm members stay plain
+        (their container stream is what gets encrypted)."""
+        if sec is not None and not objstm:
+            return b"<" + binascii.hexlify(sec(num, raw)) + b">"
+        return b"(" + _esc_literal(raw) + b")"
 
     kids = b" ".join(b"%d 0 R" % n for n in page_nums)
     cat = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -1608,9 +1806,11 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
         wlist = b" ".join(b"500" for _ in range(ncodes))
         desc_obj = (b"<< /Type /Font /Subtype /CIDFontType2 "
                     b"/BaseFont /Synth /DW 1000 "
-                    b"/CIDSystemInfo << /Registry (Adobe) "
-                    b"/Ordering (Identity) /Supplement 0 >> "
-                    b"/W [1 [%s]] >>" % wlist)
+                    b"/CIDSystemInfo << /Registry %s "
+                    b"/Ordering %s /Supplement 0 >> "
+                    b"/W [1 [%s]] >>"
+                    % (str_token(b"Adobe", DESC),
+                       str_token(b"Identity", DESC), wlist))
     else:
         widths = b" ".join(b"500" for _ in range(224))
         font_obj = (b"<< /Type /Font /Subtype /Type1 "
@@ -1619,15 +1819,10 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
                     % widths)
         desc_obj = None
 
-    def esc_text(s: str) -> bytes:
-        try:
-            return b"(" + _esc_literal(s.encode("ascii")) + b")"
-        except UnicodeEncodeError:
-            return (b"(" + _esc_literal(
-                b"\xfe\xff" + s.encode("utf-16-be")) + b")")
-
-    info_obj = (b"<< /Title %s /Author %s /Producer (jsoup_spark) >>"
-                % (esc_text(title), esc_text(author)))
+    info_obj = (b"<< /Title %s /Author %s /Producer %s >>"
+                % (str_token(text_raw(title), info_num),
+                   str_token(text_raw(author), info_num),
+                   str_token(b"jsoup_spark", info_num)))
 
     page_objs = {}
     for i, pnum in enumerate(page_nums):
@@ -1653,7 +1848,8 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
             .encode("ascii") + b"\n"
         payload = header + b"\n".join(bodies) + b"\n"
         w.add_stream(objstm_num, b"/Type /ObjStm /N %d /First %d"
-                     % (len(nums), len(header)), payload, "flate")
+                     % (len(nums), len(header)), payload, "flate",
+                     encrypt_fn=sec)
         in_objstm = {n: i for i, n in enumerate(nums)}
     else:
         in_objstm = {}
@@ -1663,12 +1859,27 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
     for i, cnum in enumerate(content_nums):
         ops = _content_ops(pages[i], kerning=kerning, strings=strings,
                            font=font, charmap=charmap, columns=columns)
-        w.add_stream(cnum, b"", ops, filters)
+        w.add_stream(cnum, b"", ops, filters, encrypt_fn=sec)
     if font == "cid":
-        w.add_stream(TOUNI, b"", _tounicode_cmap(charmap), filters)
+        w.add_stream(TOUNI, b"", _tounicode_cmap(charmap), filters,
+                     encrypt_fn=sec)
 
     size = next_num
     trailer_extra = b"/Info %d 0 R" % info_num
+    if encrypt:
+        ohex, uhex = binascii.hexlify(_O), binascii.hexlify(_U)
+        if encrypt == "rc4":
+            enc_body = (b"<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                        b"/O <%s> /U <%s> /P -3904 >>" % (ohex, uhex))
+        else:
+            enc_body = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> "
+                        b">> /StmF /StdCF /StrF /StdCF "
+                        b"/O <%s> /U <%s> /P -3904 >>" % (ohex, uhex))
+        w.add(enc_num, enc_body)
+        fhex = binascii.hexlify(_fid)
+        trailer_extra += (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                          % (enc_num, fhex, fhex))
 
     if xref_kind == "stream" or objstm:
         xref_num = next_num
@@ -1713,8 +1924,15 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
         upd.write(out)
         new_info_off = upd.tell()
         upd.write(b"%d 0 obj\n" % info_num)
-        upd.write(b"<< /Title %s /Author %s /Producer (jsoup_spark) >>"
-                  % (esc_text(title + " (rev2)"), esc_text(author)))
+        def rev_tok(raw: bytes) -> bytes:
+            if sec is not None:
+                return (b"<" + binascii.hexlify(sec(info_num, raw))
+                        + b">")
+            return b"(" + _esc_literal(raw) + b")"
+        upd.write(b"<< /Title %s /Author %s /Producer %s >>"
+                  % (rev_tok(text_raw(title + " (rev2)")),
+                     rev_tok(text_raw(author)),
+                     rev_tok(b"jsoup_spark")))
         upd.write(b"\nendobj\n")
         x2 = upd.tell()
         upd.write(b"xref\n0 1\n0000000000 65535 f \n")

@@ -309,3 +309,47 @@ def test_two_column_odd_lines_and_paging():
 def test_single_column_unchanged_by_geometric_assembly():
     b = build_pdf(PARAS, columns=1)
     assert extract_pdf(b)["text"] == "\n".join(PARAS)
+
+
+# ----------------------------------------------------------- encryption
+
+@pytest.mark.parametrize("enc,xref_kind,objstm,font", [
+    ("rc4", "table", False, "winansi"),
+    ("rc4", "stream", True, "cid"),
+    ("aesv2", "table", False, "cid"),
+    ("aesv2", "stream", True, "winansi"),
+    ("aesv2", "table", True, "winansi"),
+])
+def test_encrypted_roundtrip(enc, xref_kind, objstm, font):
+    """Standard security handler: /V 2 R3 RC4-128 and /V 4 /AESV2,
+    empty user password. Streams and direct-object strings encrypted;
+    ObjStm member strings stay plain (the container stream is what's
+    encrypted). The AES/RC4 primitives are pinned against published
+    FIPS-197 / SP 800-38A / RFC 6229 vectors in test_crypto.py."""
+    b = build_pdf(PARAS, title="T", author="A", encrypt=enc,
+                  xref_kind=xref_kind, objstm=objstm, font=font)
+    r = extract_pdf(b)
+    assert r["text"] == "\n".join(PARAS)
+    assert (r["title"], r["author"]) == ("T", "A")
+
+
+def test_encrypted_wrong_password_rejected():
+    from jsoup_spark.sources.pdf import PDFError
+    b = build_pdf(PARAS, encrypt="aesv2")
+    with pytest.raises(PDFError, match="password"):
+        PDFDocument(b, password=b"wrong")
+
+
+def test_encrypted_incremental_update():
+    b = build_pdf(PARAS, title="T1", encrypt="rc4", incremental=True)
+    r = extract_pdf(b)
+    assert r["title"] == "T1 (rev2)"
+    assert r["text"] == "\n".join(PARAS)
+
+
+def test_encrypted_bytes_actually_differ():
+    plain = build_pdf(PARAS, filters="none")
+    enc = build_pdf(PARAS, filters="none", encrypt="rc4")
+    # the content stream text must not appear in the encrypted file
+    assert b"para 0 alpha" in plain
+    assert b"para 0 alpha" not in enc
