@@ -1170,6 +1170,29 @@ def q_multimodal_tiff(spark, sf_dir):
     )
 
 
+def q_multimodal_ccitt(spark, sf_dir):
+    """CCITT Group-4 fax path: every payload is a real bilevel G4
+    (T.6 MMR) TIFF from the native encoder (operators/ccitt.py +
+    tiff.py), decoded back by the native decoder — both byte-
+    identical to the system libtiff in tests/test_ccitt.py. The
+    bilevel pattern (black iff (x+y+h2)%5==0) has a closed-form
+    black count, so means and stds are exact SQL expressions."""
+    from jsoup_spark.operators.multimodal import (
+        decode_stage, synthesize_media)
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    media = synthesize_media(docs, real=True, codec="ccitt")
+    dec = decode_stage(media, fake=False)
+    f = F.col("feature")
+    return dec.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        *[F.round(f[i], 5).alias(n)
+          for i, n in enumerate(_FEATURE_NAMES)],
+    )
+
+
 def q_multimodal_jpeg_arith(spark, sf_dir):
     """Arithmetic-coded JPEG media path: every payload is a real SOF9
     stream from the native QM encoder (operators/jpeg_arith.py, ITU
@@ -1323,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webp": q_multimodal_webp,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_tiff": q_multimodal_tiff,
+        "multimodal_ccitt": q_multimodal_ccitt,
     }
 
 
@@ -2379,6 +2403,35 @@ GROUP BY g.doc_id""",
     # same full feature oracle
     out["multimodal_gif"] = out["multimodal_features"]
     out["multimodal_tiff"] = out["multimodal_features"]
+    out["multimodal_ccitt"] = """
+        WITH p AS (
+          SELECT doc_id,
+            16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  1, 2))::INT % 48) AS w,
+            16 + (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+                                  3, 2))::INT % 48) AS ht,
+            ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+                            5, 2))::INT AS h2
+          FROM documents),
+        b AS (
+          SELECT doc_id, w, ht,
+            list_sum(list_transform(range(ht),
+              y -> (w - 1 - (5 - ((y + h2) % 5)) % 5) // 5 + 1))
+              AS n_black
+          FROM p),
+        s AS (
+          SELECT doc_id, w, ht,
+            (w * ht - n_black) / CAST(w * ht AS DOUBLE) AS mean_v,
+            sqrt((n_black / CAST(w * ht AS DOUBLE)) *
+                 (1 - n_black / CAST(w * ht AS DOUBLE))) AS std_v
+          FROM b)
+        SELECT doc_id,
+          CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+          round(mean_v, 5) AS r_mean, round(mean_v, 5) AS g_mean,
+          round(mean_v, 5) AS b_mean, round(mean_v, 5) AS all_mean,
+          round(std_v, 5) AS r_std, round(std_v, 5) AS g_std,
+          round(std_v, 5) AS b_std, round(std_v, 5) AS all_std
+        FROM s"""
     # arithmetic JPEG is lossy like the Huffman path: same
     # geometry-invariant oracle
     out["multimodal_jpeg_arith"] = out["multimodal_jpeg"]

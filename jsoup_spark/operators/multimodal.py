@@ -118,6 +118,19 @@ def synthesize_media(docs: DataFrame, *, real: bool = False,
                     b = encode_tiff(img.astype("int64"),
                                     compression=5, predictor=2)
                     mime = "image/tiff"
+                elif codec == "ccitt":
+                    # bilevel fax page: G4 (T.6) TIFF, MinIsWhite;
+                    # black iff (x+y+h2) % 5 == 0 — closed-form black
+                    # count for the symbolic oracle
+                    from .tiff import encode_tiff
+                    hd = hashlib.sha256(str(doc_id).encode()).digest()
+                    w_, ht_ = 16 + hd[0] % 48, 16 + hd[1] % 48
+                    yy, xx = np.mgrid[0:ht_, 0:w_]
+                    bits = ((xx + yy + hd[2]) % 5 == 0).astype(np.uint8)
+                    b = encode_tiff(bits[:, :, None].astype("int64"),
+                                    photometric=0, bit_depth=1,
+                                    compression=4)
+                    mime = "image/tiff"
                 elif int(hashlib.md5(str(doc_id).encode())
                          .hexdigest(), 16) % 2 == 0:
                     b, mime = codecs.encode_png(img), "image/png"

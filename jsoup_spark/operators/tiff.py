@@ -167,7 +167,19 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _decompress(data: bytes, comp: int, expected: int) -> bytes:
+def _decompress(data: bytes, comp: int, expected: int,
+                geom: tuple | None = None) -> bytes:
+    if comp in (2, 4):
+        # CCITT MH / G4 (operators/ccitt.py): needs row geometry; the
+        # coded domain is white/black runs — sample sense follows the
+        # photometric (MinIsWhite: black pixel = sample 1)
+        from .ccitt import decode_g4, decode_mh
+        width, nrows, _photo = geom
+        # fax "black" runs are sample value 1 regardless of the
+        # photometric (libtiff semantics: interpretation at render)
+        bits = (decode_g4 if comp == 4 else decode_mh)(
+            data, width, nrows)
+        return np.packbits(bits, axis=1).tobytes()
     if comp == 1:
         if len(data) < expected:
             raise ValueError("TIFF truncated uncompressed data")
@@ -267,7 +279,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 for tx in range(tiles_x):
                     raw = _decompress(
                         payload[offs[i]:offs[i] + cnts[i]], comp,
-                        th * row_bytes)
+                        th * row_bytes, (tw, th, photo))
                     vals = _bytes_to_samples(raw, th, tw, spp_chunk,
                                              depth, bo)
                     if predictor == 2:
@@ -298,7 +310,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 y0 = s * rps
                 nrows = min(rps, h - y0)
                 raw = _decompress(payload[offs[i]:offs[i] + cnts[i]],
-                                  comp, nrows * row_bytes)
+                                  comp, nrows * row_bytes,
+                                  (w, nrows, photo))
                 vals = _bytes_to_samples(raw, nrows, w, spp_chunk,
                                          depth, bo)
                 if predictor == 2:
@@ -410,7 +423,15 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _compress(data: bytes, comp: int) -> bytes:
+def _compress(data: bytes, comp: int,
+              geom: tuple | None = None) -> bytes:
+    if comp in (2, 4):
+        from .ccitt import encode_g4, encode_mh
+        width, nrows, _photo = geom
+        row_bytes = (width + 7) // 8
+        arr = np.frombuffer(data, np.uint8).reshape(nrows, row_bytes)
+        bits = np.unpackbits(arr, axis=1)[:, :width]
+        return (encode_g4 if comp == 4 else encode_mh)(bits)
     if comp == 1:
         return data
     if comp == 5:
@@ -466,7 +487,8 @@ def encode_tiff(samples: np.ndarray, *, photometric: int = 2,
             d[:, 0] = v[:, 0]
             d[:, 1:] = (v[:, 1:] - v[:, :-1]) % (1 << bit_depth)
             v = d.reshape(ch_, cw * spp_chunk)
-        return _compress(_pack_samples(v, bit_depth, bo), compression)
+        return _compress(_pack_samples(v, bit_depth, bo), compression,
+                         (cw, ch_, photometric))
 
     chunks: list[bytes] = []
     if tile is not None:

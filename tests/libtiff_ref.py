@@ -147,3 +147,50 @@ def decode_rgba(data: bytes) -> np.ndarray:
             lib.TIFFClose(tif)
     finally:
         os.unlink(path)
+
+
+def encode_bilevel(img: np.ndarray, *, compression: int = 4,
+                   photometric: int = 0,
+                   rows_per_strip: int | None = None) -> bytes:
+    """Encode a bilevel (H,W) 0/1 array via libtiff's own G3/G4
+    writer — the cross-direction oracle for OUR CCITT decoder.
+    img values: 1 = black when photometric=0 (MinIsWhite)."""
+    lib = libtiff()
+    h, w = img.shape
+    lib.TIFFWriteScanline.restype = ctypes.c_int
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_uint16]
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    try:
+        tif = lib.TIFFOpen(path.encode(), b"w")
+        if not tif:
+            raise ValueError("libtiff open-for-write failed")
+        t = ctypes.c_void_p(tif)
+
+        def setf(tag, val):
+            if not lib.TIFFSetField(t, ctypes.c_uint32(tag),
+                                    ctypes.c_int(val)):
+                raise ValueError(f"TIFFSetField {tag} failed")
+
+        setf(256, w)
+        setf(257, h)
+        setf(258, 1)
+        setf(259, compression)
+        setf(262, photometric)
+        setf(277, 1)
+        setf(278, rows_per_strip or h)
+        setf(284, 1)
+        packed = np.packbits(img.astype(np.uint8), axis=1)
+        packed = np.ascontiguousarray(packed)
+        for y in range(h):
+            if lib.TIFFWriteScanline(
+                    tif, packed[y].ctypes.data_as(ctypes.c_void_p),
+                    y, 0) != 1:
+                raise ValueError("TIFFWriteScanline failed")
+        lib.TIFFClose(tif)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
