@@ -565,7 +565,8 @@ def q_pdf_extract(spark, sf_dir):
                     kerning=(did % 5 == 0),
                     columns=2 if did % 6 == 0 else 1,
                     encrypt=("rc4" if did % 9 == 3 else
-                             "aesv2" if did % 9 == 6 else None))
+                             "aesv2" if did % 9 == 6 else None),
+                    form=(did % 8 == 1))
                 ids.append(did)
                 payloads.append(b)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -579,6 +580,53 @@ def q_pdf_extract(spark, sf_dir):
         F.col("n_pages").cast("int").alias("n_pages"),
         F.md5("text").alias("text_md5"),
     )
+
+
+def q_pdf_media(spark, sf_dir):
+    """Interleaved text+media PDFs (the north-rule input shape):
+    every doc becomes a multi-page PDF whose text lives in Form
+    XObjects (Do-executed, /Matrix-translated), with link
+    annotations and one embedded image per page cycling
+    Flate-RGB / CCITT-G4-bilevel / DCTDecode-JPEG, seeded by doc_id.
+    pdf_images extracts one row per image: geometry + channels +
+    lossless-path pixel anchors (first pixel for raw RGB, set-bit
+    count for G4; JPEG reports geometry only — its fidelity is
+    pinned byte-exactly vs libjpeg in the codec suite). Every output
+    is a closed-form integer, so the oracle is pure SQL."""
+    from jsoup_spark.sources.pdf import (
+        PDFDocument, build_pdf, pdf_images)
+    import pandas as pd
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def run(batches):
+        cols = ("doc_id", "page", "width", "height",
+                "channels", "v0", "v1", "v2")
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = text.split(" ")
+                paras = [" ".join(words[i:i + 8])
+                         for i in range(0, len(words), 8)]
+                b = build_pdf(paras, title=f"Doc {did}", form=True,
+                              links=1, images=("flate", "g4", "jpeg"),
+                              image_seed=did)
+                doc = PDFDocument(b)
+                for rec in pdf_images(doc):
+                    rows.append((did, rec["page"], rec["width"],
+                                 rec["height"], rec["channels"],
+                                 rec["v0"], rec["v1"], rec["v2"]))
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("page", "width", "height", "channels",
+                      "v0", "v1", "v2"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return docs.mapInPandas(
+        run, schema=("doc_id long, page int, width int, height int, "
+                     "channels int, v0 int, v1 int, v2 int"))
 
 
 def q_main_content(spark, sf_dir):
@@ -1321,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "office_extract": q_office_extract,
         "pdf_extract": q_pdf_extract,
+        "pdf_media": q_pdf_media,
         "main_content": q_main_content,
         "metadata_extract": q_metadata_extract,
         "feed_extract": q_feed_extract,
@@ -1801,6 +1850,35 @@ def oracle_sql() -> dict[str, str]:
                     i -> array_to_string(ws[i*8+1:i*8+8], ' ')),
                   chr(10))) AS text_md5
             FROM w""",
+        "pdf_media": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(ceil(len(string_split(text, ' ')) / 32.0)
+                          AS INT) AS n_pages
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     unnest(range(n_pages)) AS page
+              FROM w)
+            SELECT doc_id, CAST(page AS INT) AS page,
+              CAST(CASE page % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+                   ELSE 32 END AS INT) AS width,
+              CAST(CASE page % 3 WHEN 0 THEN 6 WHEN 1 THEN 13
+                   ELSE 24 END AS INT) AS height,
+              CAST(CASE page % 3 WHEN 1 THEN 1 ELSE 3 END AS INT)
+                AS channels,
+              CAST(CASE page % 3
+                   WHEN 0 THEN (doc_id + 11) % 256
+                   WHEN 1 THEN 64 + CASE WHEN doc_id % 3 = 0
+                                         THEN 6 ELSE 5 END
+                   ELSE -1 END AS INT) AS v0,
+              CAST(CASE page % 3
+                   WHEN 0 THEN (doc_id * 7 + 3) % 256
+                   ELSE -1 END AS INT) AS v1,
+              CAST(CASE page % 3
+                   WHEN 0 THEN (doc_id * 13 + 5) % 256
+                   ELSE -1 END AS INT) AS v2
+            FROM e""",
         "zorder_keys": f"""
             SELECT doc_id, n_chars,
                    CAST({_ZORDER_SQL} AS BIGINT) AS zvalue

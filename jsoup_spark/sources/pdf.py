@@ -1330,7 +1330,21 @@ class _TextState:
 def _page_text(doc: PDFDocument, page: dict) -> str:
     content = doc.page_content(page)
     res = doc.deref(page.get("Resources")) or {}
+    runs: list[tuple] = []
+    _interpret(doc, content, res, runs, _IDENT, 0)
+    return _assemble_runs(runs)
+
+
+def _interpret(doc: PDFDocument, content: bytes, res: dict,
+               runs: list, base_ctm: tuple, depth: int) -> None:
+    """Run one content stream, appending text runs in DEVICE space.
+    Form XObjects (`Do`) recurse with /Matrix x CTM and the form's
+    own /Resources (falling back to the caller's) — bounded depth
+    guards reference cycles."""
+    if depth > 8:
+        return
     fonts_dict = doc.deref(res.get("Font")) or {}
+    xobjects = doc.deref(res.get("XObject")) or {}
     fonts: dict[str, Any] = {}
 
     def get_font(name: str):
@@ -1341,11 +1355,10 @@ def _page_text(doc: PDFDocument, page: dict) -> str:
         return fonts[name]
 
     ts = _TextState()
-    ctm = _IDENT
+    ctm = base_ctm
     gstack: list = []
     tm = tlm = _IDENT
-    # collected text runs: (x0, x1, y, size, seq, text) in DEVICE space
-    runs: list[tuple] = []
+    # runs are (x0, x1, y, size, seq, text) in DEVICE space
 
     def show(raw: bytes):
         nonlocal tm
@@ -1470,10 +1483,21 @@ def _page_text(doc: PDFDocument, page: dict) -> str:
                 # inline image: skip to EI
                 end = content.find(b"EI", lex.pos)
                 lex.pos = len(content) if end < 0 else end + 2
+            elif op == b"Do" and stack:
+                xo = doc.deref(xobjects.get(str(stack[-1])))
+                if (isinstance(xo, Stream)
+                        and str(doc.deref(xo.dict.get("Subtype")))
+                        == "Form"):
+                    mat = doc.deref(xo.dict.get("Matrix")) or \
+                        [1, 0, 0, 1, 0, 0]
+                    sub_ctm = _mat_mul(
+                        tuple(float(doc.deref(v)) for v in mat), ctm)
+                    sub_res = doc.deref(xo.dict.get("Resources")) or res
+                    _interpret(doc, decode_stream(xo, doc), sub_res,
+                               runs, sub_ctm, depth + 1)
         except (ValueError, TypeError, IndexError):
             pass
         stack.clear()
-    return _assemble_runs(runs)
 
 
 def _assemble_runs(runs: list[tuple]) -> str:
@@ -1541,11 +1565,90 @@ def _assemble_runs(runs: list[tuple]) -> str:
 
 # ------------------------------------------------------------ extractor
 
+def page_links(doc: PDFDocument, page: dict) -> list[str]:
+    """URI-action link annotations of one page, in /Annots order."""
+    out = []
+    for aref in doc.deref(page.get("Annots")) or []:
+        a = doc.deref(aref)
+        if not isinstance(a, dict):
+            continue
+        if str(doc.deref(a.get("Subtype"))) != "Link":
+            continue
+        action = doc.deref(a.get("A")) or {}
+        if str(doc.deref(action.get("S"))) == "URI":
+            uri = doc.deref(action.get("URI"))
+            if isinstance(uri, bytes):
+                out.append(_text_string(uri))
+    return out
+
+
+def pdf_images(doc: PDFDocument) -> list[dict]:
+    """Embedded image XObjects, page by page: geometry + channel
+    count, plus lossless-path pixel anchors (first-pixel values for
+    8-bit raw images, set-bit count for 1-bit) — DCT-decoded images
+    report geometry only (lossy path; fidelity is pinned by the
+    codec's own libjpeg gates)."""
+    import numpy as np
+    out = []
+    for pi, page in enumerate(doc.pages()):
+        res = doc.deref(page.get("Resources")) or {}
+        xobjects = doc.deref(res.get("XObject")) or {}
+        for name in sorted(xobjects):
+            xo = doc.deref(xobjects[name])
+            if not isinstance(xo, Stream):
+                continue
+            d = xo.dict
+            if str(doc.deref(d.get("Subtype"))) != "Image":
+                continue
+            w = int(doc.deref(d.get("Width", 0)))
+            h = int(doc.deref(d.get("Height", 0)))
+            bpc = int(doc.deref(d.get("BitsPerComponent", 8)))
+            cs = str(doc.deref(d.get("ColorSpace", "")))
+            channels = 3 if cs == "DeviceRGB" else 1
+            filt = doc.deref(d.get("Filter"))
+            filts = [str(doc.deref(f)) for f in
+                     (filt if isinstance(filt, list) else
+                      [filt] if filt else [])]
+            rec = {"page": pi, "name": str(name), "width": w,
+                   "height": h, "channels": channels,
+                   "v0": -1, "v1": -1, "v2": -1}
+            try:
+                data = decode_stream(xo, doc)
+                if filts and filts[-1] in ("DCTDecode", "DCT"):
+                    from ..operators import codecs as _codecs
+                    arr = _codecs.decode_jpeg(data)
+                    rec["width"], rec["height"] = (arr.shape[1],
+                                                   arr.shape[0])
+                elif bpc == 8:
+                    arr = np.frombuffer(
+                        data[:w * h * channels],
+                        np.uint8).reshape(h, w, channels)
+                    px = arr[0, 0]
+                    for i in range(min(3, channels)):
+                        rec[f"v{i}"] = int(px[i])
+                    if channels == 1:
+                        rec["v1"] = rec["v2"] = int(px[0])
+                elif bpc == 1:
+                    row_bytes = (w + 7) // 8
+                    arr = np.frombuffer(
+                        data[:row_bytes * h],
+                        np.uint8).reshape(h, row_bytes)
+                    bits = np.unpackbits(arr, axis=1)[:, :w]
+                    rec["v0"] = int(bits.sum())
+            except (PDFError, ValueError):
+                pass
+            out.append(rec)
+    return out
+
+
 def extract_pdf(payload: bytes) -> dict:
-    """PDF bytes -> {title, author, n_pages, pages: [str], text}."""
+    """PDF bytes -> {title, author, n_pages, pages: [str], text,
+    links: [(page_idx, uri)]}."""
     doc = PDFDocument(payload)
     pages = doc.pages()
     texts = [_page_text(doc, p) for p in pages]
+    links = [(i, u) for i, p in enumerate(pages)
+             for u in page_links(doc, p)]
     info = doc.info()
     return {
         "title": info.get("Title", ""),
@@ -1553,6 +1656,7 @@ def extract_pdf(payload: bytes) -> dict:
         "n_pages": len(pages),
         "pages": texts,
         "text": "\n".join(texts),
+        "links": links,
     }
 
 
@@ -1730,7 +1834,9 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
               font: str = "winansi", strings: str = "literal",
               kerning: bool = False, paras_per_page: int = 4,
               incremental: bool = False, columns: int = 1,
-              encrypt: str | None = None) -> bytes:
+              encrypt: str | None = None, form: bool = False,
+              links: int = 0, images: tuple = (),
+              image_seed: int = 0) -> bytes:
     """Zero-fixture PDF test encoder. Each paragraph becomes one text
     line; pages hold `paras_per_page` lines. Knobs cover the decoder
     matrix — see module docstring. Text must be cp1252-encodable for
@@ -1756,6 +1862,20 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
         content_nums.append(next_num)
         page_nums.append(next_num + 1)
         next_num += 2
+    form_nums = []
+    if form:
+        for _ in pages:
+            form_nums.append(next_num)
+            next_num += 1
+    annot_nums = []
+    for pi in range(len(pages)):
+        annot_nums.append([next_num + k for k in range(links)])
+        next_num += links
+    image_nums = []
+    if images:
+        for _ in pages:
+            image_nums.append(next_num)
+            next_num += 1
     info_num = next_num
     next_num += 1
     enc_num = -1
@@ -1838,13 +1958,36 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
 
     page_objs = {}
     for i, pnum in enumerate(page_nums):
+        extra = b""
+        if form or images:
+            # page-level Resources (replaces the inherited dict, so it
+            # must re-declare the font); the FORM carries no Resources
+            # of its own -> the interpreter's fallback-to-caller path
+            xents = b""
+            if form:
+                xents += b"/Fx0 %d 0 R " % form_nums[i]
+            if images:
+                xents += b"/Im0 %d 0 R " % image_nums[i]
+            extra += (b" /Resources << /Font << /F1 %d 0 R >> "
+                      b"/XObject << %s>> >>" % (FONT, xents))
+        if links:
+            refs = b" ".join(b"%d 0 R" % a for a in annot_nums[i])
+            extra += b" /Annots [%s]" % refs
         page_objs[pnum] = (b"<< /Type /Page /Parent 2 0 R "
-                           b"/Contents %d 0 R >>" % content_nums[i])
+                           b"/Contents %d 0 R%s >>"
+                           % (content_nums[i], extra))
 
     simple = {1: cat, 2: pages_obj, FONT: font_obj, info_num: info_obj}
     if desc_obj is not None:
         simple[DESC] = desc_obj
     simple.update(page_objs)
+    for i in range(len(pages)):
+        for k, anum in enumerate(annot_nums[i]):
+            uri = f"https://ex.com/{i}/{k}".encode("ascii")
+            simple[anum] = (b"<< /Type /Annot /Subtype /Link "
+                            b"/Rect [0 0 10 10] /Border [0 0 0] "
+                            b"/A << /S /URI /URI %s >> >>"
+                            % str_token(uri, anum))
 
     if objstm:
         # pack the non-stream objects into one compressed object stream
@@ -1871,7 +2014,71 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
     for i, cnum in enumerate(content_nums):
         ops = _content_ops(pages[i], kerning=kerning, strings=strings,
                            font=font, charmap=charmap, columns=columns)
+        if form:
+            # text lives in a Form XObject; the page stream just
+            # invokes it (with a /Matrix translate to exercise CTM
+            # composition)
+            w.add_stream(form_nums[i],
+                         b"/Type /XObject /Subtype /Form "
+                         b"/BBox [0 0 612 792] "
+                         b"/Matrix [1 0 0 1 5 -7]",
+                         ops, filters, encrypt_fn=sec)
+            ops = b"/Fx0 Do\n"
+        if images:
+            ops += b"q 40 0 0 40 100 50 cm /Im0 Do Q\n"
         w.add_stream(cnum, b"", ops, filters, encrypt_fn=sec)
+    if images:
+        import numpy as np
+        s = image_seed
+        for i, inum in enumerate(image_nums):
+            kind = images[i % len(images)]
+            if kind == "flate":
+                rgb = bytes(((s + 11) % 256, (s * 7 + 3) % 256,
+                             (s * 13 + 5) % 256))
+                payload = rgb * (8 * 6)
+                w.add_stream(inum,
+                             b"/Subtype /Image /Width 8 /Height 6 "
+                             b"/ColorSpace /DeviceRGB "
+                             b"/BitsPerComponent 8",
+                             payload, "flate", encrypt_fn=sec)
+            elif kind == "g4":
+                from ..operators.ccitt import encode_g4
+                yy, xx = np.mgrid[0:13, 0:16]
+                bits = ((xx + yy + s) % 3 == 0).astype(np.uint8)
+                enc4 = encode_g4(bits)
+                body = sec(inum, enc4) if sec is not None else enc4
+                d = (b"<< /Length %d /Subtype /Image /Width 16 "
+                     b"/Height 13 /ColorSpace /DeviceGray "
+                     b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+                     b"/DecodeParms << /K -1 /Columns 16 /Rows 13 "
+                     b"/BlackIs1 true >> >>" % len(body))
+                w.offsets[inum] = w.buf.tell()
+                w.buf.write(b"%d 0 obj\n" % inum)
+                w.buf.write(d)
+                w.buf.write(b"\nstream\n")
+                w.buf.write(body)
+                w.buf.write(b"\nendstream\nendobj\n")
+            elif kind == "jpeg":
+                from ..operators import codecs as _codecs
+                yy, xx = np.mgrid[0:24, 0:32]
+                img = np.stack([(xx * 8 + s) % 256,
+                                (yy * 10 + s) % 256,
+                                ((xx + yy) * 4) % 256],
+                               axis=2).astype(np.uint8)
+                jb = _codecs.encode_jpeg(img)
+                body = sec(inum, jb) if sec is not None else jb
+                d = (b"<< /Length %d /Subtype /Image /Width 32 "
+                     b"/Height 24 /ColorSpace /DeviceRGB "
+                     b"/BitsPerComponent 8 /Filter /DCTDecode >>"
+                     % len(body))
+                w.offsets[inum] = w.buf.tell()
+                w.buf.write(b"%d 0 obj\n" % inum)
+                w.buf.write(d)
+                w.buf.write(b"\nstream\n")
+                w.buf.write(body)
+                w.buf.write(b"\nendstream\nendobj\n")
+            else:
+                raise ValueError(f"unknown image kind {kind!r}")
     if font == "cid":
         w.add_stream(TOUNI, b"", _tounicode_cmap(charmap), filters,
                      encrypt_fn=sec)

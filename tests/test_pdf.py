@@ -353,3 +353,40 @@ def test_encrypted_bytes_actually_differ():
     # the content stream text must not appear in the encrypted file
     assert b"para 0 alpha" in plain
     assert b"para 0 alpha" not in enc
+
+
+# ------------------------------------- form XObjects / links / images
+
+def test_form_xobject_text_with_matrix_and_resources_fallback():
+    """Text inside a Do-executed Form XObject: /Matrix composes with
+    the CTM, and the form (no /Resources of its own) resolves fonts
+    through the caller's resources."""
+    for enc in (None, "rc4", "aesv2"):
+        for objstm in (False, True):
+            b = build_pdf(PARAS, form=True, encrypt=enc,
+                          objstm=objstm)
+            assert extract_pdf(b)["text"] == "\n".join(PARAS), \
+                (enc, objstm)
+
+
+def test_link_annotations():
+    b = build_pdf(PARAS, links=2)
+    r = extract_pdf(b)
+    assert r["links"] == [
+        (p, f"https://ex.com/{p}/{k}")
+        for p in range(3) for k in range(2)]
+    assert extract_pdf(build_pdf(PARAS))["links"] == []
+
+
+def test_embedded_images_all_kinds():
+    from jsoup_spark.sources.pdf import pdf_images
+    for s in (0, 7, 33):
+        b = build_pdf(PARAS, images=("flate", "g4", "jpeg"),
+                      image_seed=s, encrypt="aesv2")
+        imgs = pdf_images(PDFDocument(b))
+        fl, g4, jp = imgs
+        assert (fl["width"], fl["height"], fl["channels"]) == (8, 6, 3)
+        assert (fl["v0"], fl["v1"], fl["v2"]) == (
+            (s + 11) % 256, (s * 7 + 3) % 256, (s * 13 + 5) % 256)
+        assert g4["v0"] == 64 + (6 if s % 3 == 0 else 5)
+        assert (jp["width"], jp["height"], jp["channels"]) == (32, 24, 3)
