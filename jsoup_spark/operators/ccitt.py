@@ -324,3 +324,215 @@ def decode_g4(data: bytes, width: int,
         ref = [t for t in cur if t < width]
         lines.append(out[0])
     return np.stack(lines) if lines else np.zeros((0, width), np.uint8)
+
+
+# -------------------------------------------------------------- G3 (T.4)
+
+EOL = "000000000001"
+
+
+def _read_eol(br: _BitReader) -> None:
+    """Consume fill zeros + the T.4 EOL (11+ zeros then a 1)."""
+    zeros = 0
+    while True:
+        b = br.bit()
+        if b == 1:
+            if zeros < 11:
+                raise ValueError("CCITT G3: malformed EOL")
+            return
+        zeros += 1
+
+
+def _decode_row_1d(br: _BitReader, width: int) -> np.ndarray:
+    row = np.zeros(width, np.uint8)
+    pos = 0
+    color = 0
+    while pos < width:
+        run = _decode_run(br, _DEC_WHITE if color == 0 else _DEC_BLACK)
+        if color:
+            row[pos:pos + run] = 1
+        pos += run
+        color ^= 1
+    if pos != width:
+        raise ValueError(f"CCITT G3 1D: row overrun to {pos}")
+    return row
+
+
+def decode_g3(data: bytes, width: int, rows: int | None, *,
+              two_d: bool = False) -> np.ndarray:
+    """T.4 Group 3: EOL before every row; in 2-D mode a tag bit after
+    each EOL says whether the row is 1-D (MH) or 2-D (the G4 modes
+    against the previous row). Fill bits before EOLs (including the
+    EncodedByteAlign case) are absorbed by the EOL scan."""
+    br = _BitReader(data)
+    lines: list[np.ndarray] = []
+    ref: list[int] = []
+    y = 0
+    while rows is None or y < rows:
+        if rows is None and _exhausted(br):
+            break
+        try:
+            _read_eol(br)
+        except ValueError:
+            if rows is None:
+                break
+            raise
+        is_1d = True
+        if two_d:
+            is_1d = br.bit() == 1
+        # RTC: the next thing after EOL(+tag) is another EOL — no
+        # run code starts with 11 zeros, so the peek is unambiguous
+        if rows is None and br.peek_str(12) == EOL:
+            break
+        if is_1d:
+            row = _decode_row_1d(br, width)
+            t = _row_transitions(row)
+            if width and row[0]:
+                t = [0] + t
+            ref = [x for x in t if x < width]
+        else:
+            # one 2-D row via the shared G4 row machinery
+            row, ref = _decode_2d_row(br, width, ref)
+        lines.append(row)
+        y += 1
+    return np.stack(lines) if lines else np.zeros((0, width), np.uint8)
+
+
+def _decode_2d_row(br: _BitReader, width: int,
+                   ref: list[int]) -> tuple:
+    out = np.zeros(width, np.uint8)
+    cur: list[int] = []
+    a0, color = -1, 0
+    while a0 < width:
+        code = ""
+        mode = None
+        for _ in range(7):
+            code += str(br.bit())
+            if code == "1":
+                mode = ("v", 0)
+            elif code == "011":
+                mode = ("v", 1)
+            elif code == "010":
+                mode = ("v", -1)
+            elif code == "001":
+                mode = ("h", None)
+            elif code == "0001":
+                mode = ("p", None)
+            elif code == "000011":
+                mode = ("v", 2)
+            elif code == "000010":
+                mode = ("v", -2)
+            elif code == "0000011":
+                mode = ("v", 3)
+            elif code == "0000010":
+                mode = ("v", -3)
+            else:
+                continue
+            break
+        if mode is None:
+            raise ValueError(f"CCITT 2D: bad mode code {code!r}")
+        b1 = _find_b1(ref, a0, color, width)
+        b2 = _find_b1(ref, b1, color ^ 1, width) if b1 < width else width
+        kind, arg = mode
+        if kind == "p":
+            if color:
+                out[max(a0, 0):b2] = 1
+            a0 = b2
+        elif kind == "h":
+            start = max(a0, 0)
+            r1 = _decode_run(br, _DEC_WHITE if color == 0 else _DEC_BLACK)
+            r2 = _decode_run(br, _DEC_BLACK if color == 0 else _DEC_WHITE)
+            a1, a2 = start + r1, start + r1 + r2
+            if color:
+                out[start:a1] = 1
+            else:
+                out[a1:a2] = 1
+            cur.append(min(a1, width))
+            cur.append(min(a2, width))
+            a0 = a2
+        else:
+            a1 = b1 + arg
+            if color:
+                out[max(a0, 0):a1] = 1
+            cur.append(min(max(a1, 0), width))
+            a0 = a1
+            color ^= 1
+        if a0 >= width:
+            break
+    return out, [t for t in cur if t < width]
+
+
+def encode_g3(img: np.ndarray, *, two_d: bool = False,
+              k: int = 0, byte_align: bool = False,
+              rtc: bool = True) -> bytes:
+    """T.4 Group 3 encoder. 1-D mode: EOL + MH per row. 2-D mode:
+    a 1-D row every `k` rows (k=0: only the first row is 1-D, the
+    rest 2-D — maximum compression, legal per spec)."""
+    bw = _BitWriter()
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape
+    ref: list[int] = []
+    for y in range(h):
+        if byte_align:
+            bw.align()
+        bw.put(EOL)
+        use_1d = (not two_d) or y == 0 or (k > 0 and y % k == 0)
+        if two_d:
+            bw.put("1" if use_1d else "0")
+        cur = _row_transitions(img[y])
+        if w and img[y, 0]:
+            cur = [0] + cur
+        if use_1d:
+            pos = 0
+            color = 0
+            row = img[y]
+            while pos < w:
+                if color == 0:
+                    run = int(np.argmax(row[pos:] != 0)) \
+                        if (row[pos:] != 0).any() else w - pos
+                else:
+                    run = int(np.argmax(row[pos:] == 0)) \
+                        if (row[pos:] == 0).any() else w - pos
+                bw.put(_encode_run(
+                    run, WHITE_CODES if color == 0 else BLACK_CODES))
+                pos += run
+                color ^= 1
+        else:
+            _encode_2d_row(bw, img[y], cur, ref, w)
+        ref = [t for t in cur if t < w]
+    if rtc:
+        for _ in range(6):
+            bw.put(EOL + ("1" if two_d else ""))
+    return bw.bytes()
+
+
+def _encode_2d_row(bw: _BitWriter, row: np.ndarray, cur: list[int],
+                   ref: list[int], w: int) -> None:
+    a0, color = -1, 0
+    ci = 0
+    while a0 < w:
+        while ci < len(cur) and cur[ci] <= a0:
+            ci += 1
+        a1 = cur[ci] if ci < len(cur) else w
+        b1 = _find_b1(ref, a0, color, w)
+        b2 = _find_b1(ref, b1, color ^ 1, w) if b1 < w else w
+        if b2 < a1:
+            bw.put("0001")
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bw.put(_V_CODES[a1 - b1])
+            a0 = a1
+            ci += 1
+            color ^= 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+            start = max(a0, 0)
+            bw.put("001")
+            bw.put(_encode_run(
+                a1 - start, WHITE_CODES if color == 0 else BLACK_CODES))
+            bw.put(_encode_run(
+                a2 - a1, BLACK_CODES if color == 0 else WHITE_CODES))
+            a0 = a2
+            ci += 2
+        if a0 >= w:
+            break

@@ -169,16 +169,19 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
 
 def _decompress(data: bytes, comp: int, expected: int,
                 geom: tuple | None = None) -> bytes:
-    if comp in (2, 4):
-        # CCITT MH / G4 (operators/ccitt.py): needs row geometry; the
-        # coded domain is white/black runs — sample sense follows the
-        # photometric (MinIsWhite: black pixel = sample 1)
-        from .ccitt import decode_g4, decode_mh
-        width, nrows, _photo = geom
-        # fax "black" runs are sample value 1 regardless of the
-        # photometric (libtiff semantics: interpretation at render)
-        bits = (decode_g4 if comp == 4 else decode_mh)(
-            data, width, nrows)
+    if comp in (2, 3, 4):
+        # CCITT MH / G3 / G4 (operators/ccitt.py): needs row geometry.
+        # Fax "black" runs are sample value 1 regardless of the
+        # photometric (libtiff semantics: interpretation at render).
+        from .ccitt import decode_g3, decode_g4, decode_mh
+        width, nrows, _photo, t4opts = geom
+        if comp == 2:
+            bits = decode_mh(data, width, nrows)
+        elif comp == 3:
+            bits = decode_g3(data, width, nrows,
+                             two_d=bool(t4opts & 1))
+        else:
+            bits = decode_g4(data, width, nrows)
         return np.packbits(bits, axis=1).tobytes()
     if comp == 1:
         if len(data) < expected:
@@ -251,6 +254,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"TIFF unsupported bit depth {depth}")
     comp = one(_COMP, 1)
+    t4opts = one(292, 0)                # T4Options (G3 2D / fill bits)
     photo = one(_PHOTO)
     planar = one(_PLANAR, 1)
     predictor = one(_PREDICTOR, 1)
@@ -279,7 +283,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 for tx in range(tiles_x):
                     raw = _decompress(
                         payload[offs[i]:offs[i] + cnts[i]], comp,
-                        th * row_bytes, (tw, th, photo))
+                        th * row_bytes, (tw, th, photo, t4opts))
                     vals = _bytes_to_samples(raw, th, tw, spp_chunk,
                                              depth, bo)
                     if predictor == 2:
@@ -311,7 +315,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 nrows = min(rps, h - y0)
                 raw = _decompress(payload[offs[i]:offs[i] + cnts[i]],
                                   comp, nrows * row_bytes,
-                                  (w, nrows, photo))
+                                  (w, nrows, photo, t4opts))
                 vals = _bytes_to_samples(raw, nrows, w, spp_chunk,
                                          depth, bo)
                 if predictor == 2:
@@ -425,13 +429,18 @@ def _packbits_encode(data: bytes) -> bytes:
 
 def _compress(data: bytes, comp: int,
               geom: tuple | None = None) -> bytes:
-    if comp in (2, 4):
-        from .ccitt import encode_g4, encode_mh
-        width, nrows, _photo = geom
+    if comp in (2, 3, 4):
+        from .ccitt import encode_g3, encode_g4, encode_mh
+        width, nrows, _photo, t4opts = geom
         row_bytes = (width + 7) // 8
         arr = np.frombuffer(data, np.uint8).reshape(nrows, row_bytes)
         bits = np.unpackbits(arr, axis=1)[:, :width]
-        return (encode_g4 if comp == 4 else encode_mh)(bits)
+        if comp == 2:
+            return encode_mh(bits)
+        if comp == 3:
+            return encode_g3(bits, two_d=bool(t4opts & 1),
+                             byte_align=bool(t4opts & 4))
+        return encode_g4(bits)
     if comp == 1:
         return data
     if comp == 5:
@@ -463,7 +472,8 @@ def encode_tiff(samples: np.ndarray, *, photometric: int = 2,
                 tile: tuple[int, int] | None = None,
                 planar: bool = False,
                 colormap: np.ndarray | None = None,
-                extra_alpha: bool = False) -> bytes:
+                extra_alpha: bool = False,
+                t4options: int = 0) -> bytes:
     """Spec-conformant TIFF test encoder. `samples` carries NATIVE-depth
     values: (H, W) for gray/palette, (H, W, spp) otherwise. `colormap`
     is (ncolors, 3) of 16-bit values for photometric=3. `tile` switches
@@ -488,7 +498,7 @@ def encode_tiff(samples: np.ndarray, *, photometric: int = 2,
             d[:, 1:] = (v[:, 1:] - v[:, :-1]) % (1 << bit_depth)
             v = d.reshape(ch_, cw * spp_chunk)
         return _compress(_pack_samples(v, bit_depth, bo), compression,
-                         (cw, ch_, photometric))
+                         (cw, ch_, photometric, t4options))
 
     chunks: list[bytes] = []
     if tile is not None:
@@ -529,6 +539,8 @@ def encode_tiff(samples: np.ndarray, *, photometric: int = 2,
     entries.append((_BITS, 3, [bit_depth] * spp))
     entries.append((_COMP, 3, [compression]))
     entries.append((_PHOTO, 3, [photometric]))
+    if compression == 3:
+        entries.append((292, 4, [t4options]))   # T4Options (LONG)
     if tile is not None:
         entries.append((_TILE_W, 3, [tile[0]]))
         entries.append((_TILE_H, 3, [tile[1]]))

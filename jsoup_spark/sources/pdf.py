@@ -568,15 +568,20 @@ def _apply_one_filter(data: bytes, name: str, parms: dict | None,
     elif name in ("RunLengthDecode", "RL"):
         return _rl_decode(data)
     elif name in ("CCITTFaxDecode", "CCF"):
-        from ..operators.ccitt import decode_g4, decode_mh
+        from ..operators.ccitt import decode_g3, decode_g4, decode_mh
         import numpy as np
         k = int(parms.get("K", 0))
         cols = int(parms.get("Columns", 1728))
         rows = parms.get("Rows")
         rows = int(rows) if rows is not None else None
-        if k > 0:
-            raise PDFError("CCITTFaxDecode: K>0 (G3-2D) unsupported")
-        bits = (decode_g4 if k < 0 else decode_mh)(data, cols, rows)
+        if k < 0:
+            bits = decode_g4(data, cols, rows)
+        elif k > 0:
+            bits = decode_g3(data, cols, rows, two_d=True)
+        elif parms.get("EndOfLine", False):
+            bits = decode_g3(data, cols, rows, two_d=False)
+        else:
+            bits = decode_mh(data, cols, rows)
         if not parms.get("BlackIs1", False):
             bits = 1 - bits                      # PDF default: 0 = black
         return np.packbits(bits, axis=1).tobytes()

@@ -194,3 +194,48 @@ def encode_bilevel(img: np.ndarray, *, compression: int = 4,
             return f.read()
     finally:
         os.unlink(path)
+
+
+def encode_bilevel_g3(img: np.ndarray, *, t4options: int = 0,
+                      photometric: int = 0) -> bytes:
+    """G3 (compression 3) writer with T4Options (bit0=2D, bit2=fill)."""
+    lib = libtiff()
+    h, w = img.shape
+    lib.TIFFWriteScanline.restype = ctypes.c_int
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_uint16]
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    try:
+        tif = lib.TIFFOpen(path.encode(), b"w")
+        if not tif:
+            raise ValueError("libtiff open-for-write failed")
+        t = ctypes.c_void_p(tif)
+
+        def setf(tag, val):
+            if not lib.TIFFSetField(t, ctypes.c_uint32(tag),
+                                    ctypes.c_int(val)):
+                raise ValueError(f"TIFFSetField {tag} failed")
+
+        setf(256, w)
+        setf(257, h)
+        setf(258, 1)
+        setf(259, 3)
+        setf(262, photometric)
+        setf(277, 1)
+        setf(278, h)
+        setf(284, 1)
+        setf(292, t4options)
+        packed = np.packbits(img.astype(np.uint8), axis=1)
+        packed = np.ascontiguousarray(packed)
+        for y in range(h):
+            if lib.TIFFWriteScanline(
+                    tif, packed[y].ctypes.data_as(ctypes.c_void_p),
+                    y, 0) != 1:
+                raise ValueError("TIFFWriteScanline failed")
+        lib.TIFFClose(tif)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)

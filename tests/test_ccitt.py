@@ -136,3 +136,46 @@ def test_pdf_ccittfaxdecode_filter():
                   "DecodeParms": {"K": 0, "Columns": 61,
                                   "BlackIs1": True}}, encode_mh(img))
     assert decode_stream(st2) == np.packbits(img, axis=1).tobytes()
+
+
+# --------------------------------------------------------- G3 (T.4)
+
+def test_g3_self_roundtrip_matrix():
+    from jsoup_spark.operators.ccitt import decode_g3, encode_g3
+    rng = np.random.default_rng(4)
+    for two_d in (False, True):
+        for k in (0, 2, 4):
+            for ba in (False, True):
+                img = (rng.random((17, 83)) < 0.3).astype(np.uint8)
+                b = encode_g3(img, two_d=two_d, k=k, byte_align=ba)
+                assert np.array_equal(
+                    decode_g3(b, 83, 17, two_d=two_d), img)
+                assert np.array_equal(
+                    decode_g3(b, 83, None, two_d=two_d), img)
+
+
+@needs_libtiff
+@pytest.mark.parametrize("t4opts", [0, 1, 4, 5])
+def test_g3_vs_libtiff_both_directions(t4opts):
+    """T4Options bit0 = 2-D coding, bit2 = byte-aligned EOLs."""
+    rng = np.random.default_rng(6)
+    for shape in ((17, 83), (9, 200)):
+        s = (rng.random(shape) < 0.3).astype(np.uint8)
+        data = L.encode_bilevel_g3(s, t4options=t4opts)
+        assert np.array_equal(decode_tiff(data)[:, :, 0],
+                              255 - s * 255)
+        mine = encode_tiff(s[:, :, None], photometric=0, bit_depth=1,
+                           compression=3, t4options=t4opts)
+        assert np.array_equal(L.decode_rgba(mine), L.decode_rgba(data))
+
+
+def test_pdf_ccitt_k_positive():
+    from jsoup_spark.operators.ccitt import encode_g3
+    from jsoup_spark.sources.pdf import Stream, decode_stream
+    rng = np.random.default_rng(2)
+    img = (rng.random((7, 40)) < 0.4).astype(np.uint8)
+    st = Stream({"Filter": "CCITTFaxDecode",
+                 "DecodeParms": {"K": 2, "Columns": 40, "Rows": 7,
+                                 "BlackIs1": True}},
+                encode_g3(img, two_d=True, k=2))
+    assert decode_stream(st) == np.packbits(img, axis=1).tobytes()
