@@ -964,6 +964,20 @@ def q_html_to_md(spark, sf_dir):
         F.md5("markdown").alias("md_md5"))
 
 
+def q_seq_pack(spark, sf_dir):
+    """Token-budget sequence packing (operators/packing.py): greedy
+    doc_id-order packing within 16 hash shards, budget 512 whitespace
+    tokens; a doc belongs to the sequence where its first token
+    lands. One hash-shuffle plan (the shard window); the oracle is
+    the identical window cumsum in SQL."""
+    from jsoup_spark.operators.packing import pack_sequences
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long")
+        .alias("n_tokens"))
+    return pack_sequences(docs, budget=512, n_shards=16)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling at exactly 16384/65536 = 25%
     (curation.hash_sample): the hex-prefix-as-number trick makes the
@@ -1376,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_check": q_robots_check,
         "archive_extract": q_archive_extract,
         "html_to_md": q_html_to_md,
+        "seq_pack": q_seq_pack,
         "zorder_keys": q_zorder_keys,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
@@ -1802,6 +1817,24 @@ def oracle_sql() -> dict[str, str]:
               u['chunk'] AS text,
               TRUE AS ok
             FROM e""",
+        "seq_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(doc_id % 16 AS INT) AS shard
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens, shard,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prefix
+              FROM t)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(prefix // 512 AS BIGINT) AS seq_id,
+                   CAST(prefix % 512 AS BIGINT) AS offset
+            FROM p""",
         "robots_check": """
             SELECT doc_id,
               CASE WHEN doc_id % 2 = 0 THEN ''
