@@ -832,6 +832,53 @@ def q_feed_extract(spark, sf_dir):
         "item_id", "published")
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion (sources/webfeeds.py through the XML tree
+    builder): even docs become urlset sitemaps (one <url> per 8-word
+    chunk with loc/lastmod/changefreq/priority), odd docs
+    sitemapindex documents (nested sitemap locs). Whitespace-padded
+    <loc> values must come back trimmed. Fully symbolic oracle."""
+    from jsoup_spark.sources.webfeeds import sitemap_stage
+    from datetime import date, timedelta
+    import pandas as pd
+
+    FREQS = ["daily", "weekly", "monthly"]
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def run(batches):
+        for pdf in batches:
+            ids, xmls = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                n = (len(text.split(" ")) + 7) // 8
+                pub = (date(2020, 1, 1)
+                       + timedelta(days=did % 1000)).isoformat()
+                if did % 2 == 0:
+                    urls = "".join(
+                        f"<url><loc> https://ex.com/{did}/{i} </loc>"
+                        f"<lastmod>{pub}</lastmod>"
+                        f"<changefreq>{FREQS[i % 3]}</changefreq>"
+                        f"<priority>0.{(i % 9) + 1}</priority></url>"
+                        for i in range(n))
+                    xml = ('<?xml version="1.0"?><urlset xmlns='
+                           '"http://www.sitemaps.org/schemas/'
+                           f'sitemap/0.9">{urls}</urlset>')
+                else:
+                    sms = "".join(
+                        f"<sitemap><loc>https://ex.com/{did}/s{i}.xml"
+                        f"</loc><lastmod>{pub}</lastmod></sitemap>"
+                        for i in range(n))
+                    xml = f"<sitemapindex>{sms}</sitemapindex>"
+                ids.append(did)
+                xmls.append(xml)
+            yield pd.DataFrame({"doc_id": ids, "xml": xmls})
+
+    maps = docs.mapInPandas(run, schema="doc_id long, xml string")
+    return sitemap_stage(maps)
+
+
 def q_robots_check(spark, sf_dir):
     """robots.txt evaluation (sources/webfeeds.py, RFC 9309): group
     selection by product-token substring (a gbot-specific deny-all
@@ -1388,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_extract": q_metadata_extract,
         "feed_extract": q_feed_extract,
         "robots_check": q_robots_check,
+        "sitemap_extract": q_sitemap_extract,
         "archive_extract": q_archive_extract,
         "html_to_md": q_html_to_md,
         "seq_pack": q_seq_pack,
@@ -1798,6 +1846,38 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(parts, chr(10) || chr(10)))
                      AS md_md5
             FROM p""",
+        "sitemap_extract": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                          AS BIGINT) AS n,
+                     strftime(DATE '2020-01-01'
+                              + (doc_id % 1000) * INTERVAL 1 DAY,
+                              '%Y-%m-%d') AS pub
+              FROM documents),
+            e AS (
+              SELECT doc_id, pub, unnest(range(n)) AS i
+              FROM w)
+            SELECT doc_id,
+              CAST(i AS INT) AS ord,
+              CASE WHEN doc_id % 2 = 0 THEN 'urlset'
+                   ELSE 'sitemapindex' END AS kind,
+              CASE WHEN doc_id % 2 = 0 THEN
+                'https://ex.com/' || CAST(doc_id AS VARCHAR) || '/'
+                  || CAST(i AS VARCHAR)
+              ELSE
+                'https://ex.com/' || CAST(doc_id AS VARCHAR) || '/s'
+                  || CAST(i AS VARCHAR) || '.xml'
+              END AS loc,
+              pub AS lastmod,
+              CASE WHEN doc_id % 2 = 0 THEN
+                CASE i % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                     ELSE 'monthly' END
+              ELSE '' END AS changefreq,
+              CASE WHEN doc_id % 2 = 0 THEN
+                '0.' || CAST((i % 9) + 1 AS VARCHAR)
+              ELSE '' END AS priority
+            FROM e""",
         "archive_extract": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws
