@@ -215,3 +215,121 @@ def decompress_frame(data: bytes, max_output: int = 1 << 30) -> bytes:
     if content_size is not None and len(out) != content_size:
         raise ValueError("lz4: content size mismatch")
     return bytes(out)
+
+
+# --------------------------------------------------------------- encoder
+
+def compress_block(data: bytes) -> bytes:
+    """LZ4 block ENCODER (greedy hash-chain match finder). Spec end
+    conditions honoured: the last match must start at least 12 bytes
+    before the end and the block ends with >= 5 literal bytes; inputs
+    shorter than 13 bytes emit pure literals. Validated against
+    liblz4's own LZ4_decompress_safe (tests/test_lz4.py)."""
+    n = len(data)
+    out = bytearray()
+    if n == 0:
+        return b"\x00"
+
+    def put_seq(lit_start: int, lit_len: int, match_extra: int,
+                offset: int) -> None:
+        """match_extra = match_len - 4 (the token bias); offset == 0
+        means a literals-only tail (no match field at all)."""
+        lit_tok = min(lit_len, 15)
+        mat_tok = min(match_extra, 15) if offset else 0
+        out.append((lit_tok << 4) | mat_tok)
+        rem = lit_len - 15
+        while rem >= 0:
+            out.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+        out.extend(data[lit_start:lit_start + lit_len])
+        if offset:
+            out.append(offset & 0xFF)
+            out.append(offset >> 8)
+            rem = match_extra - 15
+            while rem >= 0:
+                out.append(min(rem, 255))
+                if rem < 255:
+                    break
+                rem -= 255
+
+    table: dict[bytes, int] = {}
+    anchor = 0
+    pos = 0
+    # matches may not extend into the last 5 bytes, and must START
+    # at least 12 bytes from the end (mflimit)
+    limit = n - 12
+    while pos <= limit:
+        key = data[pos:pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is None or pos - cand > 65535 or \
+                data[cand:cand + 4] != key:
+            pos += 1
+            continue
+        # extend the match (not into the final 5 bytes)
+        end_cap = n - 5
+        m = pos + 4
+        c = cand + 4
+        while m < end_cap and data[m] == data[c]:
+            m += 1
+            c += 1
+        match_len = m - pos
+        put_seq(anchor, pos - anchor, match_len - 4, pos - cand)
+        pos = m
+        anchor = m
+    # trailing literals
+    lit_len = n - anchor
+    lit_tok = min(lit_len, 15)
+    out.append(lit_tok << 4)
+    rem = lit_len - 15
+    while rem >= 0:
+        out.append(min(rem, 255))
+        if rem < 255:
+            break
+        rem -= 255
+    out.extend(data[anchor:])
+    return bytes(out)
+
+
+def compress_frame(data: bytes, *, block_size: int = 1 << 16,
+                   content_checksum: bool = True,
+                   block_checksum: bool = False) -> bytes:
+    """LZ4 frame ENCODER (independent blocks): magic, FLG/BD with
+    version 01, per-block [size|raw-flag] payloads (stored raw when
+    compression does not win), EndMark, optional xxh32 checksums
+    (the module's own spec-vector-validated xxh32)."""
+    import struct as _st
+    out = bytearray(_st.pack("<I", 0x184D2204))
+    flg = (1 << 6) | (1 << 5)                     # v01, block indep
+    if block_checksum:
+        flg |= 1 << 4
+    if content_checksum:
+        flg |= 1 << 2
+    bd_id = {1 << 16: 4, 1 << 18: 5, 1 << 20: 6, 1 << 22: 7}.get(
+        block_size)
+    if bd_id is None:
+        raise ValueError("block_size must be 64KB/256KB/1MB/4MB")
+    bd = bd_id << 4
+    hdr = bytes((flg, bd))
+    out += hdr
+    out.append((xxh32(hdr) >> 8) & 0xFF)          # HC: byte 1 of xxh32
+    for i in range(0, max(len(data), 1), block_size):
+        chunk = data[i:i + block_size]
+        if not chunk:
+            break
+        comp = compress_block(chunk)
+        if len(comp) < len(chunk):
+            out += _st.pack("<I", len(comp))
+            body = comp
+        else:
+            out += _st.pack("<I", len(chunk) | 0x80000000)
+            body = chunk
+        out += body
+        if block_checksum:
+            out += _st.pack("<I", xxh32(body))
+    out += _st.pack("<I", 0)                      # EndMark
+    if content_checksum:
+        out += _st.pack("<I", xxh32(data))
+    return bytes(out)

@@ -82,3 +82,17 @@ def compress_frame(data: bytes, *, block_size_id: int = 4,
     if lib.LZ4F_isError(n):
         raise ValueError("LZ4 frame compress failed")
     return buf.raw[:n]
+
+
+def decompress_block(data: bytes, expected: int) -> bytes:
+    """LZ4_decompress_safe — the cross-direction oracle for OUR
+    block encoder."""
+    lib = liblz4()
+    lib.LZ4_decompress_safe.restype = ctypes.c_int
+    lib.LZ4_decompress_safe.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    out = ctypes.create_string_buffer(max(expected, 1))
+    n = lib.LZ4_decompress_safe(data, out, len(data), expected)
+    if n < 0:
+        raise ValueError(f"LZ4_decompress_safe error {n}")
+    return out.raw[:n]

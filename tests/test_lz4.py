@@ -97,3 +97,65 @@ def test_ingest_sniffs_lz4_bz2_xz():
     assert decode_html_bytes(ref.compress_frame(raw)) == html
     assert decode_html_bytes(bz2.compress(raw)) == html
     assert decode_html_bytes(lzma.compress(raw)) == html
+
+
+# --------------------------------------------------------------- encoder
+
+def test_block_encoder_vs_liblz4_decoder():
+    """OUR compress_block -> liblz4's LZ4_decompress_safe (the
+    cross-direction oracle) + our own decoder; covers empty/short
+    inputs (pure literals per the 12-byte end condition), 4-byte
+    minimum matches, long matches and >255 length ladders."""
+    import random
+    rng = random.Random(7)
+    from jsoup_spark.operators.lz4 import (
+        compress_block, decompress_block)
+    cases = [b"", b"a", b"hello", b"x" * 1000,
+             bytes(rng.randrange(256) for _ in range(5000)),
+             (b"abcd" * 100 + b"Z") * 50,
+             bytes(rng.choice(b"ab") for _ in range(70000)),
+             b"short12bytes", b"A" * 13, b"A" * 17,
+             bytes(range(256)) * 300]
+    for d in cases:
+        c = compress_block(d)
+        assert decompress_block(c) == d
+        if ref.available() and d:
+            assert ref.decompress_block(c, len(d)) == d
+
+
+def test_block_encoder_fuzz():
+    import random
+    rng = random.Random(20260817)
+    from jsoup_spark.operators.lz4 import (
+        compress_block, decompress_block)
+    for t in range(200):
+        n = rng.randrange(0, 3000)
+        if t % 3 == 0:
+            d = bytes(rng.randrange(256) for _ in range(n))
+        elif t % 3 == 1:
+            d = bytes(rng.choice(b"abc") for _ in range(n))
+        else:
+            unit = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 9)))
+            d = (unit * (n // max(1, len(unit)) + 1))[:n]
+        c = compress_block(d)
+        assert decompress_block(c) == d
+        if ref.available() and n:
+            assert ref.decompress_block(c, n) == d
+
+
+def test_frame_encoder_roundtrip_checksums():
+    import random
+    rng = random.Random(5)
+    from jsoup_spark.operators.lz4 import (
+        compress_frame, decompress_frame)
+    data = bytes(rng.choice(b"abcdef") for _ in range(200_000))
+    for cc in (False, True):
+        for bc in (False, True):
+            f = compress_frame(data, content_checksum=cc,
+                               block_checksum=bc)
+            assert decompress_frame(f) == data
+    # incompressible chunks store raw (high bit of the block size)
+    rnd = bytes(rng.randrange(256) for _ in range(70000))
+    f = compress_frame(rnd)
+    assert decompress_frame(f) == rnd
