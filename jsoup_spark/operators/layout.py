@@ -76,3 +76,37 @@ def zorder_by(df: DataFrame, col_a: str, col_b: str, *,
     return (keyed.repartitionByRange(num_files, "_z")
             .sortWithinPartitions("_z")
             .drop("_z"))
+
+
+def table_file_sizes(spark, path: str, fmt: str = "parquet"):
+    """[(file_uri, bytes)] via the Hadoop FileSystem API (works the
+    same on local paths and cluster object stores)."""
+    df = spark.read.format(fmt).load(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    out = []
+    for uri in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(conf)
+        out.append((uri, fs.getFileStatus(p).getLen()))
+    return out
+
+
+def compact(spark, src_path: str, dst_path: str, *,
+            target_bytes: int = 128 << 20,
+            fmt: str = "parquet") -> int:
+    """Small-files compaction: rewrite a table into
+    ceil(total_bytes / target_bytes) files.
+
+    The 100 TB story: ingestion and streaming sinks leave thousands
+    of KB-scale files per partition; every downstream scan then pays
+    a task per file. Compaction is a single full-shuffle rewrite
+    sized from the REAL byte total (not row counts — compression
+    ratios vary wildly across columns). Returns the file count
+    written."""
+    sizes = table_file_sizes(spark, src_path, fmt)
+    total = sum(s for _, s in sizes)
+    n = max(1, -(-total // target_bytes))
+    df = spark.read.format(fmt).load(src_path)
+    df.repartition(n).write.format(fmt).mode("overwrite").save(dst_path)
+    return n

@@ -75,3 +75,24 @@ def test_zorder_shrinks_file_spans(spark, tmp_path):
         # z-order: both dimensions several-fold narrower
         assert rand_avg > 0.8 * full, (col, rand_avg)
         assert z_avg < rand_avg / 4, (col, rand_avg, z_avg)
+
+
+def test_compact_small_files(spark, tmp_path):
+    from jsoup_spark.operators.layout import compact, table_file_sizes
+    src = str(tmp_path / "many")
+    df = spark.range(20_000).selectExpr(
+        "id", "repeat('x', 64) AS pad")
+    df.repartition(64).write.parquet(src)
+    sizes = table_file_sizes(spark, src)
+    assert len(sizes) == 64
+    total = sum(s for _, s in sizes)
+
+    dst = str(tmp_path / "compacted")
+    n = compact(spark, src, dst, target_bytes=total // 4 + 1)
+    assert n == 4
+    out_sizes = table_file_sizes(spark, dst)
+    assert len(out_sizes) == 4
+    # content equality
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == b
