@@ -109,6 +109,12 @@ def _inflate(data: bytes) -> bytes:
             return decompress(data)
         except ValueError:
             return data
+    if data.startswith(b"\xff\x06\x00\x00sNaPpY"):   # snappy framed
+        from jsoup_spark.operators.snappy import decompress_framed
+        try:
+            return decompress_framed(data)
+        except ValueError:
+            return data
     return data
 
 
