@@ -684,3 +684,43 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     if not got_frame:
         raise ValueError("zstd: no frame found")
     return bytes(out)
+
+
+# ------------------------------------------------------- store encoder
+
+def compress_store(data: bytes, *, checksum: bool = True,
+                   block_size: int = (1 << 17) - 1) -> bytes:
+    """Zstandard STORE-mode encoder (RFC 8878): a spec-shaped frame of
+    Raw_Block payloads — the zero-dependency write path (the brotli
+    store-mode precedent). Single-segment frame header with the exact
+    content size, optional xxh64 content checksum (low 32 bits).
+    Validated against libzstd's own decoder in tests/test_zstd.py."""
+    import struct as _st
+    n = len(data)
+    out = bytearray(_st.pack("<I", 0xFD2FB528))
+    # Frame_Header_Descriptor: single-segment, FCS field sized to fit
+    if n < 256:
+        fhd = 0x20                           # single-segment, FCS 1 byte
+        fcs = _st.pack("<B", n)
+    elif n < (1 << 16) + 256:
+        fhd = 0x20 | 0x40                    # FCS 2 bytes (minus 256)
+        fcs = _st.pack("<H", n - 256)
+    else:
+        fhd = 0x20 | 0x80                    # FCS 4 bytes
+        fcs = _st.pack("<I", n)
+    if checksum:
+        fhd |= 0x04
+    out.append(fhd)
+    out += fcs
+    if n == 0:
+        out += (1).to_bytes(3, "little")     # last=1, Raw, size 0
+    else:
+        for i in range(0, n, block_size):
+            chunk = data[i:i + block_size]
+            last = 1 if i + block_size >= n else 0
+            header = last | (0 << 1) | (len(chunk) << 3)
+            out += header.to_bytes(3, "little")
+            out += chunk
+    if checksum:
+        out += _st.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

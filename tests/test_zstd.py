@@ -117,3 +117,19 @@ def test_ingest_sniffs_zstd():
     html = "<html><head><title>Z</title></head><body>стр</body></html>"
     data = ref.compress(html.encode("utf-8"), 3)
     assert decode_html_bytes(data) == html
+
+
+def test_store_encoder_vs_libzstd_decoder():
+    """compress_store (RFC 8878 Raw_Block frames) decodes in BOTH our
+    decoder and libzstd itself, across FCS field-size boundaries,
+    multi-block payloads and both checksum settings."""
+    import random
+    from jsoup_spark.operators.zstd import compress_store, decompress
+    rng = random.Random(7)
+    for n in (0, 1, 255, 256, 257, 65535 + 256, 65536 + 256, 300_000):
+        d = bytes(rng.randrange(256) for _ in range(n))
+        for cs in (False, True):
+            f = compress_store(d, checksum=cs)
+            assert decompress(f) == d
+            if ref.available():
+                assert ref.decompress(f, max_out=max(n, 1)) == d
