@@ -464,6 +464,51 @@ def q_ingest_brotli(spark, sf_dir):
         "n_raw", "n_br", "decoded_ok")
 
 
+def q_ingest_transport(spark, sf_dir):
+    """Transport-codec round trips through the ingest sniff tier:
+    each doc's text is wrapped by a codec cycling gzip / LZ4 frame /
+    zstd store / framed snappy — the last three written by THIS
+    repo's own encoders (liblz4/libzstd/pyarrow-snappy-validated) —
+    then decoded back by magic-byte sniffing in
+    sources/ingest.decode_html_bytes. Output pins the codec branch,
+    the decoded length and equality; all symbolic."""
+    from jsoup_spark.operators.lz4 import compress_frame as lz4_frame
+    from jsoup_spark.operators.snappy import compress_framed
+    from jsoup_spark.operators.zstd import compress_store
+    from jsoup_spark.sources.ingest import decode_html_bytes
+    import gzip as gzip_mod
+    import pandas as pd
+
+    CODECS = ("gzip", "lz4", "zstd", "snappy")
+
+    docs = _spread(spark, _documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = text.encode("utf-8")
+                kind = CODECS[did % 4]
+                if kind == "gzip":
+                    payload = gzip_mod.compress(raw, mtime=0)
+                elif kind == "lz4":
+                    payload = lz4_frame(raw)
+                elif kind == "zstd":
+                    payload = compress_store(raw)
+                else:
+                    payload = compress_framed(raw)
+                dec = decode_html_bytes(payload)
+                rows.append((did, kind, len(dec),
+                             int(dec == text)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "codec", "n_raw", "ok"])
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, codec string, n_raw int, ok int")
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton/Z-order keys over (n_chars, doc_id) — the
     multi-dimensional data-skipping layout key (operators/layout.py;
@@ -1427,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_scale": q_embed_neardup_scale,
         "dedup_clusters": q_dedup_clusters,
         "ingest_brotli": q_ingest_brotli,
+        "ingest_transport": q_ingest_transport,
         "warc_extract": q_warc_extract,
         "office_extract": q_office_extract,
         "pdf_extract": q_pdf_extract,
@@ -1897,6 +1943,14 @@ def oracle_sql() -> dict[str, str]:
               u['chunk'] AS text,
               TRUE AS ok
             FROM e""",
+        "ingest_transport": """
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'gzip'
+                        WHEN 1 THEN 'lz4' WHEN 2 THEN 'zstd'
+                        ELSE 'snappy' END AS codec,
+                   CAST(n_chars AS INT) AS n_raw,
+                   1 AS ok
+            FROM documents""",
         "seq_pack": """
             WITH t AS (
               SELECT doc_id,
