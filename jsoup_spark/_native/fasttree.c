@@ -2326,10 +2326,15 @@ apply(PyObject *self, PyObject *args)
                  * TEXT, insert (push). These tags stop the tokenizer
                  * batch, so this is always the last token in the queue. */
                 if (g_text_mode == -1) { handled = 0; break; }
+                /* reference InBody default: Tag.textState() drives the
+                 * tokenizer here, and script's textState() is Rawtext --
+                 * NOT ScriptData (that's the in-HEAD branch only;
+                 * HtmlTreeBuilderState.java:592-595 vs :141-143). An
+                 * in-body <script><!-- <script></script> therefore
+                 * closes at the first end tag, with no double-escape. */
                 long tzstate =
                     PyUnicode_Compare(normal, s_h_title) == 0 ? g_tz_rcdata :
-                    PyUnicode_Compare(normal, s_h_script) == 0
-                        ? g_tz_scriptdata : g_tz_rawtext;
+                    g_tz_rawtext;
                 PyObject *tok_o = PyObject_GetAttr(tb, s_tok);
                 if (tok_o == NULL) goto error_start;
                 PyObject *tzv = PyLong_FromLong(tzstate);

@@ -75,3 +75,23 @@ def test_fuzz_corpus_no_crash():
         doc = parse(data)
         assert doc is not None
         assert time.time() - t0 < 20, f"pathological slowdown on {f}"
+
+
+def test_inbody_script_is_rawtext_not_scriptdata():
+    """Reference semantics: the InBody default branch drives the
+    tokenizer from Tag.textState(), and script's textState() is
+    Rawtext (HtmlTreeBuilderState.java:592-595) — only the in-HEAD
+    branch transitions to ScriptData (:141-143). So an in-body
+    <script><!-- <script></script> closes at the FIRST end tag (no
+    double-escape), while the same markup in head consumes it.
+    Found by a fresh mega_fuzz seed (81702) this session: the C
+    SA_TEXT_SWITCH action used ScriptData; 5500/5500 exact after the
+    fix, revalidated across 5 seeds + stress + positions +
+    select/clean campaigns."""
+    from jsoup_spark.extract.canonical import canonical
+    body = canonical(parse("x<script><!-- <script></script>y"))
+    assert body == ('(html(head)(body"x"'
+                    '(script#data:<!-- <script>;)"y"))')
+    head = canonical(parse("<script><!-- <script></script>y"))
+    assert head == ('(html(head(script#data:'
+                    '<!-- <script></script>y;))(body))')
