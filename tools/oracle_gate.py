@@ -12,12 +12,24 @@ closes.
 Usage:
     python tools/oracle_gate.py [--sf /root/testdata/sf0.01] [--master local[32]]
                                 [--only q1,q2] [--shuffle-partitions 32]
+                                [--close]
 Exit code 0 iff every query matches (rows, schema arity, values).
+
+--close is the ROUND-CLOSE policy gate (VERDICT r7 #6): after the oracle
+sweep it runs the fresh-seed differential campaign — 3 time-derived
+mega_fuzz seeds x 2500 cases + one fresh fuzz_positions seed x 2000 —
+against the compiled reference. Fresh seeds are policy, not discipline:
+the r7 close found a real parity bug (in-body <script> tokenizes as
+Rawtext, not ScriptData) that the committed fixtures could never catch,
+because fixtures only revisit corners they already visit. The chosen
+seeds are printed so NOTES_rN can record them.
 """
 from __future__ import annotations
 
 import argparse
 import math
+import os
+import subprocess
 import sys
 import time
 from decimal import Decimal
@@ -59,12 +71,44 @@ def _rows_sorted(names, rows):
     return out
 
 
+def fresh_fuzz() -> int:
+    """Fresh-seed differential campaign vs the compiled reference.
+    Seeds derive from wall-clock time so every close explores new corners;
+    they are printed for NOTES_rN. Returns the number of failing runs."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = int(time.time()) % 1_000_000
+    runs = [("mega_fuzz.py", str(base + i * 7919), "2500") for i in range(3)]
+    runs.append(("fuzz_positions.py", str(base + 31337), "2000"))
+    fails = 0
+    for script, seed, n in runs:
+        print(f"\n== fresh fuzz: {script} seed={seed} n={n}")
+        r = subprocess.run([sys.executable, os.path.join(here, script),
+                            seed, n], capture_output=True, text=True)
+        tail = r.stdout.strip().split("\n")[-1] if r.stdout.strip() else ""
+        print(r.stdout[:4000])
+        # tail shape: "seed=X: A/B match" where A==B iff zero mismatches
+        # (B = ops generated, a multiple of n cases)
+        ok = False
+        if r.returncode == 0 and "MISMATCH" not in r.stdout \
+                and tail.endswith(" match"):
+            frac = tail.rsplit(" ", 2)[-2]
+            a, _, b = frac.partition("/")
+            ok = a == b != ""
+        if not ok:
+            print(f"FRESH-FUZZ FAIL: {script} seed={seed}"
+                  + (f"\nstderr: {r.stderr[-2000:]}" if r.stderr else ""))
+            fails += 1
+    return fails
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--shuffle-partitions", default="32")
     ap.add_argument("--only", default="")
+    ap.add_argument("--close", action="store_true",
+                    help="round-close mode: oracle sweep + fresh-seed fuzz")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -144,6 +188,10 @@ def main() -> int:
     print(f"\n{n_pass} pass / {n_fail} fail"
           + (f"  FAILURES: {failures}" if failures else ""))
     spark.stop()
+    if args.close:
+        fuzz_fails = fresh_fuzz()
+        print(f"\nfresh-fuzz: {'OK' if not fuzz_fails else f'{fuzz_fails} FAILING RUNS'}")
+        n_fail += fuzz_fails
     return 1 if n_fail else 0
 
 
