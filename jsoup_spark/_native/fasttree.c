@@ -179,6 +179,11 @@ member_offset(PyObject *cls, const char *name)
 static PyTypeObject *g_fasttoken_tp = NULL;
 static Py_ssize_t off_ft_type = -1, off_ft_selfc = -1, off_ft_normal = -1,
     off_ft_attrs = -1, off_ft_data = -1;
+/* extra offsets for C-side FastToken construction (full pump bail
+ * materialization); g_ft_make_ok gates the integrated scanner */
+static Py_ssize_t off_ft_name = -1, off_ft_startpos = -1,
+    off_ft_endpos = -1;
+static int g_ft_make_ok = 0;
 
 /* token field readers: FastToken slot reads, GetAttr otherwise */
 static inline long
@@ -235,12 +240,19 @@ configure_tokens(PyObject *self, PyObject *args)
     off_ft_normal = member_offset(fasttoken_cls, "normal");
     off_ft_attrs = member_offset(fasttoken_cls, "attrs");
     off_ft_data = member_offset(fasttoken_cls, "data");
+    off_ft_name = member_offset(fasttoken_cls, "name");
+    off_ft_startpos = member_offset_typed(fasttoken_cls, "start_pos",
+                                          T_PYSSIZET, T_PYSSIZET);
+    off_ft_endpos = member_offset_typed(fasttoken_cls, "end_pos",
+                                        T_PYSSIZET, T_PYSSIZET);
     if (off_ft_type >= 0 && off_ft_selfc >= 0 && off_ft_normal >= 0 &&
         off_ft_attrs >= 0 && off_ft_data >= 0)
         g_fasttoken_tp = (PyTypeObject *)fasttoken_cls;  /* borrowed-forever */
     else {
         g_fasttoken_tp = NULL;
     }
+    g_ft_make_ok = (g_fasttoken_tp != NULL && off_ft_name >= 0 &&
+                    off_ft_startpos >= 0 && off_ft_endpos >= 0);
     Py_INCREF(fasttoken_cls);  /* keep alive for the borrowed tp pointer */
     Py_RETURN_NONE;
 }
@@ -989,6 +1001,14 @@ finalize_attrs(Ctx *c, PyObject *attrs)
 {
     if (attrs == NULL || attrs == Py_None)
         return PyDict_New();
+    if (PyDict_Check(attrs)) {
+        /* full-pump pre-built dict: keys already lowercased, first-wins,
+         * dup-free by construction (dup-key tags take the list shape so
+         * the dup error still fires here). Used by exactly one element,
+         * so no copy: the ring slot's ref clears right after insert. */
+        Py_INCREF(attrs);
+        return attrs;
+    }
     int is_list = PyList_Check(attrs);
     Py_ssize_t n = is_list ? PyList_GET_SIZE(attrs) : PySequence_Size(attrs);
     if (n < 0)
@@ -1931,6 +1951,710 @@ pump_next(PyObject *tok_o, PyObject *q, PyObject *popleft)
     return PyObject_CallNoArgs(popleft);
 }
 
+/* ---- full pump: integrated Data-state scanner -> RawTok ring --------
+ * pump-lite (above) still crossed into Python for every tokenizer batch
+ * (_data frame -> jsoup_fastscan.scan -> FastToken allocs -> deque
+ * extend -> per-token popleft). The full pump runs the SAME scanner
+ * grammar (a strict port of fastscan.c scan(), which remains the source
+ * of truth for the non-pump path) directly inside apply(), emitting
+ * plain C structs consumed by the dispatch loop: no FastToken objects,
+ * no deque round-trip, no tag-name substrings (raw-char -> interned
+ * normal hash), and attrs built as the final per-element DICT at scan
+ * time (duplicate-key tags fall back to the pairs-list shape so
+ * finalize_attrs keeps emitting the dup parse error exactly like the
+ * Python path). Tokens leave C only on bail / head-phase, where a real
+ * FastToken is materialized from the struct (rt_materialize), so the
+ * Python tree builder sees byte-identical tokens.
+ *
+ * Gating is pump-lite's trusted gate plus: tokenizer state == Data and
+ * a letter-led tag ahead. Everything else falls back to pump_next
+ * (Python state functions), unchanged. */
+
+/* char classes — identical to fastscan.c (the scanner grammar contract) */
+static inline int is_alpha_c(Py_UCS4 c)
+{
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+
+static inline int is_name_char_c(Py_UCS4 c)
+{
+    return is_alpha_c(c) || (c >= '0' && c <= '9') || c == ':' || c == '.' ||
+           c == '_' || c == '-';
+}
+
+static inline int is_tag_ws_c(Py_UCS4 c)
+{
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f';
+}
+
+static inline int is_attr_name_char_c(Py_UCS4 c)
+{
+    return c > 0x20 && c != '/' && c != '=' && c != '>' && c != '"' &&
+           c != '\'' && c != '<';
+}
+
+#define RING_CAP 100  /* <=48 tags + <=49 texts + chars-flush + margin */
+
+#define RT_MAX_SPANS 8  /* dict-shaped attrs keep original-name spans */
+
+typedef struct {
+    int type;          /* TOK_START / TOK_END / TOK_CHAR */
+    int selfc;
+    PyObject *normal;  /* owned interned lowercase (tags) or NULL */
+    PyObject *attrs;   /* owned dict (fast) / list (dup fallback) / NULL */
+    PyObject *data;    /* owned text (TOK_CHAR) or NULL */
+    Py_ssize_t name_s, name_e;  /* tag-name span for materialization */
+    Py_ssize_t start, end;      /* token source span */
+    /* original-case attr-NAME spans, dict shape only: a bailed token must
+     * reach Python with raw names (html/body attr merge and foreign
+     * content preserve attribute case — observable in the tree) */
+    int n_spans;
+    Py_ssize_t aspan_s[RT_MAX_SPANS], aspan_e[RT_MAX_SPANS];
+} RawTok;
+
+static PyObject *g_scan_stop = NULL;   /* frozenset: batch-stop normals */
+static PyObject *g_scan_decode = NULL; /* tokenizer._decode_attr_value */
+static long g_tz_data_state = -1;
+/* s_tk_s / s_tk_pos are declared at fuse_text_content (shared) */
+static PyObject *s_tk_cs = NULL, *s_tk_ms = NULL, *s_tk_ls = NULL,
+    *s_append_m = NULL;
+
+static PyObject *
+configure_scan(PyObject *self, PyObject *args)
+{
+    PyObject *stop, *decode;
+    long data_state;
+    if (!PyArg_ParseTuple(args, "OOl", &stop, &decode, &data_state))
+        return NULL;
+    Py_XDECREF(g_scan_stop); Py_INCREF(stop); g_scan_stop = stop;
+    Py_XDECREF(g_scan_decode); Py_INCREF(decode); g_scan_decode = decode;
+    g_tz_data_state = data_state;
+    if (s_tk_s == NULL) {
+        s_tk_s = PyUnicode_InternFromString("s");
+        s_tk_pos = PyUnicode_InternFromString("pos");
+        if (s_tk_pos == NULL)
+            return NULL;
+    }
+    if (s_tk_cs == NULL) {
+        s_tk_cs = PyUnicode_InternFromString("char_start");
+        s_tk_ms = PyUnicode_InternFromString("markup_start");
+        s_tk_ls = PyUnicode_InternFromString("last_start");
+        s_append_m = PyUnicode_InternFromString("append");
+        if (s_append_m == NULL)
+            return NULL;
+    }
+    Py_RETURN_NONE;
+}
+
+/* raw-char -> interned lowercase normal, no substring on a hit.
+ * ASCII-folded open-addressing table (tag + attr-name vocabularies are
+ * tiny); non-ASCII / long names take the substring + str.lower() path,
+ * which is exactly what finalize_attrs / normal_for would do. */
+typedef struct {
+    PyObject *normal;  /* owned forever (interned) */
+    uint32_t hash;
+    uint8_t len;
+    char lower[27];
+} NameEnt;
+#define NAME_TAB_SIZE 4096
+static NameEnt g_name_tab[NAME_TAB_SIZE];
+static int g_name_count = 0;
+
+static PyObject *  /* new ref */
+normal_from_span(PyObject *s, int kind, const void *data,
+                 Py_ssize_t a, Py_ssize_t b)
+{
+    Py_ssize_t len = b - a;
+    if (len > 0 && len <= 27) {
+        char key[27];
+        uint32_t h = 2166136261u;
+        int ascii_ok = 1;
+        for (Py_ssize_t i = 0; i < len; i++) {
+            Py_UCS4 ch = PyUnicode_READ(kind, data, a + i);
+            if (ch >= 128) { ascii_ok = 0; break; }
+            char lc = (ch >= 'A' && ch <= 'Z') ? (char)(ch + 32) : (char)ch;
+            key[i] = lc;
+            h = (h ^ (uint32_t)(unsigned char)lc) * 16777619u;
+        }
+        if (ascii_ok) {
+            uint32_t idx = h & (NAME_TAB_SIZE - 1);
+            for (;;) {
+                NameEnt *e = &g_name_tab[idx];
+                if (e->normal == NULL)
+                    break;
+                if (e->hash == h && e->len == (uint8_t)len &&
+                    memcmp(e->lower, key, (size_t)len) == 0) {
+                    Py_INCREF(e->normal);
+                    return e->normal;
+                }
+                idx = (idx + 1) & (NAME_TAB_SIZE - 1);
+            }
+            PyObject *normal = PyUnicode_New(len, 127);
+            if (normal == NULL)
+                return NULL;
+            memcpy(PyUnicode_1BYTE_DATA(normal), key, (size_t)len);
+            PyUnicode_InternInPlace(&normal);
+            if (g_name_count < NAME_TAB_SIZE * 3 / 4) {
+                /* idx still points at the empty probe slot */
+                NameEnt *e = &g_name_tab[idx];
+                Py_INCREF(normal);
+                e->normal = normal;
+                e->hash = h;
+                e->len = (uint8_t)len;
+                memcpy(e->lower, key, (size_t)len);
+                g_name_count++;
+            }
+            return normal;
+        }
+    }
+    PyObject *name = PyUnicode_Substring(s, a, b);
+    if (name == NULL)
+        return NULL;
+    PyObject *normal = PyObject_CallMethod(name, "lower", NULL);
+    Py_DECREF(name);
+    if (normal == NULL)
+        return NULL;
+    PyUnicode_InternInPlace(&normal);
+    return normal;
+}
+
+static void
+rt_clear(RawTok *rt)
+{
+    Py_CLEAR(rt->normal);
+    Py_CLEAR(rt->attrs);
+    Py_CLEAR(rt->data);
+}
+
+static void
+ring_clear_from(RawTok *ring, int ri, int rn)
+{
+    for (int i = ri; i < rn; i++)
+        rt_clear(&ring[i]);
+}
+
+/* struct -> real FastToken (bail / head-phase path). Byte-faithful to
+ * what fastscan.scan would have queued, except: (a) tag-name case in
+ * .name is the original span (substring here), (b) a dict-shaped attrs
+ * converts to its insertion-ordered pairs list — lowercased keys, which
+ * finalize_attrs lowercases idempotently; dup-key tags never take the
+ * dict shape, so the dup parse error is preserved. */
+static PyObject *
+rt_materialize(RawTok *rt, PyObject *src)
+{
+    PyObject *ft = g_fasttoken_tp->tp_alloc(g_fasttoken_tp, 0);
+    if (ft == NULL)
+        return NULL;
+    *(int *)((char *)ft + off_ft_type) = rt->type;
+    *(int *)((char *)ft + off_ft_selfc) = rt->selfc;
+    *(Py_ssize_t *)((char *)ft + off_ft_startpos) = rt->start;
+    *(Py_ssize_t *)((char *)ft + off_ft_endpos) = rt->end;
+    if (rt->normal != NULL) {
+        Py_INCREF(rt->normal);
+        *(PyObject **)((char *)ft + off_ft_normal) = rt->normal;
+    }
+    if (rt->data != NULL) {
+        Py_INCREF(rt->data);
+        *(PyObject **)((char *)ft + off_ft_data) = rt->data;
+    }
+    if (rt->attrs != NULL) {
+        PyObject *attrs;
+        if (PyDict_Check(rt->attrs)) {
+            /* rebuild the fastscan pairs shape: ORIGINAL-case names from
+             * the recorded spans, values in dict insertion order (==
+             * source order; dup-key tags never take the dict shape) */
+            Py_ssize_t nd = PyDict_GET_SIZE(rt->attrs);
+            if (nd != rt->n_spans || src == NULL) {
+                Py_DECREF(ft);
+                PyErr_SetString(PyExc_RuntimeError,
+                                "fasttree: attr span/dict mismatch");
+                return NULL;
+            }
+            attrs = PyList_New(nd);
+            if (attrs == NULL) { Py_DECREF(ft); return NULL; }
+            PyObject *k, *v;
+            Py_ssize_t pos = 0;
+            int i = 0;
+            while (PyDict_Next(rt->attrs, &pos, &k, &v)) {
+                PyObject *orig = PyUnicode_Substring(
+                    src, rt->aspan_s[i], rt->aspan_e[i]);
+                if (orig == NULL) {
+                    Py_DECREF(attrs); Py_DECREF(ft);
+                    return NULL;
+                }
+                PyObject *pair = PyTuple_Pack(2, orig, v);
+                Py_DECREF(orig);
+                if (pair == NULL) {
+                    Py_DECREF(attrs); Py_DECREF(ft);
+                    return NULL;
+                }
+                PyList_SET_ITEM(attrs, i, pair);
+                i++;
+            }
+        } else {
+            Py_INCREF(rt->attrs);
+            attrs = rt->attrs;
+        }
+        *(PyObject **)((char *)ft + off_ft_attrs) = attrs;
+    }
+    if (rt->type != TOK_CHAR && rt->name_s >= 0 && src != NULL) {
+        PyObject *name = PyUnicode_Substring(src, rt->name_s, rt->name_e);
+        if (name == NULL) { Py_DECREF(ft); return NULL; }
+        *(PyObject **)((char *)ft + off_ft_name) = name;
+    }
+    return ft;
+}
+
+/* bail with unconsumed ring tokens: requeue them (in order) as real
+ * FastTokens so the Python loop continues exactly where C stopped. The
+ * queue is empty by construction while the ring is active. */
+static int
+ring_flush_to_q(RawTok *ring, int ri, int rn, PyObject *q, PyObject *src)
+{
+    for (int i = ri; i < rn; i++) {
+        PyObject *ft = rt_materialize(&ring[i], src);
+        if (ft == NULL)
+            return -1;
+        PyObject *r = PyObject_CallMethodObjArgs(q, s_append_m, ft, NULL);
+        Py_DECREF(ft);
+        if (r == NULL)
+            return -1;
+        Py_DECREF(r);
+        rt_clear(&ring[i]);
+    }
+    return 0;
+}
+
+/* Integrated scanner: strict port of fastscan.c scan() emitting RawTok
+ * structs. Returns 1 with *prn filled (>=1 tag committed), 0 to decline
+ * (Python path; tokenizer untouched), -1 on error. On success the
+ * tokenizer object's pos / markup_start / char_start / last_start are
+ * updated exactly as the Python _data fast path would, and pending
+ * _chars are flushed into ring[0]. *psrc holds an owned ref to the
+ * source string for later materialization. */
+static int
+cscan_fill(PyObject *tok_o, RawTok *ring, int *prn, PyObject **psrc)
+{
+    if (g_scan_stop == NULL || !g_ft_make_ok)
+        return 0;
+    PyObject *st = PyObject_GetAttr(tok_o, s_tk_state);
+    if (st == NULL)
+        return -1;
+    long sv = PyLong_AsLong(st);
+    Py_DECREF(st);
+    if (sv == -1 && PyErr_Occurred())
+        return -1;
+    if (sv != g_tz_data_state)
+        return 0;
+    PyObject *s = PyObject_GetAttr(tok_o, s_tk_s);
+    if (s == NULL)
+        return -1;
+    if (!PyUnicode_Check(s)) {
+        Py_DECREF(s);
+        return 0;
+    }
+    PyObject *poso = PyObject_GetAttr(tok_o, s_tk_pos);
+    if (poso == NULL) { Py_DECREF(s); return -1; }
+    Py_ssize_t pos = PyLong_AsSsize_t(poso);
+    Py_DECREF(poso);
+    if (pos == -1 && PyErr_Occurred()) { Py_DECREF(s); return -1; }
+
+    const int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    const Py_ssize_t n = PyUnicode_GET_LENGTH(s);
+    if (pos >= n) { Py_DECREF(s); return 0; }
+
+    /* leading text run: only proceed when the next special is '<'
+     * (entity / NUL / EOF shapes go to the Python state function) */
+    Py_ssize_t lt = pos;
+    Py_UCS4 cc = 0;
+    while (lt < n) {
+        cc = PyUnicode_READ(kind, data, lt);
+        if (cc == '<' || cc == '&' || cc == 0)
+            break;
+        lt++;
+    }
+    if (lt >= n || cc != '<') { Py_DECREF(s); return 0; }
+
+    PyObject *errors = NULL, *chars = NULL, *last_start = NULL;
+    int rn = 0, count = 0, stop = 0, chars_checked = 0;
+    Py_ssize_t p2 = pos, end2 = lt, markup_start = -1;
+
+    errors = PyObject_GetAttr(tok_o, s_errors);
+    if (errors == NULL) goto fail;
+    chars = PyObject_GetAttr(tok_o, s_tk_chars);
+    if (chars == NULL || !PyList_Check(chars)) goto fail;
+
+    while (!stop) {
+        /* --- probe a fast tag at end2 (s[end2] == '<') --- */
+        Py_ssize_t i = end2 + 1;
+        int is_end = 0;
+        if (i < n && PyUnicode_READ(kind, data, i) == '/') {
+            is_end = 1;
+            i++;
+        }
+        if (i >= n || !is_alpha_c(PyUnicode_READ(kind, data, i)))
+            break; /* not a letter-led tag: Python path */
+        Py_ssize_t name_start = i;
+        i++;
+        while (i < n && is_name_char_c(PyUnicode_READ(kind, data, i)))
+            i++;
+        Py_ssize_t name_end = i;
+
+        /* --- attributes (start tags only; grammar identical to
+         * fastscan.c / _fast_attr_tag: any NUL, unterminated quote,
+         * error char, or >64 deferred '&' values bails the tag) --- */
+        PyObject *ak[512], *av[512];
+        Py_ssize_t as_[512], ae_[512];  /* original-case name spans */
+        int na = 0, dropped = 0;
+        Py_ssize_t pend_vs[64], pend_ve[64];
+        int pend_ai[64], n_pending = 0;
+        if (!is_end) {
+            while (1) {
+                Py_ssize_t w = i;
+                while (w < n && is_tag_ws_c(PyUnicode_READ(kind, data, w)))
+                    w++;
+                if (w == i || w >= n)
+                    break; /* no separator: tail must follow */
+                Py_UCS4 c0 = PyUnicode_READ(kind, data, w);
+                if (!is_attr_name_char_c(c0))
+                    break; /* '/' or '>' or error char: tail decides */
+                Py_ssize_t an_start = w;
+                while (w < n &&
+                       is_attr_name_char_c(PyUnicode_READ(kind, data, w)))
+                    w++;
+                Py_ssize_t an_end = w;
+                Py_ssize_t v = w;
+                while (v < n && is_tag_ws_c(PyUnicode_READ(kind, data, v)))
+                    v++;
+                PyObject *val = NULL;
+                int have_val = 0;
+                if (v < n && PyUnicode_READ(kind, data, v) == '=') {
+                    v++;
+                    while (v < n &&
+                           is_tag_ws_c(PyUnicode_READ(kind, data, v)))
+                        v++;
+                    if (v >= n)
+                        goto attr_fail;
+                    Py_UCS4 q = PyUnicode_READ(kind, data, v);
+                    if (q == '"' || q == '\'') {
+                        Py_ssize_t vs = v + 1, ve = vs;
+                        Py_UCS4 c2 = 0;
+                        int amp = 0;
+                        while (ve < n) {
+                            c2 = PyUnicode_READ(kind, data, ve);
+                            if (c2 == q || c2 == 0)
+                                break;
+                            if (c2 == '&')
+                                amp = 1;
+                            ve++;
+                        }
+                        if (ve >= n || c2 != q)
+                            goto attr_fail; /* NUL or unterminated */
+                        if (amp) {
+                            if (n_pending >= 64)
+                                goto attr_fail;
+                            pend_vs[n_pending] = vs;
+                            pend_ve[n_pending] = ve;
+                            have_val = 2; /* deferred decode */
+                        } else {
+                            val = PyUnicode_Substring(s, vs, ve);
+                            if (val == NULL)
+                                goto attr_err;
+                            have_val = 1;
+                        }
+                        w = ve + 1;
+                    } else {
+                        Py_ssize_t vs = v, ve = v;
+                        while (ve < n) {
+                            Py_UCS4 c2 = PyUnicode_READ(kind, data, ve);
+                            if (c2 == 0 || is_tag_ws_c(c2) || c2 == '>' ||
+                                c2 == '"' || c2 == '\'' || c2 == '<' ||
+                                c2 == '=' || c2 == '`' || c2 == '&')
+                                break;
+                            ve++;
+                        }
+                        if (ve == vs)
+                            goto attr_fail; /* empty / error-led value */
+                        if (ve < n) {
+                            Py_UCS4 c2 = PyUnicode_READ(kind, data, ve);
+                            if (c2 == '"' || c2 == '\'' || c2 == '<' ||
+                                c2 == '=' || c2 == '`' || c2 == '&' ||
+                                c2 == 0)
+                                goto attr_fail; /* error char ends value */
+                        }
+                        val = PyUnicode_Substring(s, vs, ve);
+                        if (val == NULL)
+                            goto attr_err;
+                        have_val = 1;
+                        w = ve;
+                    }
+                }
+                if (na < 512) {
+                    PyObject *aname = normal_from_span(s, kind, data,
+                                                       an_start, an_end);
+                    if (aname == NULL) {
+                        Py_XDECREF(val);
+                        goto attr_err;
+                    }
+                    ak[na] = aname;
+                    av[na] = have_val == 1 ? val : NULL;
+                    as_[na] = an_start;
+                    ae_[na] = an_end;
+                    if (have_val == 2)
+                        pend_ai[n_pending++] = na;
+                    na++;
+                } else {
+                    Py_XDECREF(val);
+                    dropped = 1;
+                    (void)dropped;
+                }
+                i = w;
+                continue;
+            attr_fail:
+                for (int x = 0; x < na; x++) {
+                    Py_DECREF(ak[x]);
+                    Py_XDECREF(av[x]);
+                }
+                goto scan_done; /* bail this tag to Python */
+            attr_err:
+                for (int x = 0; x < na; x++) {
+                    Py_DECREF(ak[x]);
+                    Py_XDECREF(av[x]);
+                }
+                goto fail;
+            }
+        }
+        while (i < n && is_tag_ws_c(PyUnicode_READ(kind, data, i)))
+            i++;
+        int self_closing = 0;
+        if (!is_end && i < n && PyUnicode_READ(kind, data, i) == '/') {
+            self_closing = 1;
+            i++;
+        }
+        if (i >= n || PyUnicode_READ(kind, data, i) != '>') {
+            for (int x = 0; x < na; x++) {
+                Py_DECREF(ak[x]);
+                Py_XDECREF(av[x]);
+            }
+            break; /* malformed / EOF: Python path */
+        }
+        Py_ssize_t tend = i + 1;
+
+        /* tag confirmed: decode deferred '&'-bearing quoted values (may
+         * append parse errors — only now, exactly like fastscan) */
+        for (int pi = 0; pi < n_pending; pi++) {
+            PyObject *decoded = PyObject_CallFunction(
+                g_scan_decode, "OnnO", s, pend_vs[pi], pend_ve[pi], errors);
+            if (decoded == NULL) {
+                for (int x = 0; x < na; x++) {
+                    Py_DECREF(ak[x]);
+                    Py_XDECREF(av[x]);
+                }
+                goto fail;
+            }
+            av[pend_ai[pi]] = decoded;
+        }
+
+        /* attrs object: presized dict (keys pre-lowercased + interned,
+         * first-wins) with original-name spans recorded for bail
+         * materialization; duplicates or >RT_MAX_SPANS attrs fall back to
+         * the fastscan pairs-list shape (original-case substring keys) so
+         * finalize_attrs and Python bail consumers behave identically */
+        PyObject *attrs_obj = NULL;
+        int n_spans = 0;
+        if (na > 0) {
+            PyObject *d = NULL;
+            if (na <= RT_MAX_SPANS) {
+                d = _PyDict_NewPresized(na);
+                if (d == NULL) goto tag_objs_fail;
+                for (int x = 0; x < na; x++) {
+                    if (PyDict_SetDefault(d, ak[x],
+                                          av[x] ? av[x] : Py_None) == NULL) {
+                        Py_DECREF(d);
+                        goto tag_objs_fail;
+                    }
+                }
+                if (PyDict_GET_SIZE(d) < na) {
+                    Py_DECREF(d);  /* dup keys: finalize must see pairs */
+                    d = NULL;
+                }
+            }
+            if (d != NULL) {
+                attrs_obj = d;
+                n_spans = na;  /* spans copied into the RawTok at commit */
+            } else {
+                PyObject *lst = PyList_New(na);
+                if (lst == NULL) goto tag_objs_fail;
+                for (int x = 0; x < na; x++) {
+                    PyObject *orig = PyUnicode_Substring(s, as_[x], ae_[x]);
+                    if (orig == NULL) {
+                        Py_DECREF(lst);
+                        goto tag_objs_fail;
+                    }
+                    PyObject *pair = PyTuple_Pack(
+                        2, orig, av[x] ? av[x] : Py_None);
+                    Py_DECREF(orig);
+                    if (pair == NULL) {
+                        Py_DECREF(lst);
+                        goto tag_objs_fail;
+                    }
+                    PyList_SET_ITEM(lst, x, pair);
+                }
+                attrs_obj = lst;
+            }
+            for (int x = 0; x < na; x++) {
+                Py_DECREF(ak[x]);
+                Py_XDECREF(av[x]);
+            }
+        }
+        goto tag_commit;
+    tag_objs_fail:
+        for (int x = 0; x < na; x++) {
+            Py_DECREF(ak[x]);
+            Py_XDECREF(av[x]);
+        }
+        goto fail;
+    tag_commit:;
+
+        /* --- commit: pending chars flush, text [p2,end2), the tag --- */
+        if (!chars_checked) {
+            chars_checked = 1;
+            if (PyList_GET_SIZE(chars) > 0) {
+                PyObject *cd = PyUnicode_Join(g_empty_u, chars);
+                if (cd == NULL) { Py_XDECREF(attrs_obj); goto fail; }
+                PyObject *crs = PyObject_GetAttr(tok_o, s_tk_crs);
+                PyObject *ce = crs ? PyObject_GetAttr(tok_o, s_tk_ce) : NULL;
+                if (ce == NULL) {
+                    Py_XDECREF(crs); Py_DECREF(cd);
+                    Py_XDECREF(attrs_obj);
+                    goto fail;
+                }
+                RawTok *rc2 = &ring[rn++];
+                rc2->type = TOK_CHAR;
+                rc2->selfc = 0;
+                rc2->normal = NULL;
+                rc2->attrs = NULL;
+                rc2->data = cd;
+                rc2->name_s = -1;
+                rc2->name_e = -1;
+                rc2->n_spans = 0;
+                rc2->start = PyLong_AsSsize_t(crs);
+                rc2->end = PyLong_AsSsize_t(ce);
+                Py_DECREF(crs);
+                Py_DECREF(ce);
+                if (PyErr_Occurred() ||
+                    PyList_SetSlice(chars, 0,
+                                    PyList_GET_SIZE(chars), NULL) < 0) {
+                    Py_XDECREF(attrs_obj);
+                    goto fail;
+                }
+            }
+        }
+        if (end2 > p2) {
+            PyObject *text = PyUnicode_Substring(s, p2, end2);
+            if (text == NULL) { Py_XDECREF(attrs_obj); goto fail; }
+            RawTok *rc2 = &ring[rn++];
+            rc2->type = TOK_CHAR;
+            rc2->selfc = 0;
+            rc2->normal = NULL;
+            rc2->attrs = NULL;
+            rc2->data = text;
+            rc2->name_s = -1;
+            rc2->name_e = -1;
+            rc2->n_spans = 0;
+            rc2->start = p2;
+            rc2->end = end2;
+        }
+        PyObject *normal = normal_from_span(s, kind, data,
+                                            name_start, name_end);
+        if (normal == NULL) { Py_XDECREF(attrs_obj); goto fail; }
+        RawTok *rt = &ring[rn++];
+        rt->type = is_end ? TOK_END : TOK_START;
+        rt->selfc = self_closing;
+        rt->normal = normal;    /* steal */
+        rt->attrs = attrs_obj;  /* steal (may be NULL) */
+        rt->data = NULL;
+        rt->name_s = name_start;
+        rt->name_e = name_end;
+        rt->start = end2;
+        rt->end = tend;
+        rt->n_spans = n_spans;
+        for (int x = 0; x < n_spans; x++) {
+            rt->aspan_s[x] = as_[x];
+            rt->aspan_e[x] = ae_[x];
+        }
+        markup_start = end2;
+        count++;
+        if (!is_end) {
+            Py_XDECREF(last_start);
+            Py_INCREF(normal);
+            last_start = normal;
+            if (self_closing ||
+                PySet_Contains(g_scan_stop, normal) == 1)
+                stop = 1;
+        }
+        p2 = tend;
+        end2 = tend;
+        if (count >= 48)
+            stop = 1;
+        if (stop)
+            break;
+
+        /* --- advance over plain text to the next '<' --- */
+        Py_ssize_t j = p2;
+        Py_UCS4 c3 = 0;
+        while (j < n) {
+            c3 = PyUnicode_READ(kind, data, j);
+            if (c3 == '<' || c3 == '&' || c3 == 0)
+                break;
+            j++;
+        }
+        if (j >= n || c3 != '<')
+            break; /* EOF / entity / NUL: trailing text to Python */
+        end2 = j;
+    }
+
+scan_done:
+    if (count == 0) {
+        Py_XDECREF(last_start);
+        Py_DECREF(errors);
+        Py_DECREF(chars);
+        Py_DECREF(s);
+        return 0;
+    }
+    /* write back tokenizer cursor exactly like the _data fast path */
+    {
+        PyObject *pv = PyLong_FromSsize_t(p2);
+        PyObject *mv = PyLong_FromSsize_t(markup_start);
+        int rc = (pv != NULL && mv != NULL &&
+                  PyObject_SetAttr(tok_o, s_tk_pos, pv) == 0 &&
+                  PyObject_SetAttr(tok_o, s_tk_ms, mv) == 0 &&
+                  PyObject_SetAttr(tok_o, s_tk_cs, pv) == 0) ? 0 : -1;
+        Py_XDECREF(pv);
+        Py_XDECREF(mv);
+        if (rc == 0 && last_start != NULL)
+            rc = PyObject_SetAttr(tok_o, s_tk_ls, last_start);
+        if (rc < 0)
+            goto fail;
+    }
+    Py_XDECREF(last_start);
+    Py_DECREF(errors);
+    Py_DECREF(chars);
+    Py_XDECREF(*psrc);
+    *psrc = s; /* transfer */
+    *prn = rn;
+    return 1;
+
+fail:
+    ring_clear_from(ring, 0, rn);
+    Py_XDECREF(last_start);
+    Py_XDECREF(errors);
+    Py_XDECREF(chars);
+    Py_DECREF(s);
+    return -1;
+}
+
 static PyObject *
 apply(PyObject *self, PyObject *args)
 {
@@ -1948,6 +2672,13 @@ apply(PyObject *self, PyObject *args)
     c.frameset_dirty = 0;
     PyObject *popleft = NULL;
     PyObject *tok_o = NULL;   /* lazy tb.tok, fetched at first pump refill */
+    /* full-pump struct ring (see cscan_fill): invariant — exactly one of
+     * (token != NULL) / (rt != NULL) holds at the loop head, and the
+     * Python queue is empty whenever ri < rn. */
+    RawTok ring[RING_CAP];
+    int rn = 0, ri = 0;
+    RawTok *rt = NULL;
+    PyObject *pump_src = NULL;  /* owned source string for the ring */
     PROF_DECL;
     PROF_BEGIN();
 #ifdef FT_PROF
@@ -2051,11 +2782,20 @@ apply(PyObject *self, PyObject *args)
 #endif
     for (;;) {
     reprocess_token:;
-        long ttype = tok_type(token);
+        long ttype = rt != NULL ? rt->type : tok_type(token);
         if (ttype < 0)
             goto error_tok;
 
         if (state != g_in_body) {
+            if (rt != NULL) {
+                /* head_phase operates on real tokens (few per doc) */
+                token = rt_materialize(rt, pump_src);
+                if (token == NULL)
+                    goto error_ctx;
+                rt_clear(rt);
+                ri++;
+                rt = NULL;
+            }
             int hrc = head_phase(&c, tb, token, ttype, &state);
             if (hrc < 0)
                 goto error_tok;
@@ -2069,7 +2809,12 @@ apply(PyObject *self, PyObject *args)
         if (ttype == TOK_CHAR) {
             /* exact-type check: CData subclass carries T_CDATA code, so
              * ttype alone is the discriminator */
-            PyObject *data = TOK_DATA(token);
+            PyObject *data;
+            if (rt != NULL) {
+                data = rt->data;
+                Py_INCREF(data);
+            } else
+                data = TOK_DATA(token);
             if (data == NULL)
                 goto error_tok;
             if (!PyUnicode_Check(data) || contains_nul(data)) {
@@ -2099,15 +2844,21 @@ apply(PyObject *self, PyObject *args)
             }
             Py_DECREF(data);
         } else if (ttype == TOK_START) {
-            PyObject *normal = TOK_NORMAL(token);
-            if (normal == NULL)
-                goto error_tok;
+            PyObject *normal;
+            if (rt != NULL) {
+                normal = rt->normal;
+                Py_INCREF(normal);
+            } else {
+                normal = TOK_NORMAL(token);
+                if (normal == NULL)
+                    goto error_tok;
+            }
             int known;
             long packed = action_of(normal, &known);
             if (packed < 0) { Py_DECREF(normal); goto error_tok; }
             long act = PACK_START(packed);
             long flags = PACK_FLAGS(packed);
-            int selfc = tok_selfc(token);
+            int selfc = rt != NULL ? rt->selfc : tok_selfc(token);
             if (selfc < 0) { Py_DECREF(normal); goto error_tok; }
             if (selfc && act != SA_VOID_RECON && act != SA_MEDIA_EMPTY
                     && act != SA_INPUT && act != SA_TO_HEAD_EMPTY) {
@@ -2117,8 +2868,14 @@ apply(PyObject *self, PyObject *args)
                 Py_DECREF(normal);
                 goto bail_tok;
             }
-            PyObject *attrs = TOK_ATTRS(token);
-            if (attrs == NULL) { Py_DECREF(normal); goto error_tok; }
+            PyObject *attrs;
+            if (rt != NULL) {
+                attrs = rt->attrs != NULL ? rt->attrs : Py_None;
+                Py_INCREF(attrs);
+            } else {
+                attrs = TOK_ATTRS(token);
+                if (attrs == NULL) { Py_DECREF(normal); goto error_tok; }
+            }
             if (PyList_GET_SIZE(c.stack) >= MAX_DEPTH - 1) {
                 Py_DECREF(attrs); Py_DECREF(normal);
                 goto bail_tok;
@@ -2463,9 +3220,15 @@ apply(PyObject *self, PyObject *args)
             Py_DECREF(normal);
             goto error_tok;
         } else if (ttype == TOK_END) {
-            PyObject *normal = TOK_NORMAL(token);
-            if (normal == NULL)
-                goto error_tok;
+            PyObject *normal;
+            if (rt != NULL) {
+                normal = rt->normal;
+                Py_INCREF(normal);
+            } else {
+                normal = TOK_NORMAL(token);
+                if (normal == NULL)
+                    goto error_tok;
+            }
             int known;
             long packed = action_of(normal, &known);
             if (packed < 0) { Py_DECREF(normal); goto error_tok; }
@@ -2717,12 +3480,25 @@ apply(PyObject *self, PyObject *args)
             _lt0 = _now;
         }
 #endif
-        Py_DECREF(token);
-        token = NULL;
+        if (rt != NULL) {
+            rt_clear(rt);
+            rt = NULL;
+            ri++;
+        } else {
+            Py_DECREF(token);
+            token = NULL;
+        }
+        /* ring continues even after a materialized detour (head_phase
+         * consumed the struct token as a real one, but its successors
+         * are still in the ring) */
+        if (ri < rn)
+            goto take_ring;
+        rn = ri = 0;
         /* next from q (a deque): bound popleft cached per apply call;
          * IndexError == empty (saves a per-token bool probe + method
-         * lookup). On empty: pump-refill when trusted, else return to
-         * the Python loop. */
+         * lookup). On empty: full-pump scan into the struct ring when the
+         * tokenizer sits in Data, else pump-lite (Python state functions)
+         * when trusted, else return to the Python loop. */
         token = PyObject_CallNoArgs(popleft);
         if (token == NULL) {
             if (!PyErr_ExceptionMatches(PyExc_IndexError))
@@ -2733,6 +3509,23 @@ apply(PyObject *self, PyObject *args)
                     tok_o = PyObject_GetAttr(tb, s_tok);
                     if (tok_o == NULL)
                         goto error_ctx;
+                }
+                int fr = cscan_fill(tok_o, ring, &rn, &pump_src);
+                if (fr < 0)
+                    goto error_ctx;
+                if (fr > 0) {
+                    ri = 0;
+                take_ring:
+                    rt = &ring[ri];
+#ifdef FT_PROF
+                    {
+                        unsigned long long _now = __rdtsc();
+                        g_prof[PB_NEXT] += _now - _lt0;
+                        g_prof_calls[PB_NEXT]++;
+                        _lt0 = _now;
+                    }
+#endif
+                    continue;
                 }
                 token = pump_next(tok_o, q, popleft);
                 if (token == NULL)
@@ -2764,6 +3557,7 @@ apply(PyObject *self, PyObject *args)
         PyObject_SetAttr(tb, s_frameset_ok,
                          c.frameset_ok ? Py_True : Py_False) < 0)
         goto error_ctx;
+    Py_XDECREF(pump_src);
     Py_DECREF(popleft);
     Py_XDECREF(tok_o);
     Py_DECREF(c.stack); Py_DECREF(c.doc);
@@ -2774,6 +3568,21 @@ apply(PyObject *self, PyObject *args)
     return token; /* already owned */
 
 bail_tok:
+    /* ring active: the CURRENT struct token becomes the real token the
+     * Python loop receives; unconsumed ring tokens requeue behind it */
+    if (rt != NULL) {
+        token = rt_materialize(rt, pump_src);
+        if (token == NULL)
+            goto error_ctx;
+        rt_clear(rt);
+        rt = NULL;
+        ri++;
+    }
+    if (ri < rn) {
+        if (ring_flush_to_q(ring, ri, rn, q, pump_src) < 0)
+            goto error_tok;
+        rn = ri = 0;
+    }
     if (state != entry_state) {
         PyObject *sv = PyLong_FromLong(state);
         if (sv == NULL || PyObject_SetAttr(tb, s_state, sv) < 0) {
@@ -2786,6 +3595,7 @@ bail_tok:
         PyObject_SetAttr(tb, s_frameset_ok,
                          c.frameset_ok ? Py_True : Py_False) < 0)
         goto error_ctx;
+    Py_XDECREF(pump_src);
     Py_XDECREF(popleft);
     Py_XDECREF(tok_o);
     Py_DECREF(c.stack); Py_DECREF(c.doc);
@@ -2806,6 +3616,8 @@ bail_entry:
 error_tok:
     Py_XDECREF(token);
 error_ctx:
+    ring_clear_from(ring, ri, rn);
+    Py_XDECREF(pump_src);
     Py_XDECREF(popleft);
     Py_XDECREF(tok_o);
     Py_XDECREF(c.stack); Py_XDECREF(c.doc);
@@ -3577,6 +4389,8 @@ static PyMethodDef methods[] = {
     #ifdef FT_PROF
     {"prof_stats", prof_stats, METH_NOARGS, "profiler buckets"},
 #endif
+    {"configure_scan", configure_scan, METH_VARARGS,
+     "set the full-pump scanner's stop set / attr decoder / Data state"},
     {"configure_pump", configure_pump, METH_VARARGS,
      "set tokenizer state table + Character class for C-side refill"},
     {"configure_tokens", configure_tokens, METH_VARARGS,

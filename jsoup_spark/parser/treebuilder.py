@@ -2881,6 +2881,13 @@ if _FT is not None:
             # C-side queue refill (pump-lite): one apply() call usually
             # covers a whole document instead of one per tokenizer batch
             _FT.configure_pump(tz._STATES, tz.Character)
+        if hasattr(_FT, "configure_scan"):
+            # full pump: apply() runs the Data-state scanner itself
+            # (struct tokens, no FastToken/deque round trip); same
+            # grammar + stop set as jsoup_fastscan, which remains the
+            # source of truth for the non-pump path
+            _FT.configure_scan(tz._BATCH_STOP, tz._decode_attr_value,
+                               tz.DATA)
         if hasattr(_FT, "configure_prelude"):
             _FT.configure_prelude(
                 C_END_OTHER_ERRORS,
