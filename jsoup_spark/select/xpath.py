@@ -6,18 +6,30 @@ delegates to javax.xml.xpath over a converted W3C DOM) as a direct
 evaluator over our node tree, with the same observable semantics the
 reference's test suite exercises (select/XpathTest.java):
 
-* location paths (absolute / relative), `//` abbreviation, unions
+* location paths (absolute / relative), `//` abbreviation, unions,
+  filter expressions with trailing paths (`(//p)[last()]/span`)
 * axes: child (default), self (`.`/self::), parent (`..`/parent::),
   descendant, descendant-or-self, ancestor, ancestor-or-self,
-  following-sibling, preceding-sibling, attribute (in expressions)
+  following-sibling, preceding-sibling, following, preceding,
+  attribute (in expressions)
 * node tests: name (matched against the LOCAL name, as the reference's
   non-namespace-aware conversion does — XpathTest.java:204-236), `*`,
   text(), node(), comment()
 * predicates: positional ([1], last(), position()), attribute
-  existence/value, contains / starts-with / not / name / local-name /
-  normalize-space / string / concat / count, and/or, XPath 1.0
-  comparison coercion rules
+  existence/value, and/or, arithmetic (`+ - * div mod`, unary minus)
+  with IEEE semantics (div by zero → ±Infinity/NaN, mod = Java `%`),
+  XPath 1.0 comparison coercion rules
+* functions: contains / starts-with / not / true / false / name /
+  local-name / normalize-space / string / concat / string-length /
+  number / boolean / count / sum / substring / substring-before /
+  substring-after / translate / floor / ceiling / round
 * results in document order, deduplicated
+
+Differentially fuzzed against the compiled reference's selectXpath
+(javax.xml.xpath over W3CDom) via tools/fuzz_xpath.py (harness op
+"xpath"); the pinned boundary vs full XPath 1.0: no variables ($x),
+no id()/lang(), no namespace-prefixed name tests (the reference's
+HTML conversion is not namespace aware either).
 
 Raises SelectorParseError with the reference's message shape
 ("Could not evaluate XPath query [q]: ...", XpathTest.java:66-80).
@@ -29,11 +41,17 @@ import re
 
 from jsoup_spark.parser.nodes import (
     CommentNode,
+    DataNode,
     Document,
     Element,
     Node,
     TextNode,
 )
+
+#: the XPath data model's "text node" covers our TextNode AND DataNode
+#: (script/style contents become W3C text nodes in the reference's
+#: conversion — harness-probed: //script/text() matches the data node)
+_TEXTUAL = (TextNode, DataNode)
 from jsoup_spark.select.selector import SelectorParseError
 
 __all__ = ["select_xpath", "select_xpath_nodes", "compile_xpath"]
@@ -50,7 +68,8 @@ _TOKEN_RE = re.compile(
     | (?P<dslash>//)
     | (?P<dcolon>::)
     | (?P<ddot>\.\.)
-    | (?P<op>!=|<=|>=|[=<>|/@\[\]().,*])
+    | (?P<var>\$[A-Za-z_][A-Za-z0-9_.-]*)
+    | (?P<op>!=|<=|>=|[=<>|/@\[\]().,*+-])
     | (?P<name>[A-Za-z_][A-Za-z0-9_.-]*(?::[A-Za-z_][A-Za-z0-9_.-]*)?)
     )""",
     re.VERBOSE,
@@ -66,10 +85,12 @@ _AXES = {
     "ancestor-or-self",
     "following-sibling",
     "preceding-sibling",
+    "following",
+    "preceding",
     "attribute",
 }
 
-_REVERSE_AXES = {"ancestor", "ancestor-or-self", "preceding-sibling"}
+_REVERSE_AXES = {"ancestor", "ancestor-or-self", "preceding-sibling", "preceding"}
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +135,42 @@ class _BinOp:
         self.op = op
         self.left = left
         self.right = right
+
+
+class _Neg:
+    __slots__ = ("operand",)
+
+    def __init__(self, operand):
+        self.operand = operand
+
+
+class _Filter:
+    """FilterExpr with optional trailing path: PrimaryExpr Predicate* ('/'|'//' steps)?
+
+    Covers the `(//p)[last()]` / `(//a | //b)[2]/span` idioms: predicates
+    apply over the base node-set in document order (XPath proximity
+    position of a filter expression), then the tail path continues from
+    each survivor.
+    """
+
+    __slots__ = ("base", "predicates", "tail")
+
+    def __init__(self, base, predicates: list, tail):
+        self.base = base
+        self.predicates = predicates
+        self.tail = tail  # _Path (relative) or None
+
+
+class _Var:
+    """XPath variable reference. jsoup's selectXpath has no way to bind
+    variables, so any reference fails — but only at EVALUATION time (the
+    reference's resolver NPEs inside the predicate), so a variable inside
+    a predicate whose candidate set is empty goes silently unevaluated."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
 
 
 class _Num:
@@ -183,11 +240,38 @@ class _Parser:
         return left
 
     def parse_relational(self):
-        left = self.parse_union()
+        left = self.parse_additive()
         while self.peek() is not None and self.peek()[1] in ("<", "<=", ">", ">="):
             op = self.next()[1]
-            left = _BinOp(op, left, self.parse_union())
+            left = _BinOp(op, left, self.parse_additive())
         return left
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while (self.peek() is not None and self.peek()[0] == "op"
+               and self.peek()[1] in ("+", "-")):
+            op = self.next()[1]
+            left = _BinOp(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        # at OPERATOR position a '*' (or the names div/mod) is the operator,
+        # never a node test — the XPath 1.0 disambiguation rule falls out of
+        # recursive descent for free
+        left = self.parse_unary()
+        while self.peek() is not None and (
+            self.peek() == ("op", "*")
+            or (self.peek()[0] == "name" and self.peek()[1] in ("div", "mod"))
+        ):
+            op = self.next()[1]
+            left = _BinOp(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.peek() is not None and self.peek() == ("op", "-"):
+            self.next()
+            return _Neg(self.parse_unary())
+        return self.parse_union()
 
     def parse_union(self):
         left = self.parse_primary()
@@ -204,6 +288,9 @@ class _Parser:
         if tok is None:
             raise ValueError("unexpected end of query")
         kind, text = tok
+        if kind == "var":
+            self.next()
+            return _Var(text[1:])
         if kind == "num":
             self.next()
             return _Num(float(text))
@@ -214,7 +301,7 @@ class _Parser:
             self.next()
             inner = self.parse_expr()
             self.expect(")")
-            return inner
+            return self._maybe_filter(inner)
         # function call: name '(' but not a node-test name (text/node/comment
         # followed by '(' inside a path position is handled by parse_path)
         if kind == "name" and self._is_function_ahead():
@@ -227,8 +314,36 @@ class _Parser:
                     self.next()
                     args.append(self.parse_expr())
             self.expect(")")
-            return _Call(name, args)
+            if name not in _KNOWN_FUNCS:
+                # compile-time error, matching Xalan ("Could not find
+                # function"): an unknown function must fail even when the
+                # predicate never evaluates (empty candidate set)
+                raise ValueError(f"could not find function: {name}")
+            return self._maybe_filter(_Call(name, args))
         return self.parse_path()
+
+    def _maybe_filter(self, base):
+        """Predicates / trailing path after a parenthesized expr or call."""
+        predicates = []
+        while self.at("["):
+            self.next()
+            predicates.append(self.parse_expr())
+            self.expect("]")
+        tail_steps: list[_Step] = []
+        while True:
+            if self.at("/"):
+                self.next()
+                tail_steps.append(self.parse_step())
+            elif self.at("//"):
+                self.next()
+                tail_steps.append(_Step("descendant-or-self", ("node",), []))
+                tail_steps.append(self.parse_step())
+            else:
+                break
+        if not predicates and not tail_steps:
+            return base
+        return _Filter(base, predicates,
+                       _Path(False, tail_steps) if tail_steps else None)
 
     _NODE_TESTS = {"text", "node", "comment"}
 
@@ -368,12 +483,43 @@ def _string_value(node: Node) -> str:
         stack = list(reversed(node.children))
         while stack:
             cur = stack.pop()
-            if isinstance(cur, TextNode):
+            if isinstance(cur, _TEXTUAL):
                 out.append(cur.value)
             elif isinstance(cur, Element):
                 stack.extend(reversed(cur.children))
         return "".join(out)
+    if isinstance(node, _TEXTUAL):
+        # XPath data model: adjacent text siblings are ONE logical node
+        # whose string-value is the concatenated run (the reference's
+        # Xalan DTM does this; node identity maps to the run's first
+        # member — see _is_run_start)
+        parent = node.parent
+        if parent is not None:
+            sibs = parent.children
+            idx = next((i for i, s in enumerate(sibs) if s is node), None)
+            if idx is not None:
+                out = [node.value]
+                j = idx + 1
+                while j < len(sibs) and isinstance(sibs[j], _TEXTUAL):
+                    out.append(sibs[j].value)
+                    j += 1
+                return "".join(out)
+        return node.value
     return getattr(node, "value", "")
+
+
+def _is_run_start(node: Node) -> bool:
+    """True unless the node is a text node glued to a preceding text
+    sibling — mid-run members are facets of the run's first node in the
+    XPath data model and never match node tests themselves."""
+    if not isinstance(node, _TEXTUAL):
+        return True
+    parent = node.parent
+    if parent is None:
+        return True
+    sibs = parent.children
+    idx = next((i for i, s in enumerate(sibs) if s is node), None)
+    return idx is None or idx == 0 or not isinstance(sibs[idx - 1], _TEXTUAL)
 
 
 def _to_num(v) -> float:
@@ -399,7 +545,9 @@ def _to_str(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and not math.isinf(v):
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v == int(v):
             return str(int(v))
         return repr(v)
     if isinstance(v, list):
@@ -422,11 +570,12 @@ def _to_bool(v) -> bool:
 class _AttrValue(Node):
     """Wrapper so attribute-axis results flow through nodeset machinery."""
 
-    __slots__ = ("value",)
+    __slots__ = ("value", "attr_name")
 
-    def __init__(self, value: str):
+    def __init__(self, value: str, attr_name: str = ""):
         self.parent = None
         self.value = value
+        self.attr_name = attr_name
 
 
 def _compare(op: str, left, right) -> bool:
@@ -478,16 +627,31 @@ class _Ctx:
         self.order = order
 
 
+def _children_vis(node: Node) -> list[Node]:
+    """Children as the reference's XPath data model sees them: at the
+    document level only the root element exists (doc-level comments and
+    doctypes are not part of the converted W3C tree — probed against the
+    harness: /node() returns only html)."""
+    kids = getattr(node, "children", ())
+    if isinstance(node, Document):
+        return [c for c in kids if isinstance(c, Element)]
+    return list(kids)
+
+
 def _axis_nodes(node: Node, axis: str):
     if axis == "child":
-        return list(getattr(node, "children", ()))
+        return _children_vis(node)
     if axis == "self":
         return [node]
     if axis == "parent":
-        return [node.parent] if node.parent is not None else []
+        # the root element has no parent in the converted data model
+        # (//p/ancestor::node() never yields the document; '..' at the
+        # root is empty — harness-probed)
+        p = node.parent
+        return [p] if p is not None and not isinstance(p, Document) else []
     if axis == "descendant" or axis == "descendant-or-self":
         out = [node] if axis == "descendant-or-self" else []
-        stack = list(reversed(getattr(node, "children", ())))
+        stack = list(reversed(_children_vis(node)))
         while stack:
             cur = stack.pop()
             out.append(cur)
@@ -498,13 +662,15 @@ def _axis_nodes(node: Node, axis: str):
     if axis == "ancestor" or axis == "ancestor-or-self":
         out = [node] if axis == "ancestor-or-self" else []
         cur = node.parent
-        while cur is not None:
+        while cur is not None and not isinstance(cur, Document):
             out.append(cur)
             cur = cur.parent
         return out  # reverse axis order: nearest first
     if axis == "following-sibling" or axis == "preceding-sibling":
         parent = node.parent
-        if parent is None:
+        # the root element has no siblings in the converted data model
+        # (doc-level comments/doctypes are invisible — harness-probed)
+        if parent is None or isinstance(parent, Document):
             return []
         sibs = parent.children
         idx = next((i for i, s in enumerate(sibs) if s is node), None)
@@ -513,15 +679,49 @@ def _axis_nodes(node: Node, axis: str):
         if axis == "following-sibling":
             return list(sibs[idx + 1 :])
         return list(reversed(sibs[:idx]))  # reverse axis order
+    if axis == "following" or axis == "preceding":
+        # following: everything after the node's subtree in document order
+        # (no descendants, no ancestors); preceding: everything before the
+        # node, minus ancestors — a reverse axis, emitted nearest-first
+        out: list[Node] = []
+        cur = node
+        while cur.parent is not None and not isinstance(cur.parent, Document):
+            sibs = cur.parent.children
+            idx = next((i for i, s in enumerate(sibs) if s is cur), None)
+            if idx is None:
+                break
+            if axis == "following":
+                for s in sibs[idx + 1 :]:
+                    out.extend(_subtree(s))
+            else:
+                for s in reversed(sibs[:idx]):
+                    out.extend(reversed(_subtree(s)))
+            cur = cur.parent
+        return out
     raise ValueError(f"unsupported axis {axis!r}")
+
+
+def _subtree(node: Node) -> list[Node]:
+    """Pre-order subtree including the node itself."""
+    out = [node]
+    stack = list(reversed(getattr(node, "children", ())))
+    while stack:
+        cur = stack.pop()
+        out.append(cur)
+        kids = getattr(cur, "children", None)
+        if kids:
+            stack.extend(reversed(kids))
+    return out
 
 
 def _node_test(node: Node, test: tuple, axis: str) -> bool:
     kind = test[0]
+    if isinstance(node, _TEXTUAL) and not _is_run_start(node):
+        return False
     if kind == "node":
         return True
     if kind == "text":
-        return isinstance(node, TextNode)
+        return isinstance(node, _TEXTUAL)
     if kind == "comment":
         return isinstance(node, CommentNode)
     if kind == "*":
@@ -539,14 +739,14 @@ def _eval_step(step: _Step, ctx: _Ctx) -> list[Node]:
         if not isinstance(el, Element):
             return []
         if step.test[0] == "*":
-            return [_AttrValue(v) for v in el.attrs.values()]
+            return [_AttrValue(v, k) for k, v in el.attrs.items()]
         key = step.test[1]
         # case-insensitive in HTML docs; our HTML parser lowercases keys
         if key in el.attrs:
-            return [_AttrValue(el.attrs[key])]
+            return [_AttrValue(el.attrs[key], key)]
         low = key.lower()
         if low != key and low in el.attrs:
-            return [_AttrValue(el.attrs[low])]
+            return [_AttrValue(el.attrs[low], low)]
         return []
     candidates = [
         n for n in _axis_nodes(ctx.node, step.axis) if _node_test(n, step.test, step.axis)
@@ -625,12 +825,91 @@ def _eval_call(call: _Call, ctx: _Ctx):
             node = ns[0] if isinstance(ns, list) and ns else None
         else:
             node = ctx.node
+        if isinstance(node, _AttrValue):
+            return node.attr_name
         if not isinstance(node, Element) or isinstance(node, Document):
             return ""
         if name == "local-name":
             return node.name.rsplit(":", 1)[-1]
         return node.name
+    if name == "substring":
+        # XPath 1.0: 1-based positions, round() per spec, NaN-safe
+        s = _to_str(args[0])
+        start = _xp_round(_to_num(args[1]))
+        end = (start + _xp_round(_to_num(args[2]))
+               if len(args) >= 3 else math.inf)
+        return "".join(
+            ch for i, ch in enumerate(s, 1) if i >= start and i < end)
+    if name == "substring-before":
+        s, sub = _to_str(args[0]), _to_str(args[1])
+        i = s.find(sub)
+        return s[:i] if i >= 0 else ""
+    if name == "substring-after":
+        s, sub = _to_str(args[0]), _to_str(args[1])
+        i = s.find(sub)
+        return s[i + len(sub):] if i >= 0 else ""
+    if name == "translate":
+        s, frm, to = _to_str(args[0]), _to_str(args[1]), _to_str(args[2])
+        table: dict[str, str | None] = {}
+        for i, ch in enumerate(frm):  # first occurrence wins
+            if ch not in table:
+                table[ch] = to[i] if i < len(to) else None
+        return "".join(
+            table.get(ch, ch) for ch in s if table.get(ch, ch) is not None)
+    if name == "floor":
+        v = _to_num(args[0])
+        return v if math.isnan(v) or math.isinf(v) else float(math.floor(v))
+    if name == "ceiling":
+        v = _to_num(args[0])
+        return v if math.isnan(v) or math.isinf(v) else float(math.ceil(v))
+    if name == "round":
+        return _xp_round(_to_num(args[0]))
+    if name == "sum":
+        if not isinstance(args[0], list):
+            raise ValueError("sum() requires a node-set")
+        return float(sum(_to_num(_string_value(n)) for n in args[0]))
+    if name == "id":
+        # no DTD: no attributes are typed as ID, so id() is always empty
+        # (Xalan over the reference's W3C conversion behaves the same)
+        return []
     raise ValueError(f"unsupported function {name}()")
+
+
+_KNOWN_FUNCS = frozenset({
+    "last", "position", "count", "contains", "starts-with", "not", "true",
+    "false", "normalize-space", "string", "concat", "string-length",
+    "number", "boolean", "name", "local-name", "substring",
+    "substring-before", "substring-after", "translate", "floor", "ceiling",
+    "round", "sum", "id",
+})
+
+
+def _xp_round(x: float) -> float:
+    """XPath round(): half toward +Infinity; NaN/Inf pass through."""
+    if math.isnan(x) or math.isinf(x):
+        return x
+    return float(math.floor(x + 0.5))
+
+
+def _arith(op: str, a: float, b: float) -> float:
+    if math.isnan(a) or math.isnan(b):
+        return math.nan
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "div":
+        if b == 0:
+            return math.nan if a == 0 else math.copysign(math.inf, a) * math.copysign(1, b)
+        return a / b
+    # mod: IEEE remainder with the dividend's sign (Java %)
+    if b == 0 or math.isinf(a):
+        return math.nan
+    if math.isinf(b):
+        return a
+    return math.fmod(a, b)
 
 
 def _eval_expr(expr, ctx: _Ctx):
@@ -655,13 +934,53 @@ def _eval_expr(expr, ctx: _Ctx):
         return out
     if isinstance(expr, _Call):
         return _eval_call(expr, ctx)
+    if isinstance(expr, _Var):
+        raise ValueError(f"cannot resolve variable ${expr.name}")
+    if isinstance(expr, _Neg):
+        return -_to_num(_eval_expr(expr.operand, ctx))
+    if isinstance(expr, _Filter):
+        return _eval_filter(expr, ctx)
     if isinstance(expr, _BinOp):
         if expr.op == "or":
             return _to_bool(_eval_expr(expr.left, ctx)) or _to_bool(_eval_expr(expr.right, ctx))
         if expr.op == "and":
             return _to_bool(_eval_expr(expr.left, ctx)) and _to_bool(_eval_expr(expr.right, ctx))
+        if expr.op in ("+", "-", "*", "div", "mod"):
+            return _arith(expr.op,
+                          _to_num(_eval_expr(expr.left, ctx)),
+                          _to_num(_eval_expr(expr.right, ctx)))
         return _compare(expr.op, _eval_expr(expr.left, ctx), _eval_expr(expr.right, ctx))
     raise ValueError(f"unsupported expression {expr!r}")
+
+
+def _eval_filter(f: _Filter, ctx: _Ctx) -> list[Node]:
+    v = _eval_expr(f.base, ctx)
+    if not isinstance(v, list):
+        raise ValueError("predicate/path applied to a non-node-set")
+    nodes = [n for n in v if not isinstance(n, _AttrValue)]
+    nodes.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
+    for pred in f.predicates:
+        size = len(nodes)
+        kept = []
+        for pos, node in enumerate(nodes, start=1):
+            pv = _eval_expr(pred, _Ctx(node, pos, size, ctx.doc, ctx.order))
+            if isinstance(pv, float):
+                if pos == pv:
+                    kept.append(node)
+            elif _to_bool(pv):
+                kept.append(node)
+        nodes = kept
+    if f.tail is not None:
+        seen: set[int] = set()
+        out: list[Node] = []
+        for node in nodes:
+            for res in _eval_path(f.tail, _Ctx(node, 1, 1, ctx.doc, ctx.order)):
+                if id(res) not in seen:
+                    seen.add(id(res))
+                    out.append(res)
+        out.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
+        return out
+    return nodes
 
 
 # ---------------------------------------------------------------------------
@@ -697,6 +1016,13 @@ def _run(context: Node, query_or_compiled) -> list[Node]:
         else compile_xpath(query_or_compiled)
     )
     doc = context.owner_document() or context
+    if isinstance(context, Document):
+        # the reference's context node for a Document is its root element
+        # (W3CDom.contextNode; harness-probed: '.' on a Document → html)
+        root = next((c for c in context.children if isinstance(c, Element)),
+                    None)
+        if root is not None:
+            context = root
     order = _doc_order(doc)
     ctx = _Ctx(context, 1, 1, doc, order)
     try:
@@ -730,6 +1056,11 @@ def select_xpath_nodes(context: Node, query) -> list[Node]:
     """Evaluate an XPath query, returning all matched nodes (Element,
     TextNode, CommentNode, ...) in document order.
 
-    Mirrors Element.selectXpath(String, Class<T>) (Element.java:795-801).
+    Mirrors Element.selectXpath(String, Class<T>) (Element.java:795-801):
+    the document node itself is never a result (the reference's source-map
+    back-conversion yields no jsoup node for it).
     """
-    return [n for n in _run(context, query) if not isinstance(n, _AttrValue)]
+    return [
+        n for n in _run(context, query)
+        if not isinstance(n, (_AttrValue, Document))
+    ]
