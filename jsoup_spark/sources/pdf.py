@@ -1505,27 +1505,69 @@ def _interpret(doc: PDFDocument, content: bytes, res: dict,
         stack.clear()
 
 
-def _assemble_runs(runs: list[tuple]) -> str:
-    """Geometric reading order: detect columns by x-interval
-    clustering (gap > COLUMN_GAP_PT splits), then within each column
-    group runs into lines by y proximity and merge left-to-right with
-    gap-based space insertion. Content-stream paint ORDER no longer
-    matters — row-major-painted multi-column pages read column-major,
-    the published layout-analysis approach (pdfminer/poppler family).
-
-    Documented limit: a full-width run (spanning headline) bridges
-    the column gap and collapses the page to one column — per-band
-    segmentation is the next refinement."""
-    if not runs:
-        return ""
-    # --- column detection: cluster x-intervals, gaps split columns
-    ivs = sorted((r[0], r[1]) for r in runs)
+def _x_components(intervals) -> list[list[float]]:
+    """Cluster x-intervals into column components (gap > COLUMN_GAP_PT
+    splits)."""
     comps: list[list[float]] = []
-    for lo, hi in ivs:
+    for lo, hi in sorted(intervals):
         if comps and lo <= comps[-1][1] + COLUMN_GAP_PT:
             comps[-1][1] = max(comps[-1][1], hi)
         else:
             comps.append([lo, hi])
+    return comps
+
+
+def _assemble_runs(runs: list[tuple]) -> str:
+    """Geometric reading order with per-band column segmentation:
+    group runs into page-wide lines (y proximity), then walk lines
+    top-down accumulating horizontal BANDS — a band closes when the next
+    line's own column components would BRIDGE the band's gutters (or the
+    band's components would bridge the line's), i.e. the local column
+    structure changed. Each band then reads column-major through
+    _assemble_band. This is a simplified recursive-XY-cut, the published
+    layout-analysis approach (pdfminer/poppler family), and resolves the
+    r7-documented limit where a full-width spanning headline collapsed a
+    two-column page to one column: the headline becomes its own band and
+    the body keeps its gutter."""
+    if not runs:
+        return ""
+    rs = sorted(runs, key=lambda r: (-r[2], r[0], r[4]))
+    lines: list[list[tuple]] = []
+    cur_y = None
+    for r in rs:
+        size = r[3] or 1.0
+        if cur_y is None or abs(r[2] - cur_y) > LINE_JUMP_FRAC * size:
+            lines.append([r])
+            cur_y = r[2]
+        else:
+            lines[-1].append(r)
+
+    bands: list[list[tuple]] = []
+    band: list[tuple] = []
+    band_comps: list[list[float]] = []
+    for line in lines:
+        line_comps = _x_components((r[0], r[1]) for r in line)
+        merged = _x_components(
+            [tuple(c) for c in band_comps] + [tuple(c) for c in line_comps])
+        if band and len(merged) < max(len(band_comps), len(line_comps)):
+            bands.append(band)
+            band = list(line)
+            band_comps = line_comps
+        else:
+            band.extend(line)
+            band_comps = merged
+    if band:
+        bands.append(band)
+    return "\n".join(_assemble_band(b) for b in bands)
+
+
+def _assemble_band(runs: list[tuple]) -> str:
+    """Column-major assembly of one band: detect columns by x-interval
+    clustering, then within each column group runs into lines by y
+    proximity and merge left-to-right with gap-based space insertion.
+    Content-stream paint ORDER does not matter — row-major-painted
+    multi-column bands read column-major."""
+    comps = _x_components((r[0], r[1]) for r in runs)
     if len(comps) > 1:
         cols: list[list[tuple]] = [[] for _ in comps]
         for r in runs:
@@ -1773,7 +1815,7 @@ class _Writer:
 def _content_ops(lines: list[str], *, kerning: bool,
                  strings: str, font: str,
                  charmap: dict[str, int] | None,
-                 columns: int = 1) -> bytes:
+                 columns: int = 1, headline: str | None = None) -> bytes:
     """Build the page content stream text block."""
     def enc_string(s: str) -> bytes:
         if font == "cid":
@@ -1816,6 +1858,9 @@ def _content_ops(lines: list[str], *, kerning: bool,
             if r < len(col1):
                 out.write(b"1 0 0 1 %d %d Tm\n" % (x1, y))
                 out.write(show_ops(col1[r]))
+        if headline is not None:
+            out.write(b"1 0 0 1 72 744 Tm\n")
+            out.write(show_ops(headline))
     out.write(b"ET\n")
     return out.getvalue()
 
@@ -1841,7 +1886,7 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
               incremental: bool = False, columns: int = 1,
               encrypt: str | None = None, form: bool = False,
               links: int = 0, images: tuple = (),
-              image_seed: int = 0) -> bytes:
+              image_seed: int = 0, headline: str | None = None) -> bytes:
     """Zero-fixture PDF test encoder. Each paragraph becomes one text
     line; pages hold `paras_per_page` lines. Knobs cover the decoder
     matrix — see module docstring. Text must be cp1252-encodable for
@@ -1854,7 +1899,7 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
              for i in range(0, len(paragraphs), paras_per_page)]
     charmap = None
     if font == "cid":
-        alphabet = sorted(set("".join(paragraphs)))
+        alphabet = sorted(set("".join(paragraphs) + (headline or "")))
         charmap = {ch: i + 1 for i, ch in enumerate(alphabet)}
 
     n_pages = len(pages)
@@ -2018,7 +2063,8 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
 
     for i, cnum in enumerate(content_nums):
         ops = _content_ops(pages[i], kerning=kerning, strings=strings,
-                           font=font, charmap=charmap, columns=columns)
+                           font=font, charmap=charmap, columns=columns,
+                           headline=headline)
         if form:
             # text lives in a Form XObject; the page stream just
             # invokes it (with a /Matrix translate to exercise CTM

@@ -311,6 +311,34 @@ def test_single_column_unchanged_by_geometric_assembly():
     assert extract_pdf(b)["text"] == "\n".join(PARAS)
 
 
+def test_spanning_headline_over_two_columns_reads_per_band():
+    """A full-width headline whose x-interval bridges the inter-column
+    gutter must NOT collapse the page to one column (the r7-documented
+    limit): per-band segmentation puts the headline in its own band and
+    the body keeps reading column-major. The headline is painted LAST in
+    the content stream — paint order must not matter."""
+    paras = [f"column line {i} text body" for i in range(8)]
+    head = "THE SPANNING HEADLINE RUNS ACROSS BOTH COLUMNS OF THE PAGE"
+    for kerning in (False, True):
+        for font in ("winansi", "cid"):
+            b = build_pdf(paras, columns=2, paras_per_page=8,
+                          headline=head, kerning=kerning, font=font)
+            r = extract_pdf(b)
+            assert r["text"] == head + "\n" + "\n".join(paras), (
+                kerning, font)
+
+
+def test_headline_band_with_paging():
+    paras = [f"p{i} words here now" for i in range(11)]
+    head = "A BANNER WIDE ENOUGH TO BRIDGE THE GUTTER ON EVERY PAGE YES"
+    b = build_pdf(paras, columns=2, paras_per_page=4, headline=head)
+    r = extract_pdf(b)
+    assert r["n_pages"] == 3
+    pages = [paras[i:i + 4] for i in range(0, 11, 4)]
+    assert r["text"] == "\n".join(
+        head + "\n" + "\n".join(pg) for pg in pages)
+
+
 # ----------------------------------------------------------- encryption
 
 @pytest.mark.parametrize("enc,xref_kind,objstm,font", [
