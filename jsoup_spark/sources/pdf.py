@@ -1182,10 +1182,20 @@ class _SimpleFont:
         self.widths = {first + i: float(doc.deref(w))
                        for i, w in enumerate(widths)}
         fd = doc.deref(d.get("FontDescriptor")) or {}
-        self.default_width = float(doc.deref(fd.get("MissingWidth", 500)))
+        # Type3 widths live in GLYPH space and transform through
+        # /FontMatrix into text space (ISO 32000-1 9.6.5); simple fonts
+        # use the fixed 1/1000 scale. Only the x-scale coefficient
+        # matters for advances (shear-free matrices in practice).
+        if str(doc.deref(d.get("Subtype"))) == "Type3":
+            fm = doc.deref(d.get("FontMatrix")) or [0.001, 0, 0, 0.001, 0, 0]
+            self.width_scale = float(doc.deref(fm[0]))
+            self.default_width = float(doc.deref(fd.get("MissingWidth", 0)))
+        else:
+            self.width_scale = 0.001
+            self.default_width = float(doc.deref(fd.get("MissingWidth", 500)))
 
     def decode(self, raw: bytes):
-        """-> [(code, char, width/1000)]"""
+        """-> [(code, char, width_in_text_space)]"""
         out = []
         for c in raw:
             if self.tounicode and c in self.tounicode:
@@ -1193,7 +1203,8 @@ class _SimpleFont:
             else:
                 ch = self.table.get(c, "�")
             out.append((c, ch,
-                        self.widths.get(c, self.default_width) / 1000.0))
+                        self.widths.get(c, self.default_width)
+                        * self.width_scale))
         return out
 
 
@@ -1820,6 +1831,8 @@ def _content_ops(lines: list[str], *, kerning: bool,
     def enc_string(s: str) -> bytes:
         if font == "cid":
             raw = b"".join(struct.pack(">H", charmap[ch]) for ch in s)
+        elif font == "type3":
+            raw = bytes(charmap[ch] for ch in s)
         else:
             raw = s.encode("cp1252")
         if strings == "hex":
@@ -1898,15 +1911,18 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
     pages = [paragraphs[i:i + paras_per_page]
              for i in range(0, len(paragraphs), paras_per_page)]
     charmap = None
-    if font == "cid":
+    if font in ("cid", "type3"):
         alphabet = sorted(set("".join(paragraphs) + (headline or "")))
         charmap = {ch: i + 1 for i, ch in enumerate(alphabet)}
+        if font == "type3" and len(charmap) > 255:
+            raise ValueError("type3 test font is single-byte")
 
     n_pages = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, (4 tounicode,
     # 5 descendant), then per page: content + page obj; finally info
     FONT, TOUNI, DESC = 3, 4, 5
-    next_num = 6 if font == "cid" else 4
+    CHARPROC = 4  # type3 reuses the TOUNI slot for its glyph proc
+    next_num = 6 if font == "cid" else (5 if font == "type3" else 4)
     content_nums, page_nums = [], []
     for _ in pages:
         content_nums.append(next_num)
@@ -1993,6 +2009,26 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
                     b"/W [1 [%s]] >>"
                     % (str_token(b"Adobe", DESC),
                        str_token(b"Identity", DESC), wlist))
+    elif font == "type3":
+        # glyph space: width 50 units under FontMatrix 0.01 -> 0.5 em,
+        # the same advance as the 500/1000 simple-font glyphs, so the
+        # geometric assembly math (gutters, space gaps) is exercised
+        # through the /FontMatrix width scaling (ISO 32000-1 9.6.5)
+        ncodes = len(charmap)
+        diffs = b" ".join(b"/uni%04X" % ord(ch)
+                          for ch, _ in sorted(charmap.items(),
+                                              key=lambda kv: kv[1]))
+        procs = b" ".join(b"/uni%04X %d 0 R" % (ord(ch), CHARPROC)
+                          for ch in charmap)
+        widths = b" ".join(b"50" for _ in range(ncodes))
+        font_obj = (b"<< /Type /Font /Subtype /Type3 "
+                    b"/FontBBox [0 0 50 70] "
+                    b"/FontMatrix [0.01 0 0 0.01 0 0] "
+                    b"/CharProcs << %s >> "
+                    b"/Encoding << /Type /Encoding /Differences [1 %s] >> "
+                    b"/FirstChar 1 /LastChar %d /Widths [%s] >>"
+                    % (procs, diffs, ncodes, widths))
+        desc_obj = None
     else:
         widths = b" ".join(b"500" for _ in range(224))
         font_obj = (b"<< /Type /Font /Subtype /Type1 "
@@ -2133,6 +2169,10 @@ def build_pdf(paragraphs: list[str], *, title: str = "",
     if font == "cid":
         w.add_stream(TOUNI, b"", _tounicode_cmap(charmap), filters,
                      encrypt_fn=sec)
+    elif font == "type3":
+        # one shared minimal glyph proc (d0 sets the glyph advance in
+        # glyph space; our extractor reads /Widths, real renderers draw)
+        w.add_stream(CHARPROC, b"", b"50 0 d0\n", filters, encrypt_fn=sec)
 
     size = next_num
     trailer_extra = b"/Info %d 0 R" % info_num

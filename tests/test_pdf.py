@@ -418,3 +418,28 @@ def test_embedded_images_all_kinds():
             (s + 11) % 256, (s * 7 + 3) % 256, (s * 13 + 5) % 256)
         assert g4["v0"] == 64 + (6 if s % 3 == 0 else 5)
         assert (jp["width"], jp["height"], jp["channels"]) == (32, 24, 3)
+
+
+# ------------------------------------------------------------ Type3 fonts
+
+def test_type3_font_matrix_width_scaling():
+    """Type3 widths live in glyph space and scale through /FontMatrix
+    (ISO 32000-1 9.6.5) — NOT the simple-font /1000. The synthetic font
+    uses FontMatrix 0.01 with width-50 glyphs (0.5 em), so a wrong scale
+    breaks gap-based space insertion and column detection."""
+    paras = ["hello world type three", "second line here"]
+    for kerning in (False, True):
+        b = build_pdf(paras, font="type3", kerning=kerning)
+        assert extract_pdf(b)["text"] == "\n".join(paras), kerning
+
+
+def test_type3_two_column_geometry():
+    # column-major re-read relies on correct x-advances from the
+    # FontMatrix width scale
+    paras = [f"column line {i} text body" for i in range(8)]
+    b = build_pdf(paras, columns=2, paras_per_page=8, font="type3")
+    assert extract_pdf(b)["text"] == "\n".join(paras)
+    head = "THE SPANNING HEADLINE RUNS ACROSS BOTH COLUMNS OF THE PAGE"
+    b = build_pdf(paras, columns=2, paras_per_page=8, font="type3",
+                  headline=head)
+    assert extract_pdf(b)["text"] == head + "\n" + "\n".join(paras)
