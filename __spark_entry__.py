@@ -186,6 +186,24 @@ def q_select_xpath(spark, sf_dir):
     )
 
 
+def q_select_xpath_adv(spark, sf_dir):
+    """Round-8 XPath surface (select/xpath.py, differentially fuzzed vs
+    the reference's selectXpath via tools/fuzz_xpath.py): filter
+    expression with trailing path, following-sibling axis, and an
+    arithmetic positional predicate. On the synthetic corpus the ul
+    holds [source, lang] items, so the first li's next sibling at
+    position()*2=2 is the lang item."""
+    sel = select_stage(
+        _corpus(spark, sf_dir),
+        "(//div[@id='main']/ul/li)[1]"
+        "/following-sibling::li[position() * 2 = 2]",
+        language="xpath")
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("own_text").alias("sib_li"),
+    )
+
+
 def q_positions_title(spark, sf_dir):
     """Source-range tracking (Parser.setTrackPosition, nodes/Range.java):
     the <title> element's open- and close-tag offsets are a closed-form
@@ -1474,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_nth_li": q_select_nth_li,
         "select_has": q_select_has,
         "select_xpath": q_select_xpath,
+        "select_xpath_adv": q_select_xpath_adv,
         "positions_title": q_positions_title,
         "clean_basic": q_clean_basic,
         "token_count": q_token_count,
@@ -1600,6 +1619,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'main' AS el_id FROM documents"),
         "select_xpath": (
             "SELECT doc_id, lang AS last_li FROM documents"),
+        "select_xpath_adv": (
+            "SELECT doc_id, lang AS sib_li FROM documents"),
         # '<html><head>'=12, '<title>' ends at 19. The end range starts at
         # 12, not at '</title>': RCDATA end tags keep the OPEN tag's markup
         # start (reference quirk — markupStartPos only updates on TagOpen
