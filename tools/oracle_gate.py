@@ -77,13 +77,18 @@ def fresh_fuzz() -> int:
     they are printed for NOTES_rN. Returns the number of failing runs."""
     here = os.path.dirname(os.path.abspath(__file__))
     base = int(time.time()) % 1_000_000
-    runs = [("mega_fuzz.py", str(base + i * 7919), "2500") for i in range(3)]
-    runs.append(("fuzz_positions.py", str(base + 31337), "2000"))
+    runs = [("mega_fuzz.py", [str(base + i * 7919), "2500"])
+            for i in range(3)]
+    runs.append(("fuzz_positions.py", [str(base + 31337), "2000"]))
+    # XPath evaluator vs javax.xml.xpath (round-8 surface): 40 docs x 40
+    # queries + the error-parity block
+    runs.append(("fuzz_xpath.py", [str(base + 104729), "40", "40"]))
     fails = 0
-    for script, seed, n in runs:
-        print(f"\n== fresh fuzz: {script} seed={seed} n={n}")
+    for script, args in runs:
+        seed = args[0]
+        print(f"\n== fresh fuzz: {script} seed={seed} args={args}")
         r = subprocess.run([sys.executable, os.path.join(here, script),
-                            seed, n], capture_output=True, text=True)
+                            *args], capture_output=True, text=True)
         tail = r.stdout.strip().split("\n")[-1] if r.stdout.strip() else ""
         print(r.stdout[:4000])
         # tail shape: "seed=X: A/B match" where A==B iff zero mismatches
