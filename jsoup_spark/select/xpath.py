@@ -644,11 +644,12 @@ def _axis_nodes(node: Node, axis: str):
     if axis == "self":
         return [node]
     if axis == "parent":
-        # the root element has no parent in the converted data model
-        # (//p/ancestor::node() never yields the document; '..' at the
-        # root is empty — harness-probed)
-        p = node.parent
-        return [p] if p is not None and not isinstance(p, Document) else []
+        # the document node EXISTS in the data model (it occupies an
+        # ancestor position — //ancestor::node()[position()*2<=last()]
+        # counts it, harness-probed) but is never RETURNED: the
+        # reference's source-map back-conversion has no jsoup node for
+        # it, and select_xpath/_nodes filter Document from results.
+        return [node.parent] if node.parent is not None else []
     if axis == "descendant" or axis == "descendant-or-self":
         out = [node] if axis == "descendant-or-self" else []
         stack = list(reversed(_children_vis(node)))
@@ -660,9 +661,11 @@ def _axis_nodes(node: Node, axis: str):
                 stack.extend(reversed(kids))
         return out
     if axis == "ancestor" or axis == "ancestor-or-self":
+        # the document node participates (position/size in predicates
+        # see it); it is filtered from final results at the API boundary
         out = [node] if axis == "ancestor-or-self" else []
         cur = node.parent
-        while cur is not None and not isinstance(cur, Document):
+        while cur is not None:
             out.append(cur)
             cur = cur.parent
         return out  # reverse axis order: nearest first

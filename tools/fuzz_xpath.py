@@ -142,24 +142,17 @@ def rand_rel_path(rng: random.Random, nsteps: int) -> str:
 
 # Xalan mis-rewrite (documented divergence, see test_xpath.py): an
 # explicit descendant/descendant-or-self axis with a node() test AND a
-# predicate, followed by another descendant-family step, drops the
-# predicate in the reference (Xalan fuses the two walks). Our evaluator
-# follows the XPath 1.0 spec; the generator skips the bug shape.
+# predicate, followed by any descendant-family continuation (explicit
+# descendant:: step OR the // abbreviation with any node test), drops
+# the predicate in the reference (Xalan fuses the two walks). Our
+# evaluator follows the XPath 1.0 spec; the generator skips the shape.
 _XALAN_BUG = re.compile(
-    r"descendant(?:-or-self)?::node\(\)\[.*/\s*descendant")
-
-# Second Xalan quirk (also pinned in test_xpath.py): a filter expression
-# wrapping a path that uses ancestor/ancestor-or-self/parent with a
-# node() test returns an EMPTY set in the reference — e.g.
-# (//ancestor::node())[1] is empty while (//ancestor::div)[1] works.
-_XALAN_BUG2 = re.compile(
-    r"\([^()]*(?:ancestor(?:-or-self)?|parent)::node\(\)")
-
+    r"descendant(?:-or-self)?::node\(\)\[.*(?://|/\s*descendant)")
 
 def rand_query(rng: random.Random) -> str:
     while True:
         q = _rand_query_once(rng)
-        if not _XALAN_BUG.search(q) and not _XALAN_BUG2.search(q):
+        if not _XALAN_BUG.search(q):
             return q
 
 
