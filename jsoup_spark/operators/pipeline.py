@@ -110,15 +110,21 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
         ),
         "",
     )
+    # column-pruning audit (r8): base_uri is a corpus-level constant and
+    # html_len is only the bucketing key — neither belongs in the Arrow
+    # transfer. base_uri rides the closure; html_len exists only on the
+    # bucketed plan and is dropped again before the exchange output is
+    # serialized to Python.
+    base_uri = BASE_URI
     prepared = docs.select(
         "doc_id",
         html.alias("html"),
-        F.length(html).alias("html_len"),
-        F.lit(BASE_URI).alias("base_uri"),
         media_in.alias("_media_in"),
     )
     if bucket:
-        prepared = bucket_by_size(prepared)
+        prepared = bucket_by_size(
+            prepared.withColumn("html_len", F.length("html"))
+        ).drop("html_len")
 
     import pyarrow as pa
 
@@ -141,7 +147,6 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
             idx = {n: i for i, n in enumerate(batch.schema.names)}
             doc_ids = batch.column(idx["doc_id"])
             htmls = batch.column(idx["html"]).to_pylist()
-            base_uris = batch.column(idx["base_uri"]).to_pylist()
             # flat columnar read of the (already offset-sorted) media spans:
             # to_pylist on the nested list<struct> built one dict per span,
             # which dominated batch overhead on media-bearing corpora
@@ -158,7 +163,7 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
             orders: list = []
             offsets = [0]
             out_n, out_err, out_bytes = [], [], []
-            for di, (html, base_uri) in enumerate(zip(htmls, base_uris)):
+            for di, html in enumerate(htmls):
                 if stream_threshold >= 0 and len(html) > stream_threshold:
                     errs: list = []
                     tuples = stream_spans(html, base_uri, errors_out=errs)
@@ -235,9 +240,13 @@ def select_stage(docs: DataFrame, query: str, *, bucket: bool = False,
     else:
         raise ValueError(f"unknown query language {language!r}")
     compiler(query)  # fail fast on driver for bad queries
+    base_uri = BASE_URI
     prepared = assemble_html(docs)
     if bucket:
         prepared = bucket_by_size(prepared)
+    # prune the Arrow transfer to what the workers read: base_uri is a
+    # corpus constant (closure) and html_len only keys the bucket shuffle
+    prepared = prepared.select("doc_id", "html")
 
     import pyarrow as pa
 
@@ -261,7 +270,6 @@ def select_stage(docs: DataFrame, query: str, *, bucket: bool = False,
             idx = {n: i for i, n in enumerate(batch.schema.names)}
             doc_ids = batch.column(idx["doc_id"]).to_pylist()
             htmls = batch.column(idx["html"]).to_pylist()
-            base_uris = batch.column(idx["base_uri"]).to_pylist()
             out_doc: list = []
             out_idx: list = []
             out_tag: list = []
@@ -272,7 +280,7 @@ def select_stage(docs: DataFrame, query: str, *, bucket: bool = False,
             akeys: list = []
             avals: list = []
             aoffs = [0]
-            for doc_id, html, base_uri in zip(doc_ids, htmls, base_uris):
+            for doc_id, html in zip(doc_ids, htmls):
                 doc = _parse_doc(html, base_uri)
                 matches = evaluate(doc, ev)
                 if first_only:
@@ -312,7 +320,8 @@ def positions_stage(docs: DataFrame, query: str) -> DataFrame:
     (src_start, src_end) of the open tag and (end_start, end_end) of the
     close tag (implicit ranges are zero-width, Range.isImplicit)."""
     compile_query(query)
-    prepared = assemble_html(docs)
+    base_uri = BASE_URI
+    prepared = assemble_html(docs).select("doc_id", "html")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..parser.treebuilder import HtmlTreeBuilder
@@ -321,8 +330,7 @@ def positions_stage(docs: DataFrame, query: str) -> DataFrame:
             rows = {k: [] for k in ("doc_id", "match_idx", "tag",
                                     "src_start", "src_end",
                                     "end_start", "end_end")}
-            for doc_id, html, base_uri in zip(
-                    pdf["doc_id"], pdf["html"], pdf["base_uri"]):
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
                 doc = HtmlTreeBuilder().parse(html, base_uri,
                                               track_positions=True)
                 for i, el in enumerate(select(doc, ev)):
@@ -417,7 +425,8 @@ def clean_stage(docs: DataFrame, safelist_name: str = "basic",
     """Safelist-clean each document; emits cleaned html + text + counters."""
     if safelist_name not in safelist_mod.PRESETS:
         raise ValueError(f"unknown safelist {safelist_name!r}")
-    prepared = assemble_html(docs)
+    base_uri = BASE_URI
+    prepared = assemble_html(docs).select("doc_id", "html")
 
     import pyarrow as pa
 
@@ -438,11 +447,10 @@ def clean_stage(docs: DataFrame, safelist_name: str = "basic",
             idx = {n: i for i, n in enumerate(batch.schema.names)}
             doc_ids = batch.column(idx["doc_id"])
             htmls = batch.column(idx["html"]).to_pylist()
-            base_uris = batch.column(idx["base_uri"]).to_pylist()
             out_html: list = []
             out_text: list = []
             discarded: list = []
-            for html, base_uri in zip(htmls, base_uris):
+            for html in htmls:
                 doc = _parse_doc(html, base_uri)
                 result = clean_document(doc, sl)
                 body = result.doc.body
