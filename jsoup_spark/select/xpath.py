@@ -22,14 +22,22 @@ reference's test suite exercises (select/XpathTest.java):
 * functions: contains / starts-with / not / true / false / name /
   local-name / normalize-space / string / concat / string-length /
   number / boolean / count / sum / substring / substring-before /
-  substring-after / translate / floor / ceiling / round
+  substring-after / translate / floor / ceiling / round / id / lang
+  (id() always empty — no DTD; lang() always false — the reference's
+  non-namespace-aware conversion hides xml:lang from Xalan; arity is
+  validated at compile time like Xalan's FunctionTable)
+* variables: $name references resolve through an optional bindings dict
+  (select_xpath(..., variables=...)) — BEYOND the reference surface,
+  whose delegation has no resolver; unbound references keep the
+  reference's lazy evaluation-time failure
 * results in document order, deduplicated
 
 Differentially fuzzed against the compiled reference's selectXpath
 (javax.xml.xpath over W3CDom) via tools/fuzz_xpath.py (harness op
-"xpath"); the pinned boundary vs full XPath 1.0: no variables ($x),
-no id()/lang(), no namespace-prefixed name tests (the reference's
-HTML conversion is not namespace aware either).
+"xpath"); the pinned boundary vs full XPath 1.0: no namespace-prefixed
+name tests (the reference's HTML conversion is not namespace aware
+either), no namespace axis, no processing-instruction() test (HTML
+parsing never produces PIs — bogus-comment state).
 
 Raises SelectorParseError with the reference's message shape
 ("Could not evaluate XPath query [q]: ...", XpathTest.java:66-80).
@@ -319,6 +327,13 @@ class _Parser:
                 # function"): an unknown function must fail even when the
                 # predicate never evaluates (empty candidate set)
                 raise ValueError(f"could not find function: {name}")
+            lo, hi = _ARITY[name]
+            if not (lo <= len(args) <= hi):
+                # arity is ALSO compile-time in Xalan (harness-probed:
+                # //p[floor()] on a p-less doc still errors) — the WRONG
+                # NUMBER OF ARGUMENTS path of FunctionTable resolution
+                raise ValueError(
+                    f"wrong number of arguments to {name}(): {len(args)}")
             return self._maybe_filter(_Call(name, args))
         return self.parse_path()
 
@@ -617,14 +632,15 @@ def _compare(op: str, left, right) -> bool:
 
 
 class _Ctx:
-    __slots__ = ("node", "position", "size", "doc", "order")
+    __slots__ = ("node", "position", "size", "doc", "order", "vars")
 
-    def __init__(self, node, position, size, doc, order):
+    def __init__(self, node, position, size, doc, order, vars=None):
         self.node = node
         self.position = position
         self.size = size
         self.doc = doc
         self.order = order
+        self.vars = vars
 
 
 def _children_vis(node: Node) -> list[Node]:
@@ -758,7 +774,7 @@ def _eval_step(step: _Step, ctx: _Ctx) -> list[Node]:
         size = len(candidates)
         kept = []
         for pos, node in enumerate(candidates, start=1):
-            v = _eval_expr(pred, _Ctx(node, pos, size, ctx.doc, ctx.order))
+            v = _eval_expr(pred, _Ctx(node, pos, size, ctx.doc, ctx.order, ctx.vars))
             if isinstance(v, float):
                 if pos == v:
                     kept.append(node)
@@ -778,7 +794,7 @@ def _eval_path(path: _Path, ctx: _Ctx) -> list[Node]:
         seen: set[int] = set()
         nxt: list[Node] = []
         for node in current:
-            for res in _eval_step(step, _Ctx(node, 1, 1, ctx.doc, ctx.order)):
+            for res in _eval_step(step, _Ctx(node, 1, 1, ctx.doc, ctx.order, ctx.vars)):
                 if id(res) not in seen:
                     seen.add(id(res))
                     nxt.append(res)
@@ -875,16 +891,33 @@ def _eval_call(call: _Call, ctx: _Ctx):
         # no DTD: no attributes are typed as ID, so id() is always empty
         # (Xalan over the reference's W3C conversion behaves the same)
         return []
+    if name == "lang":
+        # always FALSE against the reference: W3CDom's non-namespace-aware
+        # conversion leaves "xml:lang" as a plain attribute name, so
+        # Xalan's FuncLang lookup in the XML namespace never finds a
+        # language (harness-probed: <div xml:lang=en> + //p[lang('en')]
+        # → empty, //p[not(lang('en'))] → the p). The argument is still
+        # coerced for side-effect-free type parity.
+        _to_str(args[0])
+        return False
     raise ValueError(f"unsupported function {name}()")
 
 
-_KNOWN_FUNCS = frozenset({
-    "last", "position", "count", "contains", "starts-with", "not", "true",
-    "false", "normalize-space", "string", "concat", "string-length",
-    "number", "boolean", "name", "local-name", "substring",
-    "substring-before", "substring-after", "translate", "floor", "ceiling",
-    "round", "sum", "id",
-})
+#: name -> (min_args, max_args); validated at COMPILE time like Xalan
+_ARITY = {
+    "last": (0, 0), "position": (0, 0), "true": (0, 0), "false": (0, 0),
+    "count": (1, 1), "not": (1, 1), "boolean": (1, 1), "floor": (1, 1),
+    "ceiling": (1, 1), "round": (1, 1), "sum": (1, 1), "id": (1, 1),
+    "lang": (1, 1),
+    "normalize-space": (0, 1), "string": (0, 1), "string-length": (0, 1),
+    "number": (0, 1), "name": (0, 1), "local-name": (0, 1),
+    "contains": (2, 2), "starts-with": (2, 2),
+    "substring-before": (2, 2), "substring-after": (2, 2),
+    "substring": (2, 3), "translate": (3, 3),
+    "concat": (2, 1 << 30),
+}
+
+_KNOWN_FUNCS = frozenset(_ARITY)
 
 
 def _xp_round(x: float) -> float:
@@ -938,6 +971,23 @@ def _eval_expr(expr, ctx: _Ctx):
     if isinstance(expr, _Call):
         return _eval_call(expr, ctx)
     if isinstance(expr, _Var):
+        # beyond-reference extension: jsoup's selectXpath has no variable
+        # resolver (Xalan NPEs at resolution), but ours accepts a bindings
+        # dict through select_xpath(..., variables=...). Unbound variables
+        # keep the reference's LAZY failure timing: the error fires only
+        # when the reference actually resolves (fuzz_xpath error-parity).
+        if ctx.vars is not None and expr.name in ctx.vars:
+            v = ctx.vars[expr.name]
+            if isinstance(v, bool):
+                return v
+            if isinstance(v, (int, float)):
+                return float(v)
+            if isinstance(v, str):
+                return v
+            if isinstance(v, list):
+                return list(v)  # node-set (caller-supplied nodes)
+            raise ValueError(
+                f"unsupported variable type for ${expr.name}: {type(v).__name__}")
         raise ValueError(f"cannot resolve variable ${expr.name}")
     if isinstance(expr, _Neg):
         return -_to_num(_eval_expr(expr.operand, ctx))
@@ -966,7 +1016,7 @@ def _eval_filter(f: _Filter, ctx: _Ctx) -> list[Node]:
         size = len(nodes)
         kept = []
         for pos, node in enumerate(nodes, start=1):
-            pv = _eval_expr(pred, _Ctx(node, pos, size, ctx.doc, ctx.order))
+            pv = _eval_expr(pred, _Ctx(node, pos, size, ctx.doc, ctx.order, ctx.vars))
             if isinstance(pv, float):
                 if pos == pv:
                     kept.append(node)
@@ -977,7 +1027,7 @@ def _eval_filter(f: _Filter, ctx: _Ctx) -> list[Node]:
         seen: set[int] = set()
         out: list[Node] = []
         for node in nodes:
-            for res in _eval_path(f.tail, _Ctx(node, 1, 1, ctx.doc, ctx.order)):
+            for res in _eval_path(f.tail, _Ctx(node, 1, 1, ctx.doc, ctx.order, ctx.vars)):
                 if id(res) not in seen:
                     seen.add(id(res))
                     out.append(res)
@@ -1012,7 +1062,8 @@ def compile_xpath(query: str) -> _Compiled:
         ) from e
 
 
-def _run(context: Node, query_or_compiled) -> list[Node]:
+def _run(context: Node, query_or_compiled,
+         variables: dict | None = None) -> list[Node]:
     compiled = (
         query_or_compiled
         if isinstance(query_or_compiled, _Compiled)
@@ -1027,7 +1078,7 @@ def _run(context: Node, query_or_compiled) -> list[Node]:
         if root is not None:
             context = root
     order = _doc_order(doc)
-    ctx = _Ctx(context, 1, 1, doc, order)
+    ctx = _Ctx(context, 1, 1, doc, order, variables)
     try:
         result = _eval_expr(compiled.expr, ctx)
     except ValueError as e:
@@ -1042,20 +1093,28 @@ def _run(context: Node, query_or_compiled) -> list[Node]:
     return result
 
 
-def select_xpath(context: Node, query) -> list[Element]:
+def select_xpath(context: Node, query,
+                 variables: dict | None = None) -> list[Element]:
     """Evaluate an XPath query, returning matched Elements in doc order.
 
     Mirrors Element.selectXpath(String) (Element.java:784-793): non-element
     results are dropped.
+
+    ``variables`` (beyond the reference surface — jsoup's delegation has
+    no resolver, Element.java:788): bindings for $name references, keyed
+    by bare name; values may be str, bool, int/float (number), or a list
+    of nodes (node-set). Unbound references keep the reference's lazy
+    evaluation-time failure.
     """
     return [
         n
-        for n in _run(context, query)
+        for n in _run(context, query, variables)
         if isinstance(n, Element) and not isinstance(n, Document)
     ]
 
 
-def select_xpath_nodes(context: Node, query) -> list[Node]:
+def select_xpath_nodes(context: Node, query,
+                       variables: dict | None = None) -> list[Node]:
     """Evaluate an XPath query, returning all matched nodes (Element,
     TextNode, CommentNode, ...) in document order.
 
@@ -1064,6 +1123,6 @@ def select_xpath_nodes(context: Node, query) -> list[Node]:
     back-conversion yields no jsoup node for it).
     """
     return [
-        n for n in _run(context, query)
+        n for n in _run(context, query, variables)
         if not isinstance(n, (_AttrValue, Document))
     ]

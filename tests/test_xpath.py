@@ -355,3 +355,56 @@ def test_document_node_occupies_positions():
     assert [e.name for e in select_xpath(doc, "(//ancestor::node())[2]")] == ["html"]
     assert [e.name for e in select_xpath(doc, "(//parent::node())[2]")] == ["html"]
     assert [e.name for e in select_xpath(doc, "(//ancestor::node())[last()]")] == ["p"]
+
+
+def test_lang_always_false():
+    # harness-probed: the reference's W3CDom conversion is not namespace
+    # aware, so "xml:lang" never lands in the XML namespace and Xalan's
+    # FuncLang lookup finds no language — lang() is constantly false
+    # (<div xml:lang=en> + //p[lang('en')] → empty on the reference too)
+    doc = parse("<div xml:lang='en'><p id='a'>x</p></div>")
+    assert select_xpath(doc, "//p[lang('en')]") == []
+    assert [e.attr("id") for e in select_xpath(doc, "//p[not(lang('en'))]")] == ["a"]
+    assert [e.attr("id")
+            for e in select_xpath(doc, "//p[string(lang('en'))='false']")] == ["a"]
+
+
+def test_wrong_arity_is_compile_error():
+    # Xalan validates arity at compile time (harness-probed: //zz[floor()]
+    # errors on a zz-less doc). Matrix: see _ARITY in select/xpath.py.
+    doc = parse("<b>x</b>")
+    for q in ("//zz[floor()]", "//zz[lang()]", "//zz[lang('a','b')]",
+              "//zz[contains('a')]", "//zz[concat('a')]",
+              "//zz[substring('a')]", "//zz[translate('a','b')]",
+              "//zz[not()]", "//zz[true(1)]", "//zz[position(1)]",
+              "//zz[normalize-space('a','b')]", "//zz[last(1)]",
+              "//zz[count(//p,//b)]", "//zz[name('a','b')]"):
+        with pytest.raises(SelectorParseError):
+            select_xpath(doc, q)
+    # optional-arg forms stay legal
+    assert select_xpath(doc, "//b[string-length() = 1]") != []
+    assert select_xpath(doc, "//b[normalize-space() = 'x']") != []
+
+
+def test_variable_bindings():
+    # BEYOND the reference surface: jsoup's selectXpath delegation has no
+    # variable resolver (any $x NPEs at resolution, Element.java:788);
+    # ours accepts a bindings dict. Unbound keeps the lazy error parity.
+    doc = parse("<ul><li id='a'>1</li><li id='b'>2</li><li id='c'>30</li></ul>")
+    assert [e.attr("id") for e in
+            select_xpath(doc, "//li[@id=$which]", variables={"which": "b"})] == ["b"]
+    assert [e.attr("id") for e in
+            select_xpath(doc, "//li[number(text()) > $min]",
+                         variables={"min": 1.5})] == ["b", "c"]
+    assert [e.attr("id") for e in
+            select_xpath(doc, "//li[$keep]", variables={"keep": True})] == \
+        ["a", "b", "c"]
+    # node-set binding: count() over caller-supplied nodes
+    lis = select_xpath(doc, "//li")
+    assert [e.attr("id") for e in
+            select_xpath(doc, "//li[count($set) = 3]",
+                         variables={"set": lis})] == ["a", "b", "c"]
+    # unbound still fails lazily at evaluation
+    with pytest.raises(SelectorParseError):
+        select_xpath(doc, "//li[@id=$nope]")
+    assert select_xpath(parse("<b>x</b>"), "//li[@id=$nope]") == []

@@ -114,6 +114,8 @@ def rand_pred(rng: random.Random, depth: int) -> str:
             "floor(@n) = 3", "ceiling(@n) = 3", "round(@n) = 3",
             "number(@n) > 2", "sum(.//@n) > 4",
             "boolean(@id)", "not(@class)",
+            "lang('en')", "not(lang('en'))",
+            "string(lang('fr')) = 'false'", "id('a')", "count(id('a')) = 0",
             "string(@id) = 'a'", "concat(@id, 'x') = 'ax'",
             "name() = 'p'", "local-name() != 'div'",
         ])
@@ -206,7 +208,14 @@ def main():
     # BOTH sides (messages differ; error-vs-error is the contract)
     ERROR_QS = ["//p[", "//p)", "count(//p)", "string(//p)", "//p[$v=1]",
                 "//p[unknownfn(2)]", "p//", "//p[@]", "//p[1=]", "]",
-                "//p[position(", "//*[bogus-axis::p]", "//p[id('x')]"]
+                "//p[position(", "//*[bogus-axis::p]", "//p[id('x')]",
+                # wrong arity must be a COMPILE-time error on both sides,
+                # even though no <zz> exists to evaluate the predicate on
+                "//zz[floor()]", "//zz[lang()]", "//zz[lang('a','b')]",
+                "//zz[contains('a')]", "//zz[concat('a')]",
+                "//zz[substring('a')]", "//zz[translate('a','b')]",
+                "//zz[not()]", "//zz[true(1)]", "//zz[position(1)]",
+                "//zz[normalize-space('a','b')]", "//zz[sum(//p,//b)]"]
     for q in ERROR_QS:
         cases.append((docs[0], q))
     inp = "\n".join(f"xpath\t{b64(d)}\t{b64(q)}" for d, q in cases)
