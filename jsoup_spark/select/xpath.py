@@ -50,16 +50,23 @@ import re
 from jsoup_spark.parser.nodes import (
     CommentNode,
     DataNode,
+    DoctypeNode,
     Document,
     Element,
     Node,
     TextNode,
+    XmlDeclNode,
 )
 
 #: the XPath data model's "text node" covers our TextNode AND DataNode
 #: (script/style contents become W3C text nodes in the reference's
 #: conversion — harness-probed: //script/text() matches the data node)
 _TEXTUAL = (TextNode, DataNode)
+#: nodes that do NOT EXIST in the converted W3C data model, at any depth:
+#: xml declarations / processing instructions and doctypes are dropped by
+#: the reference's conversion (harness-probed via the xpathxml op:
+#: /root/node()[1] skips a leading <?pi?>, and t1<?pi?>t2 is ONE text run)
+_INVISIBLE = (XmlDeclNode, DoctypeNode)
 from jsoup_spark.select.selector import SelectorParseError
 
 __all__ = ["select_xpath", "select_xpath_nodes", "compile_xpath"]
@@ -78,7 +85,7 @@ _TOKEN_RE = re.compile(
     | (?P<ddot>\.\.)
     | (?P<var>\$[A-Za-z_][A-Za-z0-9_.-]*)
     | (?P<op>!=|<=|>=|[=<>|/@\[\]().,*+-])
-    | (?P<name>[A-Za-z_][A-Za-z0-9_.-]*(?::[A-Za-z_][A-Za-z0-9_.-]*)?)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_.-]*(?::(?:[A-Za-z_][A-Za-z0-9_.-]*|\*))?)
     )""",
     re.VERBOSE,
 )
@@ -360,7 +367,7 @@ class _Parser:
         return _Filter(base, predicates,
                        _Path(False, tail_steps) if tail_steps else None)
 
-    _NODE_TESTS = {"text", "node", "comment"}
+    _NODE_TESTS = {"text", "node", "comment", "processing-instruction"}
 
     def _is_function_ahead(self) -> bool:
         tok = self.peek()
@@ -439,12 +446,30 @@ class _Parser:
             raise ValueError(f"node test expected, got {text!r}")
         if text in self._NODE_TESTS and self.at("("):
             self.next()
+            if text == "processing-instruction":
+                # optional literal target name; PIs never exist in the
+                # converted data model so the test is constantly empty,
+                # but the grammar (and arity: 0 or 1 LITERAL) must hold
+                if not self.at(")"):
+                    arg = self.next()
+                    if arg[0] != "lit":
+                        raise ValueError(
+                            "processing-instruction() target must be a literal")
+                self.expect(")")
+                return ("pi",)
             self.expect(")")
             return (text,)
-        # names match on local name (the reference's conversion is not
-        # namespace aware: XpathTest.java:204-236)
-        local = text.rsplit(":", 1)[-1]
-        return ("name", local)
+        if ":" in text:
+            # prefixed name test (ns:tag / ns:*): jsoup never supplies a
+            # NamespaceContext to Xalan, so the prefix is unresolvable and
+            # the test silently matches NOTHING (harness-probed on both
+            # the html and xml parse paths — no error)
+            return ("never",)
+        # unprefixed names match the LOCAL part of the preserved-case name
+        # (the reference's conversion keeps prefixes in the node name but
+        # Xalan's non-namespace match compares local names:
+        # XpathTest.java:204-236; //like matches <fb:like>)
+        return ("name", text)
 
 
 # '.' needs to lex: add to the op class — the op charclass above includes '.'
@@ -510,7 +535,7 @@ def _string_value(node: Node) -> str:
         # member — see _is_run_start)
         parent = node.parent
         if parent is not None:
-            sibs = parent.children
+            sibs = _children_vis(parent)
             idx = next((i for i, s in enumerate(sibs) if s is node), None)
             if idx is not None:
                 out = [node.value]
@@ -532,7 +557,7 @@ def _is_run_start(node: Node) -> bool:
     parent = node.parent
     if parent is None:
         return True
-    sibs = parent.children
+    sibs = _children_vis(parent)
     idx = next((i for i, s in enumerate(sibs) if s is node), None)
     return idx is None or idx == 0 or not isinstance(sibs[idx - 1], _TEXTUAL)
 
@@ -647,11 +672,12 @@ def _children_vis(node: Node) -> list[Node]:
     """Children as the reference's XPath data model sees them: at the
     document level only the root element exists (doc-level comments and
     doctypes are not part of the converted W3C tree — probed against the
-    harness: /node() returns only html)."""
+    harness: /node() returns only html), and xml declarations / PIs /
+    doctypes are dropped at EVERY level (_INVISIBLE)."""
     kids = getattr(node, "children", ())
     if isinstance(node, Document):
         return [c for c in kids if isinstance(c, Element)]
-    return list(kids)
+    return [c for c in kids if not isinstance(c, _INVISIBLE)]
 
 
 def _axis_nodes(node: Node, axis: str):
@@ -672,9 +698,8 @@ def _axis_nodes(node: Node, axis: str):
         while stack:
             cur = stack.pop()
             out.append(cur)
-            kids = getattr(cur, "children", None)
-            if kids:
-                stack.extend(reversed(kids))
+            if getattr(cur, "children", None):
+                stack.extend(reversed(_children_vis(cur)))
         return out
     if axis == "ancestor" or axis == "ancestor-or-self":
         # the document node participates (position/size in predicates
@@ -691,7 +716,7 @@ def _axis_nodes(node: Node, axis: str):
         # (doc-level comments/doctypes are invisible — harness-probed)
         if parent is None or isinstance(parent, Document):
             return []
-        sibs = parent.children
+        sibs = _children_vis(parent)
         idx = next((i for i, s in enumerate(sibs) if s is node), None)
         if idx is None:
             return []
@@ -705,7 +730,7 @@ def _axis_nodes(node: Node, axis: str):
         out: list[Node] = []
         cur = node
         while cur.parent is not None and not isinstance(cur.parent, Document):
-            sibs = cur.parent.children
+            sibs = _children_vis(cur.parent)
             idx = next((i for i, s in enumerate(sibs) if s is cur), None)
             if idx is None:
                 break
@@ -721,15 +746,14 @@ def _axis_nodes(node: Node, axis: str):
 
 
 def _subtree(node: Node) -> list[Node]:
-    """Pre-order subtree including the node itself."""
+    """Pre-order subtree including the node itself (visible nodes only)."""
     out = [node]
-    stack = list(reversed(getattr(node, "children", ())))
+    stack = list(reversed(_children_vis(node)))
     while stack:
         cur = stack.pop()
         out.append(cur)
-        kids = getattr(cur, "children", None)
-        if kids:
-            stack.extend(reversed(kids))
+        if getattr(cur, "children", None):
+            stack.extend(reversed(_children_vis(cur)))
     return out
 
 
@@ -743,12 +767,19 @@ def _node_test(node: Node, test: tuple, axis: str) -> bool:
         return isinstance(node, _TEXTUAL)
     if kind == "comment":
         return isinstance(node, CommentNode)
+    if kind in ("pi", "never"):
+        # pi: PIs don't exist in the converted model; never: prefixed
+        # name tests have no resolvable prefix (see parse_node_test)
+        return False
     if kind == "*":
         return isinstance(node, Element) and not isinstance(node, Document)
-    # name test
+    # name test: compare the LOCAL part of the PRESERVED-case name —
+    # xmlParser keeps case ("//A" matches <A> only) and keeps prefixes
+    # in the node name ("//like" matches <fb:like>); the html parser
+    # normalizes at parse so nothing changes for html docs
     if not isinstance(node, Element) or isinstance(node, Document):
         return False
-    local = node.name.rsplit(":", 1)[-1]
+    local = (node.tag_name_case or node.name).rsplit(":", 1)[-1]
     return local == test[1]
 
 
@@ -848,9 +879,12 @@ def _eval_call(call: _Call, ctx: _Ctx):
             return node.attr_name
         if not isinstance(node, Element) or isinstance(node, Document):
             return ""
+        # preserved-case name with prefix (name() of <ns:t> is "ns:t",
+        # of xml <A> is "A"); local-name() strips the prefix only
+        full = node.tag_name_case or node.name
         if name == "local-name":
-            return node.name.rsplit(":", 1)[-1]
-        return node.name
+            return full.rsplit(":", 1)[-1]
+        return full
     if name == "substring":
         # XPath 1.0: 1-based positions, round() per spec, NaN-safe
         s = _to_str(args[0])

@@ -408,3 +408,61 @@ def test_variable_bindings():
     with pytest.raises(SelectorParseError):
         select_xpath(doc, "//li[@id=$nope]")
     assert select_xpath(parse("<b>x</b>"), "//li[@id=$nope]") == []
+
+
+def test_xml_preserved_case_name_tests():
+    # xmlParser preserves case and Xalan matches case-sensitively
+    # (harness-probed via the xpathxml op): //Item and //item are
+    # distinct; //a does not match <A>.
+    from jsoup_spark.parser.xmlbuilder import parse_xml
+    doc = parse_xml('<root><Item id="a">X</Item><item id="b">y</item></root>')
+    assert [e.attr("id") for e in select_xpath(doc, "//Item")] == ["a"]
+    assert [e.attr("id") for e in select_xpath(doc, "//item")] == ["b"]
+    assert select_xpath(parse_xml('<Root><A id="x">1</A></Root>'), "//a") == []
+
+
+def test_prefixed_name_tests_never_match():
+    # jsoup supplies no NamespaceContext to Xalan, so a prefixed test's
+    # prefix is unresolvable and matches NOTHING — silently, not an
+    # error (harness-probed on both parse paths). Unprefixed tests match
+    # the LOCAL part of the preserved name: //t matches <ns:t> AND <t>;
+    # name() returns the full prefixed name.
+    from jsoup_spark.parser.xmlbuilder import parse_xml
+    doc = parse_xml('<root xmlns:ns="http://x">'
+                    '<ns:t id="a">v</ns:t><t id="b">w</t></root>')
+    assert [e.attr("id") for e in select_xpath(doc, "//t")] == ["a", "b"]
+    assert select_xpath(doc, "//ns:t") == []
+    assert select_xpath(doc, "//ns:*") == []
+    assert [e.attr("id") for e in select_xpath(doc, "//*[name()='ns:t']")] == ["a"]
+    assert [e.attr("id")
+            for e in select_xpath(doc, "//*[local-name()='t']")] == ["a", "b"]
+    # html flavor: <fb:like> keeps the colon in the tag name
+    hdoc = parse("<fb:like id='a'>x</fb:like>")
+    assert [e.attr("id") for e in select_xpath(hdoc, "//like")] == ["a"]
+    assert select_xpath(hdoc, "//fb:like") == []
+
+
+def test_pi_and_doctype_invisible():
+    # xml declarations / PIs / doctypes are dropped by the reference's
+    # W3C conversion at EVERY level: they never match (even node()),
+    # never occupy positions, and do NOT break adjacent text runs
+    # (t1<?pi?>t2 is ONE logical text node; a comment DOES break runs).
+    from jsoup_spark.parser.xmlbuilder import parse_xml
+    doc = parse_xml("<root><?pi d?><a>x</a></root>")
+    assert select_xpath_nodes(doc, "//processing-instruction()") == []
+    assert select_xpath_nodes(doc, "//processing-instruction('pi')") == []
+    assert [e.name for e in select_xpath_nodes(doc, "/root/node()[1]")] == ["a"]
+    run = parse_xml("<root><a>t1<?pi d?>t2</a></root>")
+    assert select_xpath(run, "//a[text()='t1t2']") != []
+    assert select_xpath(run, "//a[text()='t1']") == []
+    broken = parse_xml("<root><a>t1<!--c-->t2</a></root>")
+    assert select_xpath(broken, "//a[text()='t1']") != []
+    assert select_xpath(broken, "//a[text()='t1t2']") == []
+    # CDATA is text and coalesces into runs
+    cd = parse_xml("<root><a><![CDATA[c1]]>t2</a></root>")
+    assert select_xpath(cd, "//a[text()='c1t2']") != []
+    # grammar: PI target must be a literal, arity <= 1
+    with pytest.raises(SelectorParseError):
+        select_xpath(doc, "//processing-instruction(5)")
+    with pytest.raises(SelectorParseError):
+        select_xpath(doc, "//processing-instruction('a','b')")

@@ -27,6 +27,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 from jsoup_spark.parser.treebuilder import parse
+from jsoup_spark.parser.xmlbuilder import parse_xml
 from jsoup_spark.parser.nodes import CommentNode, Document, Element, TextNode
 from jsoup_spark.select.selector import SelectorParseError
 from jsoup_spark.select.xpath import select_xpath_nodes
@@ -173,14 +174,67 @@ def _rand_query_once(rng: random.Random) -> str:
     return q
 
 
+XML_TAGS = ["Item", "item", "A", "a", "t", "ns:t", "zz:v", "row", "Row",
+            "data-cell", "b"]
+XML_TEXTS = ["One", "3", "12.5", "-7", "mix Case", "", "0", "x y"]
+
+
+def rand_xml_children(rng: random.Random, depth: int, budget: list) -> str:
+    parts = []
+    while budget[0] > 0 and rng.random() > 0.3:
+        budget[0] -= 1
+        r = rng.random()
+        if r < 0.45 and depth < 5:
+            tag = rng.choice(XML_TAGS)
+            attrs = ""
+            if rng.random() < 0.6:
+                attrs += f' id="{rng.choice("abcdez")}{rng.randint(0, 9)}"'
+            if rng.random() < 0.3:
+                attrs += f' n="{rng.choice(["3", "12", "-4", "2.5"])}"'
+            if rng.random() < 0.15:
+                attrs += f' class="{rng.choice(["x", "x y", "en"])}"'
+            if rng.random() < 0.12:
+                parts.append(f"<{tag}{attrs}/>")
+            else:
+                inner = rand_xml_children(rng, depth + 1, budget)
+                parts.append(f"<{tag}{attrs}>{inner}</{tag}>")
+        elif r < 0.7:
+            parts.append(rng.choice(XML_TEXTS))
+        elif r < 0.8:
+            parts.append(f"<![CDATA[{rng.choice(['cd', '<raw>', '3'])}]]>")
+        elif r < 0.9:
+            parts.append(rng.choice(["<!--c-->", "<!-- note -->"]))
+        else:
+            parts.append(rng.choice(["<?pi data?>", "<?x?>"]))
+    return "".join(parts)
+
+
+def rand_xml_doc(rng: random.Random) -> str:
+    budget = [rng.randint(8, 40)]
+    body = rand_xml_children(rng, 0, budget)
+    lead = rng.choice(["", "<?xml version=\"1.0\"?>"])
+    return (lead + "<root xmlns:ns=\"http://x\" xmlns:zz=\"http://y\">"
+            + body + "</root>")
+
+
+XML_NAME_TESTS = ["Item", "item", "A", "a", "t", "ns:t", "zz:v", "ns:*",
+                  "row", "Row", "b", "*", "text()", "node()", "comment()",
+                  "processing-instruction()"]
+
+
 def sig_mine(nodes) -> str:
     out = []
     for n in nodes:
         if isinstance(n, Document):
             out.append(f"#document{SEP1}{SEP1}")
         elif isinstance(n, Element):
-            out.append(
-                f"{n.name}{SEP1}{n.attrs.get('id', '')}{SEP1}{n.own_text()}")
+            # tagName() preserved case; el.id() is an ignore-case lookup
+            nm = n.tag_name_case or n.name
+            idv = n.attrs.get("id")
+            if idv is None:
+                idv = next((v for k, v in n.attrs.items()
+                            if k.lower() == "id"), "")
+            out.append(f"{nm}{SEP1}{idv}{SEP1}{n.own_text()}")
         elif isinstance(n, TextNode):
             out.append(f"#text{SEP1}{SEP1}{n.value}")
         elif isinstance(n, CommentNode):
@@ -218,17 +272,32 @@ def main():
                 "//zz[normalize-space('a','b')]", "//zz[sum(//p,//b)]"]
     for q in ERROR_QS:
         cases.append((docs[0], q))
-    inp = "\n".join(f"xpath\t{b64(d)}\t{b64(q)}" for d, q in cases)
+    cases = [("xpath", d, q) for d, q in cases]
+
+    # XML-parse path (xpathxml op): preserved case, prefixes, CDATA, PIs.
+    # Queries draw name tests from the XML tag population; ~1/4 of docs.
+    xml_docs = [rand_xml_doc(rng) for _ in range(max(ndocs // 4, 4))]
+    global NAME_TESTS
+    saved_tests = NAME_TESTS
+    NAME_TESTS = XML_NAME_TESTS
+    try:
+        for d in xml_docs:
+            for _ in range(nq):
+                cases.append(("xpathxml", d, rand_query(rng)))
+    finally:
+        NAME_TESTS = saved_tests
+    inp = "\n".join(f"{op}\t{b64(d)}\t{b64(q)}" for op, d, q in cases)
     r = subprocess.run(["java", "-cp", "/tmp/jsoupbuild/out", "Harness"],
                        input=inp, capture_output=True, text=True)
     lines = r.stdout.split("\n")[:-1]
     assert len(lines) == len(cases), (len(lines), len(cases), r.stderr[-500:])
 
     bad = 0
-    for (d, q), line in zip(cases, lines):
+    for (op, d, q), line in zip(cases, lines):
         golden = base64.b64decode(line).decode()
         try:
-            mine = sig_mine(select_xpath_nodes(parse(d, ""), q))
+            root = parse_xml(d, "") if op == "xpathxml" else parse(d, "")
+            mine = sig_mine(select_xpath_nodes(root, q))
             mine_err = False
         except SelectorParseError as e:
             mine = f"!ERR {e}"

@@ -85,12 +85,17 @@ public class Harness {
                 return sb.toString();
             }
             case "selcount": return String.valueOf(Jsoup.parse(a1).select(a2).size());
-            case "xpath": {
+            case "xpath":
+            case "xpathxml": {
                 // a2 = xpath query, optionally "cssContext\u0001xpath" to
                 // evaluate from the first CSS match instead of the document.
                 // Result: per node, nodeName \u0001 id \u0001 ownText (elements)
                 // or #text/#comment \u0001 \u0001 content, \u0002-joined.
-                Document doc = Jsoup.parse(a1);
+                // xpathxml: same, over an xmlParser parse (namespace-aware
+                // W3CDom conversion path).
+                Document doc = op.equals("xpathxml")
+                    ? Jsoup.parse(a1, "", org.jsoup.parser.Parser.xmlParser())
+                    : Jsoup.parse(a1);
                 String css = null, q = a2;
                 int sep = a2.indexOf('\u0001');
                 if (sep >= 0) { css = a2.substring(0, sep); q = a2.substring(sep + 1); }
