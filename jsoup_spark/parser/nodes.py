@@ -237,6 +237,28 @@ class XmlDeclNode(LeafNode):
 _HTML_FLAGS_GET = tags._HTML_FLAGS.get
 
 
+class _CiAttrs(dict):
+    """Attribute dict for elements whose keys collide ignoring case
+    (e.g. XML <x ID=1 id=2>): iteration/serialization see every attribute,
+    while `fold` carries the first-in-order value per lowercased key —
+    the reference's getIgnoreCase resolution. Built by the XML builder /
+    preserve-case html path only; plain dicts stay the fast path."""
+
+    __slots__ = ("fold",)
+
+
+def make_ci_attrs(attrs: dict):
+    """Wrap `attrs` in _CiAttrs iff its keys collide ignoring case."""
+    fold: dict = {}
+    for k, v in attrs.items():
+        fold.setdefault(k.lower(), v if v is not None else "")
+    if len(fold) == len(attrs):
+        return attrs
+    out = _CiAttrs(attrs)
+    out.fold = fold
+    return out
+
+
 class Element(Node):
     __slots__ = ("name", "ns", "attrs", "children", "flags", "tag_name_case", "opts",
                  "attr_ranges", "attr_ns")
@@ -315,16 +337,45 @@ class Element(Node):
         return ((ns, ne), (vs, ve))
 
     def attr(self, key: str) -> str:
-        v = self.attrs.get(key)
-        return v if v is not None else ("" if key in self.attrs else "")
+        """Attribute lookup is IGNORE-CASE, first match in attribute order
+        (reference Node.attr -> Attributes.getIgnoreCase,
+        nodes/Attributes.java indexOfKeyIgnoreCase). The html parser
+        lowercases keys so the exact hit is the whole story there; XML /
+        foreign-content elements keep case ([viewbox] finds viewBox —
+        harness-probed). _CiAttrs marks the rare element whose keys
+        COLLIDE ignoring case: there the first-in-order rule can disagree
+        with an exact hit (<x ID=1 id=2> → attr('id') is '1'), so the
+        builder precomputes the fold."""
+        attrs = self.attrs
+        if type(attrs) is _CiAttrs:
+            v = attrs.fold.get(key.lower())
+            return v if v is not None else ""
+        v = attrs.get(key)
+        if v is not None:
+            return v
+        if key in attrs:
+            return ""
+        # miss: ignore-case scan (preserved-case keys; tiny dicts)
+        lk = key.lower()
+        for k, v in attrs.items():
+            if k.lower() == lk:
+                return v if v is not None else ""
+        return ""
 
     def has_attr(self, key: str) -> bool:
-        return key in self.attrs
+        # Node.hasAttr -> Attributes.hasKeyIgnoreCase
+        attrs = self.attrs
+        if type(attrs) is _CiAttrs:
+            return key.lower() in attrs.fold
+        if key in attrs:
+            return True
+        lk = key.lower()
+        return any(k.lower() == lk for k in attrs)
 
     def abs_url(self, key: str) -> str:
         """Node.absUrl semantics (nodes/Node.java:112-133): resolve the attr
         against the doc base URI; '' if missing/unresolvable."""
-        if key not in self.attrs:
+        if not self.has_attr(key):
             return ""
         rel = self.attr(key)
         base = self.base_uri()

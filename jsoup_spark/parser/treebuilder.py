@@ -702,6 +702,11 @@ class HtmlTreeBuilder:
                     out[k] = v
             if dupes:
                 self.error("dropped duplicate attributes")
+            if preserve_case and len(out) > 1:
+                # ignore-case collisions need the precomputed fold for
+                # getIgnoreCase first-in-order resolution (nodes._CiAttrs)
+                from .nodes import make_ci_attrs
+                out = make_ci_attrs(out)
         return out
 
     def _create_element(self, start, ns: str, preserve_case: bool) -> Element:

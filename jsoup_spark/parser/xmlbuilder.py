@@ -123,6 +123,9 @@ class XmlTreeBuilder:
             for k, v in attrs:  # case-sensitive first-wins dedupe
                 if k not in out:
                     out[k] = v
+            if len(out) > 1:
+                from .nodes import make_ci_attrs
+                out = make_ci_attrs(out)
         return out
 
     def _insert_element(self, start) -> None:

@@ -286,7 +286,7 @@ def _attr_value(el, key):
 def _has_attr(el, key):
     if key.startswith("abs:"):
         return bool(el.abs_url(key[4:]))
-    return key in el.attrs
+    return el.has_attr(key)  # ignore-case (Attributes.hasKeyIgnoreCase)
 
 
 class HasAttr(Ev):
@@ -309,7 +309,7 @@ class AttrStarting(Ev):
 
     def matches(self, root, el):
         p = self.prefix
-        return any(k.startswith(p) for k in el.attrs)
+        return any(k.lower().startswith(p) for k in el.attrs)
 
 
 
@@ -690,8 +690,12 @@ class IsFirstChild(Ev):
     __slots__ = ()
 
     def matches(self, root, el):
+        # the ROOT element never matches the structural-child family:
+        # the reference requires a non-Document parent (Evaluator.java
+        # IsFirstChild/IsLastChild/CssNthEvaluator: p != null &&
+        # !(p instanceof Document)) — html:first-child is empty
         p = el.parent
-        return (p is not None and not isinstance(el, Document)
+        return (p is not None and not isinstance(p, Document)
                 and _element_sibling_index(el) == 0
                 and any(isinstance(c, Element) for c in p.children))
 
@@ -701,7 +705,7 @@ class IsLastChild(Ev):
 
     def matches(self, root, el):
         p = el.parent
-        if p is None:
+        if p is None or isinstance(p, Document):
             return False
         els = [c for c in p.children if isinstance(c, Element)]
         return bool(els) and els[-1] is el
@@ -729,7 +733,7 @@ class CssNth(Ev):
         return (len(sibs) - idx) if self.last else (idx + 1)
 
     def matches(self, root, el):
-        if el.parent is None or isinstance(el, Document):
+        if el.parent is None or isinstance(el.parent, Document):
             return False
         pos = self._pos(el)
         if self.step == 0:
@@ -757,7 +761,7 @@ class IsOnlyChild(Ev):
 
     def matches(self, root, el):
         p = el.parent
-        return (p is not None and not isinstance(el, Document)
+        return (p is not None and not isinstance(p, Document)
                 and sum(1 for c in p.children if isinstance(c, Element)) == 1)
 
 
@@ -766,7 +770,7 @@ class IsOnlyOfType(Ev):
 
     def matches(self, root, el):
         p = el.parent
-        if p is None or isinstance(el, Document):
+        if p is None or isinstance(p, Document):
             return False
         return sum(1 for c in p.children
                    if isinstance(c, Element) and c.name == el.name) == 1

@@ -791,12 +791,13 @@ def _eval_step(step: _Step, ctx: _Ctx) -> list[Node]:
         if step.test[0] == "*":
             return [_AttrValue(v, k) for k, v in el.attrs.items()]
         key = step.test[1]
-        # case-insensitive in HTML docs; our HTML parser lowercases keys
+        # EXACT match: Xalan compares the stored attribute QName
+        # case-sensitively (//svg[@viewbox] does NOT find viewBox —
+        # harness-probed on both parse paths; the html parser lowercases
+        # keys at parse, which is why @id "feels" insensitive there)
         if key in el.attrs:
-            return [_AttrValue(el.attrs[key], key)]
-        low = key.lower()
-        if low != key and low in el.attrs:
-            return [_AttrValue(el.attrs[low], low)]
+            v = el.attrs[key]
+            return [_AttrValue(v if v is not None else "", key)]
         return []
     candidates = [
         n for n in _axis_nodes(ctx.node, step.axis) if _node_test(n, step.test, step.axis)

@@ -180,3 +180,56 @@ def test_split_text_validation():
         tn.split_text(-5)
     with pytest.raises(ValueError):
         tn.split_text(500)
+
+
+def test_attr_lookups_ignore_case():
+    # Node.attr/hasAttr are IGNORE-CASE, first match in attribute order
+    # (Attributes.getIgnoreCase / hasKeyIgnoreCase) — harness-probed over
+    # foreign html ([viewbox] finds viewBox) and xmlParser docs
+    from jsoup_spark.select.selector import compile_query
+    svg = select(parse("<p><svg viewBox='0 0 1 1' id=s><circle/></svg></p>"),
+                 "svg")[0]
+    assert svg.attr("viewbox") == "0 0 1 1"
+    assert svg.attr("VIEWBOX") == "0 0 1 1"
+    assert svg.has_attr("viewbox")
+    doc = parse("<p><svg viewBox='0 0 1 1' id=s><circle/></svg></p>")
+    assert len(select(doc, compile_query("[viewbox]"))) == 1
+    assert len(select(doc, compile_query("[viewbox=0 0 1 1]"))) == 1
+    assert len(select(doc, compile_query("[^viewB]"))) == 1
+
+
+def test_attr_case_collision_first_wins():
+    # <x ID=1 id=2>: getIgnoreCase takes the FIRST attribute in order —
+    # attr('id') is '1' on the reference; serialization still emits both
+    # (nodes._CiAttrs). CSS value compares go through the same fold.
+    from jsoup_spark.parser.xmlbuilder import parse_xml
+    from jsoup_spark.select.selector import compile_query
+    doc = parse_xml('<root><x ID="1" id="2">q</x></root>')
+    x = doc.children[0].children[0]
+    assert x.attr("id") == "1"
+    assert x.attr("ID") == "1"
+    assert list(x.attrs.items()) == [("ID", "1"), ("id", "2")]
+    assert len(select(doc, compile_query("[id=1]"))) == 1
+    assert len(select(doc, compile_query("[id=2]"))) == 0
+    # xpath attribute tests stay EXACT (Xalan compares the stored QName)
+    from jsoup_spark.select.xpath import select_xpath
+    assert len(select_xpath(doc, "//x[@id='2']")) == 1
+    assert len(select_xpath(doc, "//x[@ID='1']")) == 1
+    svg = parse("<p><svg viewBox='0 0 1 1' id=s><circle/></svg></p>")
+    assert len(select_xpath(svg, "//svg[@viewBox]")) == 1
+    assert len(select_xpath(svg, "//svg[@viewbox]")) == 0
+
+
+def test_structural_pseudos_exclude_root():
+    # Evaluator.IsFirstChild/IsLastChild/CssNthEvaluator/IsOnlyChild/
+    # IsOnlyOfType all require a non-Document parent: the root element
+    # never matches (harness-probed: html:first-child is empty)
+    from jsoup_spark.select.selector import compile_query
+    doc = parse("<p>x</p>")
+    for q in ("html:first-child", "html:last-child", "html:only-child",
+              "html:only-of-type", "html:first-of-type",
+              "html:nth-child(1)", "html:nth-last-of-type(1)"):
+        assert select(doc, compile_query(q)) == [], q
+    assert [e.name for e in select(doc, compile_query("*:only-child"))] == ["p"]
+    assert [e.name for e in select(doc, compile_query("*:last-child"))] == \
+        ["body", "p"]

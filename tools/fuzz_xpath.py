@@ -81,7 +81,7 @@ AXES = ["", "", "", "", "descendant::", "descendant-or-self::", "self::",
         "following-sibling::", "preceding-sibling::",
         "following::", "preceding::", "child::"]
 ATTR_NAMES = ["id", "class", "href", "data-k", "title", "type", "lang", "n",
-              "missing"]
+              "missing", "ID", "N", "Data-K", "DATA-K"]
 STRS = ["'x'", "'a'", "'One'", "'en'", "''", "'3'", "'div'", "'p'"]
 
 
@@ -188,11 +188,19 @@ def rand_xml_children(rng: random.Random, depth: int, budget: list) -> str:
             tag = rng.choice(XML_TAGS)
             attrs = ""
             if rng.random() < 0.6:
-                attrs += f' id="{rng.choice("abcdez")}{rng.randint(0, 9)}"'
+                ik = rng.choice(["id", "id", "id", "ID", "Id"])
+                attrs += f' {ik}="{rng.choice("abcdez")}{rng.randint(0, 9)}"'
+                if rng.random() < 0.12 and ik != "id":
+                    # ignore-case COLLIDING pair: getIgnoreCase must take
+                    # the first in order (nodes._CiAttrs fold)
+                    attrs += f' id="{rng.choice("abcdez")}{rng.randint(0, 9)}"'
             if rng.random() < 0.3:
-                attrs += f' n="{rng.choice(["3", "12", "-4", "2.5"])}"'
+                nk = rng.choice(["n", "n", "N"])
+                attrs += f' {nk}="{rng.choice(["3", "12", "-4", "2.5"])}"'
             if rng.random() < 0.15:
                 attrs += f' class="{rng.choice(["x", "x y", "en"])}"'
+            if rng.random() < 0.1:
+                attrs += f' Data-K="{rng.choice(["V", "v", ""])}"'
             if rng.random() < 0.12:
                 parts.append(f"<{tag}{attrs}/>")
             else:
@@ -228,13 +236,10 @@ def sig_mine(nodes) -> str:
         if isinstance(n, Document):
             out.append(f"#document{SEP1}{SEP1}")
         elif isinstance(n, Element):
-            # tagName() preserved case; el.id() is an ignore-case lookup
+            # tagName() preserved case; el.id() = attr("id"), which is
+            # the reference's getIgnoreCase first-in-order lookup
             nm = n.tag_name_case or n.name
-            idv = n.attrs.get("id")
-            if idv is None:
-                idv = next((v for k, v in n.attrs.items()
-                            if k.lower() == "id"), "")
-            out.append(f"{nm}{SEP1}{idv}{SEP1}{n.own_text()}")
+            out.append(f"{nm}{SEP1}{n.attr('id')}{SEP1}{n.own_text()}")
         elif isinstance(n, TextNode):
             out.append(f"#text{SEP1}{SEP1}{n.value}")
         elif isinstance(n, CommentNode):

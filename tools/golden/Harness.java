@@ -74,8 +74,11 @@ public class Harness {
             case "bodyhtml": return Jsoup.parse(a1, a2).body().html();
             case "wholetext": return Jsoup.parse(a1).body().wholeText();
             case "title": return Jsoup.parse(a1).title();
-            case "select": {
-                Document doc = Jsoup.parse(a1);
+            case "select":
+            case "selectxml": {
+                Document doc = op.equals("selectxml")
+                    ? Jsoup.parse(a1, "", org.jsoup.parser.Parser.xmlParser())
+                    : Jsoup.parse(a1);
                 Elements els = doc.select(a2);
                 StringBuilder sb = new StringBuilder();
                 for (org.jsoup.nodes.Element el : els) {
