@@ -24,7 +24,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 from jsoup_spark.parser.xmlbuilder import parse_xml
 from jsoup_spark.select.selector import SelectorParseError, compile_query, select
-from fuzz_xpath import rand_xml_doc, b64, SEP1, SEP2
+from fuzz_xpath import rand_doc, rand_xml_doc, b64, SEP1, SEP2
+from jsoup_spark.parser.treebuilder import parse
 
 TAGS = ["Item", "item", "ITEM", "a", "A", "t", "ns|t", "zz|v", "*|t",
         "*|item", "row", "Row", "b", "*", "data-cell"]
@@ -78,17 +79,45 @@ def main():
     nq = int(sys.argv[3]) if len(sys.argv) > 3 else 40
     rng = random.Random(seed)
     docs = [rand_xml_doc(rng) for _ in range(ndocs)]
-    cases = [(d, rand_css(rng)) for d in docs for _ in range(nq)]
-    inp = "\n".join(f"selectxml\t{b64(d)}\t{b64(q)}" for d, q in cases)
+    cases = [("selectxml", d, "", rand_css(rng))
+             for d in docs for _ in range(nq)]
+    # element-CONTEXT select (Element.select): candidates are the context
+    # subtree including the context itself; structural walks stop at the
+    # context; :root means the context (harness-probed). Runs over BOTH
+    # parse paths with a random simple-context selector.
+    ctx_choices = ["div", "p", "ul", "b", "span", "li"]
+    xml_ctx_choices = ["Item", "item", "row", "a", "t", "data-cell"]
+    html_docs = [rand_doc(rng, rng.randint(8, 50)) for _ in range(ndocs // 2)]
+    for d in html_docs:
+        for _ in range(nq // 2):
+            cases.append(("select", d, rng.choice(ctx_choices), rand_css(rng)))
+    for d in docs[: ndocs // 2]:
+        for _ in range(nq // 2):
+            cases.append(("selectxml", d, rng.choice(xml_ctx_choices),
+                          rand_css(rng)))
+    inp = "\n".join(
+        f"{op}\t{b64(d)}\t{b64((c + SEP1 + q) if c else q)}"
+        for op, d, c, q in cases)
     r = subprocess.run(["java", "-cp", "/tmp/jsoupbuild/out", "Harness"],
                        input=inp, capture_output=True, text=True)
     lines = r.stdout.split("\n")[:-1]
     assert len(lines) == len(cases), (len(lines), len(cases), r.stderr[-400:])
     bad = 0
-    for (d, q), line in zip(cases, lines):
+    for (op, d, c, q), line in zip(cases, lines):
         golden = base64.b64decode(line).decode()
         try:
-            mine = sig_mine(select(parse_xml(d), compile_query(q)))
+            root = parse_xml(d) if op == "selectxml" else parse(d, "")
+            if c:
+                from jsoup_spark.select.selector import select_first
+                root = select_first(root, compile_query(c))
+                if root is None:
+                    mine = ""
+                    mine_err = False
+                    golden_cmp = golden
+                    if golden_cmp != mine and not golden_cmp.startswith("!ERROR:"):
+                        bad += 1
+                    continue
+            mine = sig_mine(select(root, compile_query(q)))
             mine_err = False
         except SelectorParseError as e:
             mine = f"!ERR {e}"

@@ -76,10 +76,18 @@ public class Harness {
             case "title": return Jsoup.parse(a1).title();
             case "select":
             case "selectxml": {
+                // a2 optionally "cssContext\u0001query": evaluate from the
+                // first match of cssContext instead of the document
                 Document doc = op.equals("selectxml")
                     ? Jsoup.parse(a1, "", org.jsoup.parser.Parser.xmlParser())
                     : Jsoup.parse(a1);
-                Elements els = doc.select(a2);
+                String css = null, q2 = a2;
+                int sep2 = a2.indexOf('\u0001');
+                if (sep2 >= 0) { css = a2.substring(0, sep2); q2 = a2.substring(sep2 + 1); }
+                org.jsoup.nodes.Element sctx = css == null || css.isEmpty()
+                    ? doc : doc.select(css).first();
+                if (sctx == null) return "";
+                Elements els = sctx.select(q2);
                 StringBuilder sb = new StringBuilder();
                 for (org.jsoup.nodes.Element el : els) {
                     if (sb.length() > 0) sb.append('\u0002');
