@@ -83,6 +83,7 @@ def fresh_fuzz() -> int:
     # XPath evaluator vs javax.xml.xpath (round-8 surface): 40 docs x 40
     # queries + the error-parity block
     runs.append(("fuzz_xpath.py", [str(base + 104729), "40", "40"]))
+    runs.append(("fuzz_selectxml.py", [str(base + 1299709), "40", "40"]))
     fails = 0
     for script, args in runs:
         seed = args[0]
