@@ -67,37 +67,61 @@ def elements_html(els: list[Element]) -> str:
     return "\n".join(inner_html(el) for el in els)
 
 
-def css_selector(el: Element) -> str:
-    """Element.cssSelector: a unique selector path for the element
-    (#id short-circuit when unique; else tag.classes:nth-child chain)."""
-    doc = el.owner_document()
-    if el.attr("id"):
-        id_sel = "#" + escape_css_identifier(el.attr("id"))
+def _unique_id_selector(el: Element, doc) -> str:
+    """Element.uniqueIdSelector (Element.java:1090-1102): '#id' iff the id
+    resolves to exactly this element document-wide ('' otherwise; an
+    ownerless element returns the selector unchecked)."""
+    idv = el.attr("id")
+    if idv:
+        id_sel = "#" + escape_css_identifier(idv)
         if doc is None:
             return id_sel
         hits = select(doc, id_sel)
         if len(hits) == 1 and hits[0] is el:
             return id_sel
+    return ""
+
+
+def _css_selector_component(el: Element) -> str:
+    """Element.cssSelectorComponent (Element.java:1133-1151): escaped tag
+    (escaped ':' becomes the CSS namespace '|'), '.'-joined escaped
+    classes, and :nth-child(i) iff the parent-context child select
+    ('> tag.classes') is ambiguous."""
+    from ..parser.nodes import Document
+    tag = escape_css_identifier(el.tag_name_case or el.name).replace("\\:", "|")
+    classes = ".".join(escape_css_identifier(c) for c in el.class_names())
+    sel = tag + ("." + classes if classes else "")
+    parent = el.parent
+    if parent is None or isinstance(parent, Document):
+        return sel
+    sel = " > " + sel
+    if len(select(parent, sel)) > 1:
+        sibs = [c for c in parent.children if isinstance(c, Element)]
+        idx = next(i for i, c in enumerate(sibs) if c is el)
+        sel += f":nth-child({idx + 1})"
+    return sel
+
+
+def css_selector(el: Element) -> str:
+    """Element.cssSelector (Element.java:1113-1131): '#id' when unique,
+    else components up the parent chain — STOPPING at the first ancestor
+    with a unique id ('#a > p:nth-child(1)'), never including the
+    Document."""
+    from ..parser.nodes import Document
+    doc = el.owner_document()
+    id_sel = _unique_id_selector(el, doc)
+    if id_sel:
+        return id_sel
     parts: list[str] = []
     node = el
-    while isinstance(node, Element) and node.name != "#root":
-        sel = escape_css_identifier(node.tag_name_case
-                                    if node.ns != "http://www.w3.org/1999/xhtml"
-                                    else node.name)
-        classes = node.class_names()
-        if classes:
-            sel += "." + ".".join(escape_css_identifier(c) for c in classes)
-        parent = node.parent
-        if isinstance(parent, Element) and parent.name != "#root":
-            siblings = [c for c in parent.children if isinstance(c, Element)]
-            same = [c for c in siblings
-                    if c.name == node.name and c.class_names() == classes]
-            if len(same) > 1:
-                idx = next(i for i, c in enumerate(siblings) if c is node)
-                sel += f":nth-child({idx + 1})"
-        parts.append(sel)
-        node = parent
-    return " > ".join(reversed(parts))
+    while isinstance(node, Element) and not isinstance(node, Document):
+        id_sel = _unique_id_selector(node, doc)
+        if id_sel:
+            parts.insert(0, id_sel)
+            break
+        parts.insert(0, _css_selector_component(node))
+        node = node.parent
+    return "".join(parts)
 
 
 _SUBMITTABLE = frozenset(("input", "select", "textarea", "button", "keygen"))

@@ -133,7 +133,41 @@ def main():
                 print("  q:  ", q)
                 print("  REF :", repr(golden[:250]))
                 print("  MINE:", repr(mine[:250]))
-    print(f"seed={seed}: {len(cases) - bad}/{len(cases)} match")
+    # cssSelector parity: per-element unique-selector generation
+    # (Element.cssSelector, Element.java:1113-1151) over both parse paths
+    from jsoup_spark.extract.functions import css_selector
+    from jsoup_spark.parser.nodes import Element
+    cs_cases = [("", d) for d in html_docs] + [("xml", d) for d in docs[:len(docs) // 2]]
+    inp2 = "\n".join(f"cssel\t{b64(d)}\t{b64(m)}" for m, d in cs_cases)
+    r2 = subprocess.run(["java", "-cp", "/tmp/jsoupbuild/out", "Harness"],
+                        input=inp2, capture_output=True, text=True)
+    lines2 = r2.stdout.split("\n")[:-1]
+    assert len(lines2) == len(cs_cases), (len(lines2), len(cs_cases))
+    cs_bad = 0
+    for (m, d), line in zip(cs_cases, lines2):
+        golden = base64.b64decode(line).decode()
+        root = parse_xml(d) if m == "xml" else parse(d, "")
+        mine_sels = []
+
+        def walk(n):
+            for ch in n.children:
+                if isinstance(ch, Element):
+                    mine_sels.append(css_selector(ch))
+                    walk(ch)
+
+        walk(root)
+        mine = SEP2.join(mine_sels)
+        if mine != golden:
+            cs_bad += 1
+            if cs_bad <= 5:
+                gl = golden.split(SEP2)
+                print("CSSEL MISMATCH", repr(d[:160]))
+                for a, b in zip(gl, mine_sels):
+                    if a != b:
+                        print("  REF :", repr(a), "\n  MINE:", repr(b))
+    bad += cs_bad
+    print(f"seed={seed}: {len(cases) - (bad - cs_bad)}/{len(cases)} select match, "
+          f"{len(cs_cases) - cs_bad}/{len(cs_cases)} cssel docs match")
     return 1 if bad else 0
 
 

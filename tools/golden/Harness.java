@@ -96,6 +96,20 @@ public class Harness {
                 return sb.toString();
             }
             case "selcount": return String.valueOf(Jsoup.parse(a1).select(a2).size());
+            case "cssel": {
+                // cssSelector() of every element in document order,
+                // \u0002-joined (a2 = "xml" for the xmlParser path)
+                Document doc = a2.equals("xml")
+                    ? Jsoup.parse(a1, "", org.jsoup.parser.Parser.xmlParser())
+                    : Jsoup.parse(a1);
+                StringBuilder sb = new StringBuilder();
+                for (org.jsoup.nodes.Element el : doc.getAllElements()) {
+                    if (el == doc) continue;
+                    if (sb.length() > 0) sb.append('\u0002');
+                    sb.append(el.cssSelector());
+                }
+                return sb.toString();
+            }
             case "xpath":
             case "xpathxml": {
                 // a2 = xpath query, optionally "cssContext\u0001xpath" to
