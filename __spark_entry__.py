@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from jsoup_spark.operators import (
     dedup, events, graph, relational, scrub, similarity, textstats)
 from jsoup_spark.operators.pipeline import (
-    clean_stage, extract_stage, fragment_stage, positions_stage,
-    select_stage, spans_to_rows, xml_stage,
+    clean_stage, css_path_stage, extract_stage, fragment_stage,
+    positions_stage, select_stage, spans_to_rows, xml_stage,
+    xpath_xml_stage,
 )
 from jsoup_spark.sources.corpus import synthesize
 
@@ -201,6 +202,47 @@ def q_select_xpath_adv(spark, sf_dir):
     return sel.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("own_text").alias("sib_li"),
+    )
+
+
+def q_select_css_path(spark, sf_dir):
+    """Unique-selector generation (Element.cssSelector,
+    nodes/Element.java:1113-1151; fuzzed per-element via
+    tools/fuzz_selectxml.py cssel): paths hang from the nearest
+    document-unique #id ancestor and disambiguate with :nth-child from
+    the parent-context child select. On the corpus, #main is unique and
+    its ul holds two lis, so the paths are closed-form constants."""
+    rows = css_path_stage(_corpus(spark, sf_dir), "ul li")
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("match_idx").cast("int").alias("match_idx"),
+        F.col("css_path").alias("css_path"),
+    )
+
+
+def q_select_xpath_xml(spark, sf_dir):
+    """XPath over XML-PARSED documents (Element.selectXpath over
+    Parser.xmlParser output — select/xpath.py, fuzzed via
+    tools/fuzz_xpath.py xpathxml mode): tag case is PRESERVED and name
+    tests are case-sensitive, so //Item matches the mixed-case element
+    only, never the lowercase <item> sibling."""
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("<doc id=\""), F.col("doc_id").cast("string"),
+            F.lit("\"><Item k=\"a\">"), F.col("lang"),
+            F.lit("</Item><item k=\"b\">"), F.col("source"),
+            F.lit("</item><?pi skip?><note><![CDATA["),
+            F.col("doc_id").cast("string"),
+            F.lit("]]></note></doc>"),
+        ).alias("xml"),
+    )
+    rows = xpath_xml_stage(d, "//Item | //note")
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("match_idx").cast("int").alias("match_idx"),
+        F.col("tag").alias("tag"),
+        F.col("own_text").alias("own_text"),
     )
 
 
@@ -1493,6 +1535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_has": q_select_has,
         "select_xpath": q_select_xpath,
         "select_xpath_adv": q_select_xpath_adv,
+        "select_css_path": q_select_css_path,
+        "select_xpath_xml": q_select_xpath_xml,
         "positions_title": q_positions_title,
         "clean_basic": q_clean_basic,
         "token_count": q_token_count,
@@ -1621,6 +1665,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang AS last_li FROM documents"),
         "select_xpath_adv": (
             "SELECT doc_id, lang AS sib_li FROM documents"),
+        "select_css_path": """
+            SELECT d.doc_id, v.match_idx, v.css_path
+            FROM documents d, (VALUES
+                (0, '#main > ul > li:nth-child(1)'),
+                (1, '#main > ul > li:nth-child(2)')) v(match_idx, css_path)""",
+        "select_xpath_xml": """
+            SELECT doc_id, 0 AS match_idx, 'Item' AS tag, lang AS own_text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'note', CAST(doc_id AS VARCHAR)
+            FROM documents""",
         # '<html><head>'=12, '<title>' ends at 19. The end range starts at
         # 12, not at '</title>': RCDATA end tags keep the OPEN tag's markup
         # start (reference quirk — markupStartPos only updates on TagOpen

@@ -483,3 +483,63 @@ def spans_to_rows(extracted: DataFrame) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.order").alias("order"),
     )
+
+
+def css_path_stage(docs: DataFrame, query: str) -> DataFrame:
+    """Unique-selector generation (Element.cssSelector,
+    nodes/Element.java:1113-1151) for every element matched by a CSS
+    query — one row (doc_id, match_idx, css_path) per match. The
+    generator is differentially fuzzed per-element against the compiled
+    reference (tools/fuzz_selectxml.py cssel block)."""
+    compile_query(query)
+    base_uri = BASE_URI
+    prepared = assemble_html(docs).select("doc_id", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extract.functions import css_selector
+        ev = compile_query(query)
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "match_idx", "css_path")}
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                doc = _parse_doc(html, base_uri)
+                for i, el in enumerate(select(doc, ev)):
+                    rows["doc_id"].append(doc_id)
+                    rows["match_idx"].append(i)
+                    rows["css_path"].append(css_selector(el))
+            out = pd.DataFrame(rows)
+            out["match_idx"] = out["match_idx"].astype("int32")
+            yield out
+
+    return prepared.mapInPandas(
+        run, schema="doc_id string, match_idx int, css_path string")
+
+
+def xpath_xml_stage(docs: DataFrame, query: str,
+                    xml_col: str = "xml") -> DataFrame:
+    """XPath select over XML-PARSED documents (the reference's
+    Element.selectXpath over Parser.xmlParser output — preserved tag
+    case, prefix rules, PI/doctype invisibility; select/xpath.py,
+    differentially fuzzed via tools/fuzz_xpath.py xpathxml mode). One row
+    per matched element: (doc_id, match_idx, tag, own_text). `tag` is the
+    PRESERVED-case tag name (el.tagName())."""
+    from ..select.xpath import compile_xpath, select_xpath
+    compile_xpath(query)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..parser.xmlbuilder import parse_xml
+        ev = compile_xpath(query)
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "match_idx", "tag", "own_text")}
+            for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
+                doc = parse_xml(xml)
+                for i, el in enumerate(select_xpath(doc, ev)):
+                    rows["doc_id"].append(doc_id)
+                    rows["match_idx"].append(i)
+                    rows["tag"].append(el.tag_name_case or el.name)
+                    rows["own_text"].append(el.own_text())
+            out = pd.DataFrame(rows)
+            out["match_idx"] = out["match_idx"].astype("int32")
+            yield out
+
+    return docs.select("doc_id", xml_col).mapInPandas(
+        run, schema="doc_id string, match_idx int, tag string, own_text string")
