@@ -43,6 +43,48 @@ _HTML_KEY_REPLACE = re.compile(r"[\x00-\x1f\x7f-\x9f \"'/=]+")
 
 _UNDEFINED_NS = "undefined"
 
+# XML 1.0 (5th ed) Name production — what the JAVA DOM layer enforces on
+# setAttribute/createElement (Xerces INVALID_CHARACTER_ERR). Broader than
+# jsoup's ASCII isValidXmlKey: unicode letters and a lone ':' are legal,
+# so an html-syntax attribute like 'aé' survives the reference's
+# DOMException fallback untouched.
+_NAME_START = ("A-Za-z_:\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u02FF"
+               "\u0370-\u037D\u037F-\u1FFF\u200C-\u200D\u2070-\u218F"
+               "\u2C00-\u2FEF\u3001-\uD7FF\uF900-\uFDCF\uFDF0-\uFFFD"
+               "\U00010000-\U000EFFFF")
+_NAME_CHAR = _NAME_START + "\\-.0-9\u00B7\u0300-\u036F\u203F-\u2040"
+_XML_NAME_VALID = re.compile(
+    "[" + _NAME_START + "][" + _NAME_CHAR + "]*\\Z")
+
+
+def _set_plain_attr(w_el, name: str, value: str) -> None:
+    """Plain (non-namespaced) attribute set, keyed by nodeName like the
+    Java DOM. minidom's setAttribute splits the qualified name and keys
+    its NS map by (None, local-part), which collides ':' with 'xmlns:'
+    and 'lang' with 'xml:lang' — pairs Xerces keeps distinct
+    (harness-probed: <x-y lang=1 xml:lang=2> keeps both)."""
+    doc = w_el.ownerDocument
+    a = doc.createAttribute(name)
+    a.value = value if value is not None else ""
+    if w_el._attrs is None:  # minidom inits the maps lazily
+        w_el._ensure_attributes()
+    old = w_el._attrs.get(name)
+    if old is not None:  # same-name replace, drop both of the old keys
+        w_el._attrs.pop(name, None)
+        for k2, v2 in list(w_el._attrsNS.items()):
+            if v2 is old:
+                del w_el._attrsNS[k2]
+    lk = (None, a.localName)
+    occupied = w_el._attrsNS.get(lk)
+    if occupied is not None and occupied.nodeName != name:
+        # a DIFFERENT qualified name owns this (None, local) slot — key
+        # by nodeName instead, as the Java DOM does, so the pair coexists
+        w_el._attrsNS[(None, name)] = a
+    else:
+        w_el._attrsNS[lk] = a
+    w_el._attrs[name] = a
+    a.ownerElement = w_el
+
 
 def get_valid_key(key: str, syntax: str) -> str | None:
     """Attribute.getValidKey (nodes/Attribute.java:228-240): coerce an
@@ -172,11 +214,15 @@ class W3CDom:
             k = get_valid_key(key, syntax)
             if k is None:
                 continue
-            # the W3C layer enforces XML names on set; the reference
-            # catches the DOMException and retries with xml coercion
-            if syntax != "xml" and _XML_KEY_VALID.match(k) is None:
+            # the JAVA DOM layer enforces XML 1.0 Names on set (Xerces
+            # INVALID_CHARACTER_ERR); the reference catches that
+            # DOMException and retries with xml-syntax coercion
+            # (W3CDom.copyAttributes, W3CDom.java:414-422). The gate is
+            # the real Name production, NOT jsoup's ASCII key check —
+            # 'aé' passes straight through on an html-parse doc.
+            if syntax != "xml" and _XML_NAME_VALID.match(k) is None:
                 k = get_valid_key(key, "xml")
-                if k is None:
+                if k is None or _XML_NAME_VALID.match(k) is None:
                     continue
             ns = None
             if self.namespace_aware and attr_ns is not None and ":" in k:
@@ -184,7 +230,7 @@ class W3CDom:
             if ns:
                 w_el.setAttributeNS(ns, k, val if val is not None else "")
                 continue  # namespace known: no undeclared-prefix fix-up
-            w_el.setAttribute(k, val if val is not None else "")
+            _set_plain_attr(w_el, k, val)
             self._maybe_add_undeclared_ns(k, j_el, w_el)
 
     def _maybe_add_undeclared_ns(self, attr_key: str, j_el: Element,
@@ -204,7 +250,7 @@ class W3CDom:
                 w_el.setAttributeNS(ns, attr_key, j_el.attr(attr_key))
                 return
             el = el.parent
-        w_el.setAttribute("xmlns:" + prefix, _UNDEFINED_NS)
+        _set_plain_attr(w_el, "xmlns:" + prefix, _UNDEFINED_NS)
 
     # ---- serialization / mapping ----
     def as_string(self, wdoc: minidom.Document) -> str:

@@ -84,6 +84,7 @@ def fresh_fuzz() -> int:
     # queries + the error-parity block
     runs.append(("fuzz_xpath.py", [str(base + 104729), "40", "40"]))
     runs.append(("fuzz_selectxml.py", [str(base + 1299709), "40", "40"]))
+    runs.append(("fuzz_w3cdom.py", [str(base + 15485863), "120"]))
     fails = 0
     for script, args in runs:
         seed = args[0]
