@@ -166,8 +166,11 @@ def main():
                     if a != b:
                         print("  REF :", repr(a), "\n  MINE:", repr(b))
     bad += cs_bad
-    print(f"seed={seed}: {len(cases) - (bad - cs_bad)}/{len(cases)} select match, "
-          f"{len(cs_cases) - cs_bad}/{len(cs_cases)} cssel docs match")
+    print(f"seed={seed}: {len(cases) - (bad - cs_bad)}/{len(cases)} select, "
+          f"{len(cs_cases) - cs_bad}/{len(cs_cases)} cssel docs")
+    # final line in the gate's "A/B match" tail shape (oracle_gate.fresh_fuzz)
+    total = len(cases) + len(cs_cases)
+    print(f"seed={seed}: {total - bad}/{total} match")
     return 1 if bad else 0
 
 
