@@ -688,23 +688,37 @@ class HtmlTreeBuilder:
 
     # ------------------------------------------------------------ inserts
     def _finalize_attrs(self, attrs, preserve_case: bool) -> dict:
-        """Lowercase (html settings) + first-wins dedupe
-        (HtmlTreeBuilder.java:369-388, Token.java:169-192)."""
+        """Name-case normalization + first-wins dedupe
+        (HtmlTreeBuilder.createElementFor, HtmlTreeBuilder.java:369-381).
+
+        The two knobs are INDEPENDENT in the reference: `preserve_case`
+        (the forcePreserveCase foreign-element path or settings) governs
+        the stored NAME case, while dedupe equality follows the BUILDER'S
+        ParseSettings — Attributes.deduplicate(settings) compares
+        equalsIgnoreCase unless preserveAttributeCase. So a default-
+        settings parse of <svg viewBox=1 viewbox=2> keeps ONLY viewBox
+        (harness-probed), while a preserveCase parser keeps both."""
         out: dict = {}
         if attrs:
+            ci_dedupe = not (self.settings is not None
+                             and self.settings.preserve_attribute_case)
             dupes = 0
+            seen: set = set()
             for k, v in attrs:
                 if not preserve_case:
                     k = k.lower()
-                if k in out:
+                dk = k.lower() if ci_dedupe else k
+                if dk in seen:
                     dupes += 1
                 else:
+                    seen.add(dk)
                     out[k] = v
             if dupes:
                 self.error("dropped duplicate attributes")
-            if preserve_case and len(out) > 1:
-                # ignore-case collisions need the precomputed fold for
-                # getIgnoreCase first-in-order resolution (nodes._CiAttrs)
+            if not ci_dedupe and len(out) > 1:
+                # case-sensitive dedupe can leave ignore-case COLLISIONS
+                # (<p ID=1 id=2> under preserveCase settings): precompute
+                # the getIgnoreCase fold (nodes._CiAttrs)
                 from .nodes import make_ci_attrs
                 out = make_ci_attrs(out)
         return out

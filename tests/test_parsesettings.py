@@ -100,3 +100,31 @@ def test_charset_getter_and_meta_update():
     doc2.charset("UTF-8")
     s2 = outer_html(doc2)
     assert 'name="charset"' not in s2 and 'charset="UTF-8"' in s2
+
+
+def test_foreign_attr_dedupe_ignore_case():
+    # Attributes.deduplicate(settings) compares equalsIgnoreCase unless
+    # the BUILDER's settings preserve attribute case — independent of the
+    # foreign-element forcePreserveCase NAME path. Default parse of
+    # <svg viewBox=1 viewbox=2 ID=a id=b> keeps ONLY the first of each
+    # ignore-case pair, with a dropped-duplicate parse error
+    # (harness-probed; HtmlTreeBuilder.java:369-381).
+    from jsoup_spark.parser.treebuilder import parse
+    doc = parse('<p><svg viewBox="1" viewbox="2" ID="a" id="b">y</svg></p>')
+    svg = doc.body.children[0].children[0]
+    assert dict(svg.attrs) == {"viewBox": "1", "ID": "a"}
+    assert any("duplicate" in e for e in doc.errors)
+
+
+def test_preserve_case_attr_dedupe_sensitive():
+    # preserveAttributeCase=true flips dedupe to case-SENSITIVE: ID and
+    # id coexist (and attr('id') resolves first-in-order via the
+    # _CiAttrs fold)
+    from jsoup_spark.parser.treebuilder import parse, ParseSettings, PRESERVE_CASE
+    doc = parse('<p ID="1" id="2">x</p>', settings=PRESERVE_CASE)
+    p = doc.body.children[0]
+    assert dict(p.attrs) == {"ID": "1", "id": "2"}
+    assert p.attr("id") == "1"
+    # tag-case-only settings still dedupe attrs ignore-case
+    doc2 = parse('<p ID="1" id="2">x</p>', settings=ParseSettings(True, False))
+    assert dict(doc2.body.children[0].attrs) == {"id": "1"}

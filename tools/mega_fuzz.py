@@ -26,7 +26,8 @@ WORDS = ["foo","bar  baz","&amp;","&notit","x<y","a&#66;c","  "," nb","tail","\t
          "&#xD;","&#13;","\r\n","&NotNestedGreaterGreater;","&CounterClockwiseContourIntegral;"]
 ATTRS = ["id=a","class='x y'","href=/p?a=1&b=2","data-k=\"v\"","selected","TITLE=Zed","id=a id=b",
          "a=\"q'q\"","a='&lt;'","encoding=text/html","type=hidden","type=text","color=red","xml:lang=en",
-         "style='x:1'","checked=checked","value=''","k=v=w","=bare","'quoted'=x","a =  spaced"]
+         "style='x:1'","checked=checked","value=''","k=v=w","=bare","'quoted'=x","a =  spaced",
+         "viewBox='0 0 1 1'","viewBox=1 viewbox=2","ID=1 id=2","Data-K=V"]
 MARKERS = ["<!-- c -->","<!--->","<!---->","<!doctype html>","<![CDATA[cd]]>","<?proc?>","<!bogus>",
            "<br/>","<b/>","<!DOCTYPE html PUBLIC 'p' 's'>","<!-- x --!>","</>","<!DOCTYPE  >",
            "<! >","<!doctype html public>","<!doctype html system 'x'>"]
