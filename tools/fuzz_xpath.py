@@ -152,10 +152,21 @@ def rand_rel_path(rng: random.Random, nsteps: int) -> str:
 _XALAN_BUG = re.compile(
     r"descendant(?:-or-self)?::node\(\)\[.*(?://|/\s*descendant)")
 
+# Second pinned Xalan defect (see test_xpath.py
+# test_xalan_reverse_axis_position_last_divergence): on a REVERSE axis,
+# a predicate referencing BOTH position() and last(), followed by any
+# further predicate, yields internal-state-dependent garbage in the
+# reference ([k] hits arbitrary wrong ranks or nothing). Forward axes
+# and single-predicate forms are exact; the generator skips the shape.
+_XALAN_BUG2 = re.compile(
+    r"(?:ancestor|ancestor-or-self|preceding|preceding-sibling)::"
+    r"[^/\[]*\[[^\]]*(?:position\(\)[^\]]*last\(\)|"
+    r"last\(\)[^\]]*position\(\))[^\]]*\]\s*\[")
+
 def rand_query(rng: random.Random) -> str:
     while True:
         q = _rand_query_once(rng)
-        if not _XALAN_BUG.search(q):
+        if not _XALAN_BUG.search(q) and not _XALAN_BUG2.search(q):
             return q
 
 
