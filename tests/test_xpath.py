@@ -491,3 +491,18 @@ def test_xalan_reverse_axis_position_last_divergence():
     els = select_xpath(
         doc, "(//b)[1]/ancestor-or-self::node()[position()*2 <= last()]")
     assert [e.name for e in els] == ["article", "p", "em", "b"]
+
+
+def test_xalan_fusion_extends_to_kind_test_child_steps():
+    # DOCUMENTED DIVERGENCE #1, broader shape (found by a fresh 9k-case
+    # campaign): the Xalan fusion that drops the predicate of
+    # descendant[-or-self]::node()[pred] fires not only for
+    # descendant-family continuations but for CHILD steps with a
+    # wildcard/kind test — /*, /node(), /text() (the "//X" abbreviation
+    # optimizer). Named-test continuations (/p) keep the predicate and
+    # are exact on both sides. We follow the spec.
+    doc = parse("<div type='t' id='d1'><p id='p1'>x</p></div><b id='b1'>y</b>")
+    els = select_xpath(doc, "/descendant-or-self::node()[@type]/*")
+    assert [e.attr("id") for e in els] == ["p1"]  # spec; Xalan: ALL elements
+    els = select_xpath(doc, "/descendant-or-self::node()[@type]/p")
+    assert [e.attr("id") for e in els] == ["p1"]  # exact on both sides

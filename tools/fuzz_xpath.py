@@ -145,12 +145,16 @@ def rand_rel_path(rng: random.Random, nsteps: int) -> str:
 
 # Xalan mis-rewrite (documented divergence, see test_xpath.py): an
 # explicit descendant/descendant-or-self axis with a node() test AND a
-# predicate, followed by any descendant-family continuation (explicit
-# descendant:: step OR the // abbreviation with any node test), drops
-# the predicate in the reference (Xalan fuses the two walks). Our
-# evaluator follows the XPath 1.0 spec; the generator skips the shape.
+# predicate, followed by a descendant-family continuation (explicit
+# descendant:: step OR the // abbreviation) OR a child step whose test
+# is a wildcard/kind test (/*, /node(), /text(), /comment()), drops the
+# predicate in the reference — Xalan compiles the "//X" abbreviation
+# shape into one DescendantIterator; named-test continuations take the
+# predicate-preserving walker. Our evaluator follows the XPath 1.0
+# spec; the generator skips the shape.
 _XALAN_BUG = re.compile(
-    r"descendant(?:-or-self)?::node\(\)\[.*(?://|/\s*descendant)")
+    r"descendant(?:-or-self)?::node\(\)\[.*"
+    r"(?://|/\s*descendant|/\s*\*|/\s*(?:node|text|comment)\(\))")
 
 # Second pinned Xalan defect (see test_xpath.py
 # test_xalan_reverse_axis_position_last_divergence): on a REVERSE axis,
