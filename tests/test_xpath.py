@@ -506,3 +506,35 @@ def test_xalan_fusion_extends_to_kind_test_child_steps():
     assert [e.attr("id") for e in els] == ["p1"]  # spec; Xalan: ALL elements
     els = select_xpath(doc, "/descendant-or-self::node()[@type]/p")
     assert [e.attr("id") for e in els] == ["p1"]  # exact on both sides
+
+
+def test_xalan_reverse_axis_last_plus_second_predicate():
+    # DOCUMENTED DIVERGENCE #2, broader shape: pred1 containing last()
+    # in ANY form ([last()] alone included) followed by a second
+    # predicate garbles on reverse axes — harness-probed:
+    # ancestor::*[last()][3 and 4] returns the NEAREST ancestor (em)
+    # instead of the farthest (html). We follow the spec.
+    doc = parse("<div><p>a</p><p>b</p><em><b>x</b></em></div>")
+    els = select_xpath(doc, "(//b)[1]/ancestor::*[last()][3 and 4]")
+    assert [e.name for e in els] == ["html"]  # spec; Xalan says em
+    els = select_xpath(doc, "(//b)[1]/ancestor::*[last()]")
+    assert [e.name for e in els] == ["html"]  # single pred: exact both sides
+
+
+def test_xalan_predicate_free_descendant_fusion():
+    # DOCUMENTED DIVERGENCE #1, predicate-free shape: plain
+    # descendant::node() + a // continuation fuses into one descendant
+    # walk in the reference, forgetting the depth>=2 floor of the
+    # two-step form (spec: X whose PARENT is a strict descendant).
+    # Harness-probed over xmlParser: <root>12.5<a>x</a></root> with
+    # descendant::node()//text() returns both texts on the reference;
+    # the spec answer is only the nested one.
+    from jsoup_spark.parser.xmlbuilder import parse_xml
+    doc = parse_xml("<root>12.5<a>x</a></root>")
+    texts = select_xpath_nodes(doc, "descendant::node()//text()")
+    assert [t.value for t in texts] == ["x"]  # spec; Xalan adds 12.5
+    assert select_xpath(doc, "descendant::node()//*") == []  # spec; Xalan: a
+    # descendant-or-self predicate-free coincides with the fused walk —
+    # exact on both sides (kept fuzzable)
+    els = select_xpath(doc, "descendant-or-self::node()//*")
+    assert [e.name for e in els] == ["a"]

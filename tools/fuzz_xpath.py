@@ -162,15 +162,27 @@ _XALAN_BUG = re.compile(
 # further predicate, yields internal-state-dependent garbage in the
 # reference ([k] hits arbitrary wrong ranks or nothing). Forward axes
 # and single-predicate forms are exact; the generator skips the shape.
+# Broadened r8s3: ANY first predicate containing last() — [last()],
+# [position()*2 <= last()], [position() <= last()-5] — followed by a
+# second predicate, garbles on reverse axes ([last()][1] behaves like
+# [1][1]: harness-probed, ancestor::*[last()][3 and 4] returns the
+# NEAREST ancestor). pred1-positional-only + pred2-with-last() is fine.
 _XALAN_BUG2 = re.compile(
     r"(?:ancestor|ancestor-or-self|preceding|preceding-sibling)::"
-    r"[^/\[]*\[[^\]]*(?:position\(\)[^\]]*last\(\)|"
-    r"last\(\)[^\]]*position\(\))[^\]]*\]\s*\[")
+    r"[^/\[]*\[[^\]]*last\(\)[^\]]*\]\s*\[")
+
+# Third shape: PREDICATE-FREE plain descendant::node() followed by a //
+# continuation ALSO fuses into one descendant walk, which forgets the
+# depth>=2 floor the two-step form implies (spec: X whose parent is a
+# STRICT descendant). descendant-or-self::node()//X coincides with the
+# fused walk by construction, so only the plain axis is skipped.
+_XALAN_BUG3 = re.compile(r"(?<!-)descendant::node\(\)\s*//")
 
 def rand_query(rng: random.Random) -> str:
     while True:
         q = _rand_query_once(rng)
-        if not _XALAN_BUG.search(q) and not _XALAN_BUG2.search(q):
+        if not _XALAN_BUG.search(q) and not _XALAN_BUG2.search(q) \
+                and not _XALAN_BUG3.search(q):
             return q
 
 
