@@ -788,8 +788,17 @@ def _eval_step(step: _Step, ctx: _Ctx) -> list[Node]:
         el = ctx.node
         if not isinstance(el, Element):
             return []
-        if step.test[0] == "*":
-            return [_AttrValue(v, k) for k, v in el.attrs.items()]
+        kind = step.test[0]
+        if kind in ("*", "node"):
+            # node() on the attribute axis selects every attribute, like *
+            # (the principal node kind of the axis); valueless attributes
+            # carry string-value '' in the reference's W3C conversion
+            return [_AttrValue(v if v is not None else "", k)
+                    for k, v in el.attrs.items()]
+        if kind in ("never", "pi", "text", "comment"):
+            # never: unresolvable prefix (matches nothing, like the
+            # reference); the other kind tests cannot match an attribute
+            return []
         key = step.test[1]
         # EXACT match: Xalan compares the stored attribute QName
         # case-sensitively (//svg[@viewbox] does NOT find viewBox —
@@ -845,7 +854,11 @@ def _eval_call(call: _Call, ctx: _Ctx):
     if name == "position":
         return float(ctx.position)
     if name == "count":
-        return float(len(args[0])) if isinstance(args[0], list) else math.nan
+        if not isinstance(args[0], list):
+            # Xalan raises an evaluation error for count(1); sum() already
+            # does, so keep error parity consistent across the two
+            raise ValueError("count() requires a node-set")
+        return float(len(args[0]))
     if name == "contains":
         return _to_str(args[0]).find(_to_str(args[1])) >= 0
     if name == "starts-with":
@@ -1045,7 +1058,10 @@ def _eval_filter(f: _Filter, ctx: _Ctx) -> list[Node]:
     v = _eval_expr(f.base, ctx)
     if not isinstance(v, list):
         raise ValueError("predicate/path applied to a non-node-set")
-    nodes = [n for n in v if not isinstance(n, _AttrValue)]
+    # attribute nodes survive predicate filtering ((//@href)[1] is the
+    # first href); the stable sort keeps them in emission order after any
+    # real nodes, and the API boundary drops them as elsewhere
+    nodes = list(v)
     nodes.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
     for pred in f.predicates:
         size = len(nodes)

@@ -538,3 +538,50 @@ def test_xalan_predicate_free_descendant_fusion():
     # exact on both sides (kept fuzzable)
     els = select_xpath(doc, "descendant-or-self::node()//*")
     assert [e.name for e in els] == ["a"]
+
+
+def test_attribute_axis_kind_tests_do_not_crash():
+    # r9 ADVICE: @xml:lang (unresolvable prefix -> ('never',) test),
+    # @node(), @text(), @comment() previously hit step.test[1] and the
+    # raw IndexError escaped the SelectorParseError wrapper, failing the
+    # whole worker batch. The reference silently matches nothing for
+    # unresolvable prefixes; node() selects every attribute (the axis'
+    # principal node kind).
+    doc = parse('<div data-x disabled lang="en"><a href="u">t</a></div>')
+    assert select_xpath(doc, "//div[@xml:lang]") == []
+    assert select_xpath(doc, "//div[@text()]") == []
+    assert select_xpath(doc, "//div[@comment()]") == []
+    # @node() == @* : div has 3 attributes
+    assert len(select_xpath(doc, "//div[count(@node()) = 3]")) == 1
+
+
+def test_attribute_wildcard_valueless_string_value():
+    # r9 ADVICE: @* wrapped valueless attributes as _AttrValue(None) —
+    # contains(@*, ...) raised AttributeError and @*='' was wrong. The
+    # reference's W3C conversion gives valueless attrs string-value ''.
+    doc = parse("<div data-x disabled>t</div>")
+    assert len(select_xpath(doc, "//div[@*='']")) == 1
+    assert len(select_xpath(doc, "//div[contains(@*, '')]")) == 1
+    # named branch already coerced; parity between the two lookups
+    assert len(select_xpath(doc, "//div[@data-x = @*]")) == 1
+
+
+def test_filter_expression_keeps_attribute_nodes():
+    # r9 ADVICE: (//@href)[1] was always empty because _eval_filter
+    # discarded attribute nodes from the base before predicates.
+    doc = parse('<p><a href="u1">A</a><a href="u2">B</a></p>')
+    assert len(select_xpath(doc, "//p[count((//@href)[1]) = 1]")) == 1
+    assert len(select_xpath(doc, "//p[count((//@href)[2]) = 1]")) == 1
+    assert len(select_xpath(doc, "//p[count((//@href)[3]) = 0]")) == 1
+    assert len(select_xpath(doc, "//p[(//@href)[1] = 'u1']")) == 1
+    assert select_xpath(doc, "//p[(//@href)[1] = 'u2']") == []
+
+
+def test_count_of_non_node_set_raises():
+    # r9 ADVICE: count(1) returned NaN silently while Xalan raises an
+    # evaluation error (and our own sum() already raised) — error parity.
+    doc = parse("<p>t</p>")
+    with pytest.raises(SelectorParseError):
+        select_xpath(doc, "//p[count(1)]")
+    with pytest.raises(SelectorParseError):
+        select_xpath(doc, "//p[count('x')]")
