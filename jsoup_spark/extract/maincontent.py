@@ -39,7 +39,10 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
-from ..parser.nodes import Document, Element
+from ..parser import tags as _tags
+from ..parser.nodes import (
+    CDataNode, Document, Element, TextNode, _append_normalised,
+    _needs_leading_sep, _pre_distance, _tail, java_trim)
 
 __all__ = ["score_document", "extract_main", "main_content_stage"]
 
@@ -79,6 +82,54 @@ def _class_weight(el: Element) -> float:
     return w
 
 
+def _text_and_anchors(root: Element) -> tuple[str, list[Element]]:
+    """root.text() and the descendant <a> elements from ONE traversal.
+
+    Exactly Element.text()'s normalization (the nodes._head/_tail
+    machinery, i.e. the same output byte for byte) — the election used
+    to pay a full text walk PLUS a separate elements() enumeration per
+    candidate (VERDICT r8 perf note: election was 5x the parse cost)."""
+    _P = _tags.PRESERVE_WS
+    _TN, _CD = TextNode, CDataNode
+    accum: list[str] = []
+    anchors: list[Element] = []
+    stack: list[list] = [[root, 0, None, _pre_distance(root)]]
+    while stack:
+        top = stack[-1]
+        node, idx = top[0], top[1]
+        children = node.children
+        if idx < len(children):
+            top[1] = idx + 1
+            child = children[idx]
+            cls = child.__class__
+            if cls is _TN:
+                if top[3] <= 5:
+                    accum.append(child.value)
+                else:
+                    _append_normalised(accum, child.value)
+                continue
+            if cls is _CD:
+                accum.append(child.value)
+                continue
+            if not isinstance(child, Element):
+                continue
+            nxt = children[idx + 1] if idx + 1 < len(children) else None
+            if accum and _needs_leading_sep(child) \
+                    and not accum[-1].endswith(" "):
+                accum.append(" ")
+            if child.name == "a":
+                anchors.append(child)
+            if child.children:
+                stack.append([child, 0, nxt,
+                              0 if child.flags & _P else top[3] + 1])
+            else:
+                _tail(child, accum, nxt)
+        else:
+            stack.pop()
+            _tail(node, accum, top[2])
+    return java_trim("".join(accum)), anchors
+
+
 def _link_density(el: Element) -> float:
     total = len(el.text())
     if total == 0:
@@ -90,8 +141,25 @@ def _link_density(el: Element) -> float:
     return min(1.0, linked / total)
 
 
+def _memo_text(el: Element, memo: dict[int, str]) -> str:
+    t = memo.get(id(el))
+    if t is None:
+        t = el.text()
+        memo[id(el)] = t
+    return t
+
+
 def score_document(doc: Document) -> list[tuple[Element, float]]:
     """-> [(candidate element, link-density-scaled score)], doc order."""
+    return _score_document(doc, {})
+
+
+def _score_document(doc: Document,
+                    memo: dict[int, str]) -> list[tuple[Element, float]]:
+    """score_document with a shared per-doc text memo: every text a
+    candidate walk produces is cached by element identity, so the
+    election (candidate text + per-anchor texts + the winner's output
+    text) never normalizes the same subtree twice."""
     body = doc.body
     if body is None:
         return []
@@ -109,7 +177,7 @@ def score_document(doc: Document) -> list[tuple[Element, float]]:
     for pos, el in enumerate(body.elements()):
         if el.name not in _PARA_TAGS:
             continue
-        text = el.text()
+        text = _memo_text(el, memo)
         if len(text) < MIN_PARA_CHARS:
             continue
         delta = 1.0 + text.count(",") + min(len(text) // 100, 3)
@@ -125,8 +193,21 @@ def score_document(doc: Document) -> list[tuple[Element, float]]:
     for key, el in cands.items():
         if el.name not in _CANDIDATE_TAGS:
             continue
-        out.append((el, scores[key] * (1.0 - _link_density(el)),
-                    order[key]))
+        text = memo.get(key)
+        if text is None:
+            text, anchors = _text_and_anchors(el)
+            memo[key] = text
+        else:  # already walked as an inner candidate: re-list anchors only
+            anchors = [d for d in el.elements() if d.name == "a"]
+        total = len(text)
+        if total == 0:
+            density = 0.0
+        else:
+            linked = 0
+            for d in anchors:
+                linked += len(_memo_text(d, memo))
+            density = min(1.0, linked / total)
+        out.append((el, scores[key] * (1.0 - density), order[key]))
     out.sort(key=lambda t: t[2])
     return [(el, s) for el, s, _ in out]
 
@@ -135,7 +216,8 @@ def extract_main(doc: Document) -> dict:
     """-> {tag, el_id, el_class, score_e3, text}. Highest-scoring
     candidate wins; ties break to document order; no candidate falls
     back to the body."""
-    ranked = score_document(doc)
+    memo: dict[int, str] = {}
+    ranked = _score_document(doc, memo)
     best, best_score = None, float("-inf")
     for el, s in ranked:
         if s > best_score:
@@ -147,14 +229,14 @@ def extract_main(doc: Document) -> dict:
             "el_id": body.attr("id") if body is not None else "",
             "el_class": body.attr("class") if body is not None else "",
             "score_e3": 0,
-            "text": body.text() if body is not None else "",
+            "text": _memo_text(body, memo) if body is not None else "",
         }
     return {
         "tag": best.name,
         "el_id": best.attr("id"),
         "el_class": best.attr("class"),
         "score_e3": int(round(best_score * 1000)),
-        "text": best.text(),
+        "text": _memo_text(best, memo),
     }
 
 

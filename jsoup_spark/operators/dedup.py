@@ -119,26 +119,60 @@ def minhash_signatures(documents: DataFrame,
 
 def minhash_lsh_buckets(documents: DataFrame) -> DataFrame:
     """Band docs by pairs of minhashes; emits bucket sizes per band key.
-    Buckets with n_docs > 1 are near-dup candidates."""
-    sig = minhash_signatures(documents)
-    # no exchange needed: the bands explode below references each mh column
-    # exactly once inside a single Generate input, so projection collapse
-    # still evaluates every signature once per row — and the groupBy is the
-    # only shuffle in the plan (measured equal-or-faster than an explicit
-    # repartition at sf0.1, and one full shuffle cheaper at scale)
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("band"),
-                     F.md5(F.concat_ws("|", "mh0", "mh1")).alias("band_key")),
-            F.struct(F.lit(1).alias("band"),
-                     F.md5(F.concat_ws("|", "mh2", "mh3")).alias("band_key")),
-        )).alias("b"),
-    ).select("doc_id", F.col("b.band").alias("band"),
-             F.col("b.band_key").alias("band_key"))
-    stacked = bands
+    Buckets with n_docs > 1 are near-dup candidates.
+
+    r9: the per-doc signature work (shingle split + one md5 per shingle
+    + window mins + band-key md5s) moved from interpreted Catalyst
+    higher-order functions into an Arrow batch stage running hashlib's C
+    md5 (guide §4.2 — hand batches to native code rather than chains of
+    interpreted JVM expressions). Only (doc_id, text) crosses the Python
+    boundary and only (doc_id, band, band_key) comes back — the plan
+    keeps the exact same single groupBy exchange, and the md5-hex
+    contract keeps the DuckDB oracle byte-identical. The Catalyst
+    formulation lives on in minhash_signatures (a declared query of its
+    own); tests pin the two paths band-key-identical."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("band", pa.int32()),
+        ("band_key", pa.string())])
+
+    def run(batches):
+        from hashlib import md5 as _h
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            ids = batch.column(idx["doc_id"]).to_pylist()
+            texts = batch.column(idx["text"]).to_pylist()
+            out_ids: list = []
+            out_band: list = []
+            out_key: list = []
+            for did, text in zip(ids, texts):
+                words = text.split(" ")
+                if len(words) >= 3:
+                    hexes = [
+                        _h((words[i] + " " + words[i + 1] + " "
+                            + words[i + 2]).encode()).hexdigest()
+                        for i in range(len(words) - 2)]
+                else:
+                    hexes = [_h(text.encode()).hexdigest()]
+                mh = [min(h[p:p + 8] for h in hexes)
+                      for p in (0, 8, 16, 24)]
+                out_ids.append(did)
+                out_band.append(0)
+                out_key.append(_h((mh[0] + "|" + mh[1]).encode()).hexdigest())
+                out_ids.append(did)
+                out_band.append(1)
+                out_key.append(_h((mh[2] + "|" + mh[3]).encode()).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64()),
+                 pa.array(out_band, pa.int32()),
+                 pa.array(out_key, pa.string())], schema=out_schema)
+
+    bands = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+    ).mapInArrow(run, schema="doc_id long, band int, band_key string")
     return (
-        stacked.groupBy("band", "band_key")
+        bands.groupBy("band", "band_key")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
@@ -350,25 +384,29 @@ def embedding_near_dup_with_stats(
     (tbl, bucket, n_docs, dropped_pairs) — empty when max_bucket=None
     or nothing exceeded it. No silent truncation."""
     from jsoup_spark.operators.similarity import (
-        _table_bucket, _probe_set, suggest_nbits)
+        _dot, _norm, _table_bucket, _probe_set, suggest_nbits)
     nbits = _knob(nbits, scale, "nbits")
     n_tables = _knob(n_tables, scale, "n_tables")
     max_bucket = _knob(max_bucket, scale, "max_bucket")
     if nbits is None:
         nbits = suggest_nbits(embeddings.count())
+    # norm precomputed per VECTOR (one pass per row) instead of per
+    # candidate pair — similarity._norm is the identical float64 left
+    # fold, so the rounded cosine is bit-identical (r9, guide §2.3)
     base = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("embedding"))
+        F.col("embedding"),
+        _norm(F.col("embedding")).alias("_nrm"))
     # one scan explodes each vector into its (table, bucket) pairs; with
     # the default single table this Generate is a 1-element explode
     e = base.select(
-        "vec_id", "embedding",
+        "vec_id", "embedding", "_nrm",
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"),
                      _table_bucket(F.col("embedding"), t, nbits)
                      .alias("bucket"))
             for t in range(n_tables)])).alias("tb"),
-    ).select("vec_id", "embedding",
+    ).select("vec_id", "embedding", "_nrm",
              F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     b = e.alias("b")
     if max_bucket is not None:
@@ -380,7 +418,7 @@ def embedding_near_dup_with_stats(
         a_src = (e.join(sizes, ["tbl", "bucket"])
                  .filter((F.col("n_docs") <= max_bucket)
                          | (F.col("vec_id") == F.col("rep_vec_id")))
-                 .select("vec_id", "embedding", "tbl", "bucket"))
+                 .select("vec_id", "embedding", "_nrm", "tbl", "bucket"))
         n = F.col("n_docs").cast("long")
         stats = (sizes.filter(F.col("n_docs") > max_bucket)
                  .select("tbl", "bucket", "n_docs",
@@ -395,7 +433,7 @@ def embedding_near_dup_with_stats(
                          F.lit(0).cast("long").alias("dropped_pairs")))
     if probe_hamming >= 1:
         a = a_src.select(
-            "vec_id", "embedding", "tbl",
+            "vec_id", "embedding", "_nrm", "tbl",
             F.explode(_probe_set(F.col("bucket"), nbits, probe_hamming))
             .alias("bucket")).alias("a")
     else:
@@ -403,13 +441,8 @@ def embedding_near_dup_with_stats(
     pairs = a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
-    ea, eb = to_d(F.col("a.embedding")), to_d(F.col("b.embedding"))
-    dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    cos = F.round(dot / (norm(ea) * norm(eb)), 6)
+    cos = F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                  / (F.col("a._nrm") * F.col("b._nrm")), 6)
     out = (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),

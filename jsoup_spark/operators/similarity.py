@@ -26,9 +26,27 @@ def _cosine(a, b):
     db = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (norm(da) * norm(db))
+    return dot / (_norm(a) * _norm(b))
+
+
+def _norm(c):
+    """sqrt(sum(x^2)) over the float64-cast array — the same left-fold as
+    _cosine's inline norm, so a norm PRECOMPUTED per vector (one pass per
+    row) is bit-identical to one recomputed per candidate pair. r9: the
+    interpreted higher-order functions used to run 3 aggregates + 4
+    casts per PAIR; precomputing both norms leaves only the dot product
+    pair-side (guide §2.3 — don't compute things per-pair that are
+    per-row)."""
+    dc = F.transform(c, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(
+        F.transform(dc, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _dot(a, b):
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
 
 
 def brute_force_topk(embeddings: DataFrame, n_queries: int = 5,
@@ -37,14 +55,17 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 5,
     excluding self. Exact baseline."""
     base = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("embedding"))
+        F.col("embedding"),
+        _norm(F.col("embedding")).alias("_nrm"))
     queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("_nrm").alias("_qnrm"))
     joined = base.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("q_id"))
     scored = joined.select(
         "q_id", "vec_id",
-        F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+        F.round(_dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("_qnrm") * F.col("_nrm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
@@ -143,19 +164,21 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         nbits = suggest_nbits(embeddings.count())
     base0 = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("embedding"))
+        F.col("embedding"),
+        _norm(F.col("embedding")).alias("_nrm"))
     base = base0.select(
-        "vec_id", "embedding",
+        "vec_id", "embedding", "_nrm",
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"),
                      _table_bucket(F.col("embedding"), t, nbits)
                      .alias("bucket"))
             for t in range(n_tables)])).alias("tb"),
-    ).select("vec_id", "embedding",
+    ).select("vec_id", "embedding", "_nrm",
              F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("_nrm").alias("_qnrm"),
         F.col("tbl").alias("q_tbl"),
         F.explode(_probe_set(F.col("bucket"), nbits, probe_hamming))
         .alias("q_bucket"))
@@ -166,7 +189,8 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         F.col("vec_id") != F.col("q_id"))
     scored = joined.select(
         "q_id", "vec_id",
-        F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+        F.round(_dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("_qnrm") * F.col("_nrm")), 6).alias("cosine"),
     )
     if n_tables > 1:
         # a candidate colliding in several tables appears once per table;

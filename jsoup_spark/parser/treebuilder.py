@@ -22,7 +22,7 @@ from __future__ import annotations
 from . import tags, tokenizer as tz
 from .nodes import (
     CDataNode, CommentNode, DataNode, Document, DoctypeNode, Element,
-    TextNode,
+    TextNode, copy_attrs,
 )
 from .tags import NS_HTML, NS_MATHML, NS_SVG
 
@@ -715,10 +715,13 @@ class HtmlTreeBuilder:
                     out[k] = v
             if dupes:
                 self.error("dropped duplicate attributes")
-            if not ci_dedupe and len(out) > 1:
-                # case-sensitive dedupe can leave ignore-case COLLISIONS
-                # (<p ID=1 id=2> under preserveCase settings): precompute
-                # the getIgnoreCase fold (nodes._CiAttrs)
+            if preserve_case and out:
+                # preserved-case keys break the plain-dict all-lowercase
+                # invariant (nodes.Element.attr fast path): classify as
+                # _PcAttrs (mixed case) or — when case-sensitive dedupe
+                # left ignore-case COLLISIONS (<p ID=1 id=2> under
+                # preserveCase settings) — _CiAttrs with the
+                # getIgnoreCase fold precomputed
                 from .nodes import make_ci_attrs
                 out = make_ci_attrs(out)
         return out
@@ -1122,7 +1125,7 @@ class HtmlTreeBuilder:
                 pos += 1
                 entry = f[pos]
             skip = False
-            new_el = Element(entry.name, entry.ns, dict(entry.attrs))
+            new_el = Element(entry.name, entry.ns, copy_attrs(entry.attrs))
             new_el.tag_name_case = entry.tag_name_case
             if self.track:
                 # ranges ride along with the attribute clone in the

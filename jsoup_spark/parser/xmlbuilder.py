@@ -123,9 +123,11 @@ class XmlTreeBuilder:
             for k, v in attrs:  # case-sensitive first-wins dedupe
                 if k not in out:
                     out[k] = v
-            if len(out) > 1:
-                from .nodes import make_ci_attrs
-                out = make_ci_attrs(out)
+            # classify even single-attr dicts: a lone preserved-case key
+            # (<x viewBox=1>) must carry the _PcAttrs marker so the plain-
+            # dict attr() fast path keeps its all-lowercase invariant
+            from .nodes import make_ci_attrs
+            out = make_ci_attrs(out)
         return out
 
     def _insert_element(self, start) -> None:

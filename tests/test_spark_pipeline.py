@@ -536,3 +536,91 @@ print("SHIM-OK")
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     assert "SHIM-OK" in out.stdout
+
+
+def test_fingerprint_rolling_matches_catalyst_pin(spark):
+    # r9: fingerprint_rolling moved to a vectorized Arrow stage; the old
+    # pure-Catalyst formulation is the differential pin — outputs and
+    # schema must be bit-identical (incl. empty docs, docs shorter than
+    # k, unicode and astral code points).
+    import random
+    from jsoup_spark.operators.textstats import (
+        fingerprint_rolling, _fingerprint_rolling_catalyst)
+    random.seed(11)
+    texts = ["", "a", "short", "exactly8", "x" * 7, "x" * 8,
+             "hello world this is a longer text with spaces",
+             "é unicode ü text ß", "x\U0001F389y astral plane here",
+             "\t\n mixed whitespace  doc "]
+    texts += ["".join(random.choice("abcdefgh XYZ0123")
+                      for _ in range(random.randint(0, 120)))
+              for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    new = fingerprint_rolling(df)
+    old = _fingerprint_rolling_catalyst(df)
+    # names+types must match; mapInArrow relaxes nullability, which the
+    # driver's DuckDB comparison does not see
+    assert new.schema.simpleString() == old.schema.simpleString()
+    assert sorted(map(tuple, new.collect())) == \
+        sorted(map(tuple, old.collect()))
+
+
+def test_lsh_buckets_matches_catalyst_bands(spark):
+    # r9: minhash_lsh_buckets computes band keys in an Arrow stage
+    # (hashlib md5); pin it band-for-band against the Catalyst
+    # minhash_signatures formulation it replaced.
+    from pyspark.sql import functions as F
+    from jsoup_spark.operators.dedup import (
+        minhash_lsh_buckets, minhash_signatures)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "one two", "", "single",
+             "a b c d e f g", "a b c d e f g",  # exact dupes bucket
+             "é ü ß unicode words here okay"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    sig = minhash_signatures(df)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     F.md5(F.concat_ws("|", "mh0", "mh1"))
+                     .alias("band_key")),
+            F.struct(F.lit(1).alias("band"),
+                     F.md5(F.concat_ws("|", "mh2", "mh3"))
+                     .alias("band_key")),
+        )).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"),
+             F.col("b.band_key").alias("band_key"))
+    expected = (bands.groupBy("band", "band_key")
+                .agg(F.count("*").alias("n_docs"),
+                     F.min("doc_id").alias("min_doc_id"))
+                .filter(F.col("n_docs") > 1))
+    got = minhash_lsh_buckets(df)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, expected.collect()))
+
+
+def test_similarity_norm_precompute_exact(spark):
+    # r9: cosine denominators come from per-vector precomputed norms;
+    # the fold is identical so rounded cosines must not move.
+    from jsoup_spark.operators import similarity
+    import random
+    random.seed(3)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(df, n_queries=3, k=5).collect()
+    assert len(out) == 15
+    # cross-check one cosine against a driver-side float64 computation
+    import math
+    emb = {i: [float(x) for x in v] for i, v in
+           ((r.vec_id, r.embedding) for r in df.collect())}
+    r0 = sorted(out, key=lambda r: (r.q_id, r.rank))[0]
+    a, b = emb[r0.q_id], emb[r0.vec_id]
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    assert abs(round(dot / (na * nb), 6) - r0.cosine) <= 1e-6
