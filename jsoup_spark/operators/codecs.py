@@ -1400,7 +1400,8 @@ class _Canonical:
     """Canonical prefix code from code lengths (DEFLATE-style canonical
     assignment; stream bits arrive with the MSB of each code first)."""
 
-    __slots__ = ("single", "maxlen", "count", "base", "syms")
+    __slots__ = ("single", "maxlen", "count", "base", "syms", "table",
+                 "tmask")
 
     def __init__(self, lengths):
         used = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -1427,10 +1428,46 @@ class _Canonical:
         self.syms = [[] for _ in range(self.maxlen + 1)]
         for l, s in used:
             self.syms[l].append(s)
+        # one-shot lookup table over maxlen peeked bits (r9: the per-bit
+        # decode loop was the decoder's hottest path). Index = the next
+        # maxlen stream bits in arrival order; entries cover every
+        # pattern whose prefix is a codeword. Bounded to maxlen <= 11 so
+        # a hostile 15-bit code can't force a 32k-entry build per code.
+        self.table = None
+        if self.maxlen <= 11:
+            tbl = [None] * (1 << self.maxlen)
+            code = 0
+            for l in range(1, self.maxlen + 1):
+                code = (code + self.count[l - 1]) << 1
+                for i, s in enumerate(self.syms[l]):
+                    c = code + i
+                    rev = 0
+                    cc = c
+                    for _ in range(l):
+                        rev = (rev << 1) | (cc & 1)
+                        cc >>= 1
+                    for hi in range(1 << (self.maxlen - l)):
+                        tbl[(hi << l) | rev] = (s, l)
+            self.table = tbl
+            self.tmask = (1 << self.maxlen) - 1
 
     def decode(self, br: _LsbBitReader) -> int:
         if self.single is not None:
             return self.single
+        table = self.table
+        if table is not None:
+            data, pos, bit = br.data, br.pos, br.bit
+            if (len(data) - pos) * 8 - bit >= self.maxlen:
+                chunk = int.from_bytes(data[pos:pos + 3], "little") >> bit
+                e = table[chunk & self.tmask]
+                if e is not None:
+                    s, l = e
+                    bit += l
+                    br.pos = pos + (bit >> 3)
+                    br.bit = bit & 7
+                    return s
+            # table miss (invalid word) or near end-of-stream: fall back
+            # to the exact per-bit loop for identical error behavior
         acc = 0
         for l in range(1, self.maxlen + 1):
             acc = (acc << 1) | br.read1()
@@ -1931,22 +1968,33 @@ def _vp8l_flat_lengths(used):
 
 
 def _vp8l_codewords(lengths: dict):
-    """Canonical codewords (DEFLATE assignment) for {symbol: length}."""
+    """Canonical codewords (DEFLATE assignment) for {symbol: length},
+    stored BIT-REVERSED so the LSB-first writer can emit a whole
+    codeword in one write() call (r9: the per-bit emit loop was the
+    encoder's hottest path — 60%+ of encode wall). The canonical
+    MSB-first codeword bit sequence b_{l-1}..b_0 is exactly one
+    LSB-first write of its reversal."""
     items = sorted((l, s) for s, l in lengths.items() if l > 0)
     code = 0
     prev_len = 0
     words = {}
     for l, s in items:
         code <<= (l - prev_len)
-        words[s] = (code, l)
+        rev = 0
+        c = code
+        for _ in range(l):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        words[s] = (rev, l)
         code += 1
         prev_len = l
     return words
 
 
 def _vp8l_write_word(bw: _LsbBitWriter, code: int, length: int) -> None:
-    for i in range(length - 1, -1, -1):
-        bw.write((code >> i) & 1, 1)
+    # `code` is pre-reversed by _vp8l_codewords (or a <=1-bit palindrome
+    # from the simple representation): one packed write
+    bw.write(code, length)
 
 
 def _vp8l_write_code(bw: _LsbBitWriter, lengths: dict, alphabet: int):

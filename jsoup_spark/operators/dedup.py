@@ -256,10 +256,17 @@ def ngram_jaccard_pairs_with_stats(
                  .select("band_key", "n_docs",
                          F.lit(0).cast("long").alias("dropped_pairs")))
     else:
-        sizes = compact.groupBy("band_key").agg(
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("rep_doc_id"))
-        member = compact.join(sizes, "band_key")
+        # bucket size + representative via ONE window over the compact
+        # (doc_id, band_key) rows — r9: the groupBy-sizes + join-back
+        # formulation paid two exchanges of the same small rows; a window
+        # partitioned by band_key needs one (guide §2.4: operations keyed
+        # the same way share one exchange). Rows here are ~40 bytes, so
+        # shuffling them once under the window is strictly cheaper.
+        wb = Window.partitionBy("band_key")
+        member = compact.select(
+            "doc_id", "band_key",
+            F.count("*").over(wb).alias("n_docs"),
+            F.min("doc_id").over(wb).alias("rep_doc_id"))
         small = member.filter(F.col("n_docs") <= max_bucket) \
             .select("doc_id", "band_key")
         a, b = small.alias("a"), small.alias("b")
@@ -273,7 +280,8 @@ def ngram_jaccard_pairs_with_stats(
                             F.col("doc_id").alias("doc_b")))
         cand = cand_small.unionByName(cand_big)
         n = F.col("n_docs").cast("long")
-        stats = (sizes.filter(F.col("n_docs") > max_bucket)
+        stats = (member.filter((F.col("n_docs") > max_bucket)
+                               & (F.col("doc_id") == F.col("rep_doc_id")))
                  .select("band_key", "n_docs",
                          (n * (n - 1) / 2 - (n - 1)).cast("long")
                          .alias("dropped_pairs")))
@@ -392,21 +400,28 @@ def embedding_near_dup_with_stats(
         nbits = suggest_nbits(embeddings.count())
     # norm precomputed per VECTOR (one pass per row) instead of per
     # candidate pair — similarity._norm is the identical float64 left
-    # fold, so the rounded cosine is bit-identical (r9, guide §2.3)
+    # fold, so the rounded cosine is bit-identical (r9, guide §2.3).
+    # ONLY on the uncapped path: with max_bucket set, the sizes
+    # join-back plan loses its BroadcastExchange reuse when the base
+    # projection carries the non-codegen-able norm HOF (paired A/B at
+    # sf0.1: scale="large" 3.0 s inline vs 6.3 s precomputed; the
+    # uncapped multi-probe path is 2.9x FASTER precomputed, 6.5->2.3 s)
+    pre_norm = max_bucket is None
+    ncols = ["_nrm"] if pre_norm else []
     base = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding"),
-        _norm(F.col("embedding")).alias("_nrm"))
+        *([_norm(F.col("embedding")).alias("_nrm")] if pre_norm else []))
     # one scan explodes each vector into its (table, bucket) pairs; with
     # the default single table this Generate is a 1-element explode
     e = base.select(
-        "vec_id", "embedding", "_nrm",
+        "vec_id", "embedding", *ncols,
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"),
                      _table_bucket(F.col("embedding"), t, nbits)
                      .alias("bucket"))
             for t in range(n_tables)])).alias("tb"),
-    ).select("vec_id", "embedding", "_nrm",
+    ).select("vec_id", "embedding", *ncols,
              F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     b = e.alias("b")
     if max_bucket is not None:
@@ -418,7 +433,7 @@ def embedding_near_dup_with_stats(
         a_src = (e.join(sizes, ["tbl", "bucket"])
                  .filter((F.col("n_docs") <= max_bucket)
                          | (F.col("vec_id") == F.col("rep_vec_id")))
-                 .select("vec_id", "embedding", "_nrm", "tbl", "bucket"))
+                 .select("vec_id", "embedding", *ncols, "tbl", "bucket"))
         n = F.col("n_docs").cast("long")
         stats = (sizes.filter(F.col("n_docs") > max_bucket)
                  .select("tbl", "bucket", "n_docs",
@@ -433,7 +448,7 @@ def embedding_near_dup_with_stats(
                          F.lit(0).cast("long").alias("dropped_pairs")))
     if probe_hamming >= 1:
         a = a_src.select(
-            "vec_id", "embedding", "_nrm", "tbl",
+            "vec_id", "embedding", *ncols, "tbl",
             F.explode(_probe_set(F.col("bucket"), nbits, probe_hamming))
             .alias("bucket")).alias("a")
     else:
@@ -441,8 +456,15 @@ def embedding_near_dup_with_stats(
     pairs = a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-    cos = F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
-                  / (F.col("a._nrm") * F.col("b._nrm")), 6)
+    if pre_norm:
+        cos = F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                      / (F.col("a._nrm") * F.col("b._nrm")), 6)
+    else:
+        # capped path: the original per-pair inline fold (identical ops,
+        # identical rounded value — see pre_norm note above)
+        cos = F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                      / (_norm(F.col("a.embedding"))
+                         * _norm(F.col("b.embedding"))), 6)
     out = (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),

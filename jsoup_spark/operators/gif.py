@@ -83,9 +83,11 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
-    # dictionary as (prefix_code, suffix_byte); roots are implicit
-    prefix = np.zeros(4096, np.int32)
-    suffix = np.zeros(4096, np.uint8)
+    # dictionary as (prefix_code, suffix_byte); roots are implicit.
+    # plain lists, not numpy arrays: per-code scalar indexing in the
+    # expand loop was the decode hot spot (numpy scalar boxing, r9)
+    prefix = [0] * 4096
+    suffix = bytearray(4096)
     width = min_code_size + 1
     next_free = eoi + 1
     prev = -1

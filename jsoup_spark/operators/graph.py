@@ -51,25 +51,29 @@ def connected_components(edges: DataFrame, src: str = "src",
             .select(F.col("v"),
                     F.least(F.col("o.label"),
                             F.coalesce(F.col("m.nbr_min"),
-                                       F.col("o.label"))).alias("label")))
+                                       F.col("o.label"))).alias("label"),
+                    F.col("o.label").alias("_prev")))
         # pointer jumping: label <- label(label). Labels are minima, so
         # label(label) <= label; combined with the neighbor step this
         # collapses long paths in O(log diameter) rounds instead of
         # O(diameter) (the same shortcutting large-star/small-star uses).
         lut = stepped.select(F.col("v").alias("lv"),
                              F.col("label").alias("llabel"))
+        # the previous round's label rides along so the convergence probe
+        # below is a filter over the checkpointed result instead of an
+        # extra join-against-old-labels job per round (r9)
         new_labels = (
             stepped.alias("s").join(lut, F.col("s.label") == F.col("lv"),
                                     "left")
             .select(F.col("s.v").alias("v"),
                     F.coalesce(F.col("llabel"), F.col("s.label"))
-                    .alias("label"))
+                    .alias("label"),
+                    F.col("s._prev").alias("_prev"))
             .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "v")
-                   .where(F.col("n.label") != F.col("o.label"))
+        changed = (new_labels
+                   .where(F.col("label") != F.col("_prev"))
                    .limit(1).count())
-        labels = new_labels
+        labels = new_labels.select("v", "label")
         if changed == 0:
             break
     return labels

@@ -24,6 +24,7 @@ Output span contract (per-row invariant, BASELINE.json):
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -139,6 +140,17 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
         ("bytes_tokenized", pa.int64()),
     ])
 
+    # r9 transport-overlap experiment (VERDICT r8 #3): flushing output
+    # every N docs so the JVM reader deserializes chunk K while Python
+    # parses K+1 was measured paired-in-one-session at sf0.1/x20:
+    # unchunked 0.537 s min-wall vs 768-chunk 0.576 vs 256-chunk 0.590 —
+    # per-chunk RecordBatch assembly outweighs the overlap, the same
+    # conclusion NOTES_r8 reached for input batch sizing. Default is
+    # therefore "one output batch per input batch" (off); the env knob
+    # stays for re-probing on other topologies.
+    out_chunk = int(os.environ.get("JSOUP_SPARK_EXTRACT_OUT_CHUNK",
+                                   "1000000000"))
+
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         # mapInArrow, not mapInPandas: the output spans are nested structs
         # and the pandas->arrow conversion of nested objects dominates the
@@ -146,6 +158,8 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
         for batch in batches:
             idx = {n: i for i, n in enumerate(batch.schema.names)}
             doc_ids = batch.column(idx["doc_id"])
+            if doc_ids.type != pa.string():
+                doc_ids = doc_ids.cast(pa.string())
             htmls = batch.column(idx["html"]).to_pylist()
             # flat columnar read of the (already offset-sorted) media spans:
             # to_pylist on the nested list<struct> built one dict per span,
@@ -156,13 +170,45 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
             m_texts = m_vals.field("text").to_pylist()
             m_refs = m_vals.field("media_ref").to_pylist()
             # column-wise span assembly: flat field lists + offsets beat
-            # pa.array() over per-span python dicts by a wide margin
+            # pa.array() over per-span python dicts by a wide margin.
+            # Output flushes every `out_chunk` docs rather than once per
+            # input batch (r9, guide-§2.6-style overlap inside the task):
+            # the JVM's reader thread deserializes and counts chunk K
+            # while this worker parses chunk K+1, hiding most of the
+            # output leg of the serialize->parse->read phase chain that
+            # batch-size sweeps alone could not move (NOTES_r8 §1).
             kinds: list = []
             texts: list = []
             refs: list = []
             orders: list = []
             offsets = [0]
             out_n, out_err, out_bytes = [], [], []
+            chunk_start = 0
+
+            def flush(upto: int):
+                nonlocal kinds, texts, refs, orders, offsets
+                nonlocal out_n, out_err, out_bytes, chunk_start
+                struct = pa.StructArray.from_arrays(
+                    [pa.array(kinds, pa.string()),
+                     pa.array(texts, pa.string()),
+                     pa.array(refs, pa.string()),
+                     pa.array(orders, pa.int32())],
+                    fields=list(span_type))
+                spans_col = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), struct)
+                rb = pa.RecordBatch.from_arrays([
+                    doc_ids.slice(chunk_start, upto - chunk_start),
+                    spans_col,
+                    pa.array(out_n, pa.int32()),
+                    pa.array(out_err, pa.int32()),
+                    pa.array(out_bytes, pa.int64()),
+                ], schema=out_schema)
+                kinds, texts, refs, orders = [], [], [], []
+                offsets = [0]
+                out_n, out_err, out_bytes = [], [], []
+                chunk_start = upto
+                return rb
+
             for di, html in enumerate(htmls):
                 if stream_threshold >= 0 and len(html) > stream_threshold:
                     errs: list = []
@@ -188,20 +234,10 @@ def extract_stage(docs: DataFrame, *, bucket: bool = False,
                 out_n.append(order)
                 out_err.append(n_errors)
                 out_bytes.append(len(html))
-            struct = pa.StructArray.from_arrays(
-                [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
-                 pa.array(refs, pa.string()), pa.array(orders, pa.int32())],
-                fields=list(span_type))
-            spans_col = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), struct)
-            yield pa.RecordBatch.from_arrays([
-                doc_ids.cast(pa.string()) if doc_ids.type != pa.string()
-                else doc_ids,
-                spans_col,
-                pa.array(out_n, pa.int32()),
-                pa.array(out_err, pa.int32()),
-                pa.array(out_bytes, pa.int64()),
-            ], schema=out_schema)
+                if di + 1 - chunk_start >= out_chunk:
+                    yield flush(di + 1)
+            if out_n or not htmls:
+                yield flush(len(htmls))
 
     return prepared.mapInArrow(run, schema=schemas.EXTRACT_OUT)
 

@@ -104,8 +104,10 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
     """TIFF-variant LZW: MSB-first bits, clear=256, EOI=257, code width
     increases one code EARLY (at 511/1023/2047 table fill)."""
     CLEAR, EOI = 256, 257
-    prefix = np.zeros(4096, np.int32)
-    suffix = np.zeros(4096, np.uint8)
+    # plain lists, not numpy arrays: per-code scalar indexing in the
+    # expand loop was the decode hot spot (numpy scalar boxing, r9)
+    prefix = [0] * 4096
+    suffix = bytearray(4096)
     out = bytearray()
     acc = nbits = 0
     pos, n = 0, len(data)
