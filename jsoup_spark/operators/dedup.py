@@ -217,33 +217,19 @@ def ngram_jaccard_pairs_with_stats(
       SCALE_PROFILES["large"]["max_bucket"].
     """
     max_bucket = _knob(max_bucket, scale, "max_bucket")
-    # Materialize the shingle array through a Generate (explode of a
-    # 1-element array): `sh` becomes a plain attribute downstream, so the
-    # split/zip_with chain runs exactly once per row no matter how many
-    # consumers reference it (projection collapse would otherwise re-inline
-    # it into array_distinct + the band minhash transform).
-    # array_min over the distinct set equals array_min over the raw set, so
-    # the band key is computed from the deduped array — one array, not two.
-    shingled = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.array(F.array_distinct(_shingles()))).alias("sh"),
-    )
-    def _band_key(hs):
-        # hs is BOUND (single md5 pass over the distinct shingles); the two
-        # window-mins only re-walk the hash strings
-        return F.md5(F.concat_ws(
-            "|",
-            F.array_min(F.transform(hs, lambda h: F.substring(h, 1, 8))),
-            F.array_min(F.transform(hs, lambda h: F.substring(h, 9, 8))),
-        ))
-    sh = shingled.select(
-        "doc_id",
-        "sh",
-        F.transform(
-            F.array(F.transform(F.col("sh"), lambda s: F.md5(s))),
-            _band_key)[0].alias("band_key"),
-    )
-    compact = sh.select("doc_id", "band_key")
+    # r9: the per-doc shingle+md5 chain moves into TWO cheap Arrow batch
+    # stages (guide §4.2 — hashlib's C md5 / plain splits instead of
+    # interpreted Catalyst lambdas), shaped so the SCALE story of the
+    # plan is unchanged: candidates still form from (doc_id, band_key)
+    # ONLY (the keys-only banding stage), and the shingle arrays are
+    # still attached afterwards for just the candidate pairs (the
+    # arrays stage, which never runs md5 at all). mapInArrow is opaque
+    # to column pruning, so ONE stage emitting both keys and arrays
+    # would ship the arrays into every candidate-side branch — the
+    # split keeps each branch paying only for what it reads. Band key
+    # oracle-pinned: min over raw-stream md5 windows == min over the
+    # distinct set.
+    compact = _band_keys_arrow(documents)
     if max_bucket is None:
         a, b = compact.alias("a"), compact.alias("b")
         cand = a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -285,7 +271,7 @@ def ngram_jaccard_pairs_with_stats(
                  .select("band_key", "n_docs",
                          (n * (n - 1) / 2 - (n - 1)).cast("long")
                          .alias("dropped_pairs")))
-    arrays = sh.select("doc_id", "sh")
+    arrays = _shingle_arrays_arrow(documents)
     pairs = (cand
              .join(arrays.select(F.col("doc_id").alias("doc_a"),
                                  F.col("sh").alias("sh_a")), "doc_a")
@@ -299,6 +285,67 @@ def ngram_jaccard_pairs_with_stats(
         .filter(F.col("jaccard") >= threshold)
     )
     return out, stats
+
+
+def _py_shingles(text: str) -> list:
+    """3-word shingles, Catalyst-_shingles-identical (split on literal
+    space keeps empties; docs under 3 words shingle to [text])."""
+    words = text.split(" ")
+    if len(words) >= 3:
+        return [words[i] + " " + words[i + 1] + " " + words[i + 2]
+                for i in range(len(words) - 2)]
+    return [text]
+
+
+def _band_keys_arrow(documents: DataFrame) -> DataFrame:
+    """(doc_id, band_key): band-0 LSH key per doc via hashlib md5."""
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.int64()), ("band_key", pa.string())])
+
+    def run(batches):
+        from hashlib import md5 as _h
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            ids = batch.column(idx["doc_id"]).to_pylist()
+            texts = batch.column(idx["text"]).to_pylist()
+            keys = []
+            for text in texts:
+                hexes = [_h(s.encode()).hexdigest()
+                         for s in _py_shingles(text)]
+                mh0 = min(h[:8] for h in hexes)
+                mh1 = min(h[8:16] for h in hexes)
+                keys.append(_h((mh0 + "|" + mh1).encode()).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(keys, pa.string())],
+                schema=schema)
+
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+    ).mapInArrow(run, schema="doc_id long, band_key string")
+
+
+def _shingle_arrays_arrow(documents: DataFrame) -> DataFrame:
+    """(doc_id, sh): DISTINCT shingle list per doc (first-occurrence
+    order, = array_distinct) — no hashing at all on this branch."""
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("sh", pa.list_(pa.string()))])
+
+    def run(batches):
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            ids = batch.column(idx["doc_id"]).to_pylist()
+            texts = batch.column(idx["text"]).to_pylist()
+            out = [list(dict.fromkeys(_py_shingles(t))) for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array(out, pa.list_(pa.string()))], schema=schema)
+
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+    ).mapInArrow(run, schema="doc_id long, sh array<string>")
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
