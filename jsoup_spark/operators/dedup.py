@@ -358,28 +358,26 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     through a struct accumulator whose finish lambda assembles the hash -
     inside the lambdas every accumulator reference is a bound value, so
     nothing re-evaluates. A/B at sf0.1: 0.52s vs 0.75s (round-1 16-pass)
-    vs 0.92s (interim 17-pass explode variant)."""
-    words = F.split(F.col("text"), " ")
-    word_hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
-    zero = F.struct(
-        *[F.lit(0).cast("long").alias(f"c{j}") for j in range(bits)],
-        F.lit(0).cast("long").alias("n"))
+    vs 0.92s (interim 17-pass explode variant).
 
-    def merge(acc, h):
-        return F.struct(
-            *[(acc[f"c{j}"] + F.shiftright(h, j) % 2).alias(f"c{j}")
-              for j in range(bits)],
-            (acc["n"] + 1).alias("n"))
-
-    def finish(acc):
-        e = None
-        for j in range(bits):
-            term = (acc[f"c{j}"] * 2 > acc["n"]).cast("long") * (1 << j)
-            e = term if e is None else e + term
-        return e
-
-    sim = F.aggregate(word_hashes, zero, merge, finish)
+    r9: the expression is built as ONE SQL string handed to F.expr —
+    assembling it from pyspark Column calls paid hundreds of py4j round
+    trips PER QUERY CONSTRUCTION (measured 0.32 s at bits=16 / 0.55 s at
+    bits=32 before the first job even starts; execution itself is
+    0.07-0.13 s). Identical expression, identical results."""
+    zero = ", ".join(f"'c{j}', cast(0 as bigint)" for j in range(bits))
+    merge = ", ".join(
+        f"'c{j}', acc.c{j} + shiftright(h, {j}) % 2" for j in range(bits))
+    finish = " + ".join(
+        f"cast((acc.c{j} * 2 > acc.n) as bigint) * {1 << j}"
+        for j in range(bits))
+    sim = F.expr(
+        "aggregate("
+        "transform(split(text, ' '), "
+        "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)), "
+        f"named_struct({zero}, 'n', cast(0 as bigint)), "
+        f"(acc, h) -> named_struct({merge}, 'n', acc.n + 1), "
+        f"acc -> {finish})")
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         sim.alias("simhash"))
@@ -458,7 +456,7 @@ def embedding_near_dup_with_stats(
     base = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding"),
-        *([_norm(F.col("embedding")).alias("_nrm")] if pre_norm else []))
+        *([_norm("embedding").alias("_nrm")] if pre_norm else []))
     # one scan explodes each vector into its (table, bucket) pairs; with
     # the default single table this Generate is a 1-element explode
     e = base.select(
@@ -504,14 +502,14 @@ def embedding_near_dup_with_stats(
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
     if pre_norm:
-        cos = F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+        cos = F.round(_dot("a.embedding", "b.embedding")
                       / (F.col("a._nrm") * F.col("b._nrm")), 6)
     else:
         # capped path: the original per-pair inline fold (identical ops,
         # identical rounded value — see pre_norm note above)
-        cos = F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
-                      / (_norm(F.col("a.embedding"))
-                         * _norm(F.col("b.embedding"))), 6)
+        cos = F.round(_dot("a.embedding", "b.embedding")
+                      / (_norm("a.embedding")
+                         * _norm("b.embedding")), 6)
     out = (
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),

@@ -29,17 +29,19 @@ from pyspark.sql import DataFrame, functions as F
 Z_BITS = 16
 
 
-def _interleave2(a, b):
-    """Morton-interleave two 16-bit Catalyst columns -> 32-bit key
-    (a in even bit positions, b in odd)."""
-    out = F.lit(0).cast("long")
-    for i in range(Z_BITS):
-        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long")
-        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
-        out = (out
-               .bitwiseOR(F.shiftleft(bit_a, 2 * i))
-               .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1)))
-    return out
+def _interleave2(sa: str, sb: str):
+    """Morton-interleave two 16-bit column SQL fragments -> 32-bit key
+    (sa in even bit positions, sb in odd).
+
+    r9: built as one F.expr SQL string — the Column-call loop paid ~130
+    py4j round trips per query construction; same 32 shift-or terms,
+    same codegen, same key."""
+    terms = " | ".join(
+        f"shiftleft(cast(shiftright({sa}, {i}) & 1 as bigint), {2 * i})"
+        f" | shiftleft(cast(shiftright({sb}, {i}) & 1 as bigint), "
+        f"{2 * i + 1})"
+        for i in range(Z_BITS))
+    return F.expr(f"cast(0 as bigint) | {terms}")
 
 
 def zvalue(df: DataFrame, col_a: str, col_b: str,
@@ -47,8 +49,9 @@ def zvalue(df: DataFrame, col_a: str, col_b: str,
     """Attach the Z-order key of (col_a, col_b): each column masked to
     its low 16 bits (callers with skewed domains should pre-rank —
     `zorder_by` does). Pure Catalyst bit arithmetic."""
-    a = F.col(col_a).cast("long").bitwiseAND(F.lit((1 << Z_BITS) - 1))
-    b = F.col(col_b).cast("long").bitwiseAND(F.lit((1 << Z_BITS) - 1))
+    mask = (1 << Z_BITS) - 1
+    a = f"(cast({col_a} as bigint) & {mask})"
+    b = f"(cast({col_b} as bigint) & {mask})"
     return df.withColumn(out_col, _interleave2(a, b))
 
 
@@ -71,7 +74,7 @@ def zorder_by(df: DataFrame, col_a: str, col_b: str, *,
     rb = (F.percent_rank().over(Window.orderBy(F.col(col_b)))
           * ((1 << Z_BITS) - 1)).cast("long")
     keyed = df.withColumn("_za", ra).withColumn("_zb", rb) \
-        .withColumn("_z", _interleave2(F.col("_za"), F.col("_zb"))) \
+        .withColumn("_z", _interleave2("_za", "_zb")) \
         .drop("_za", "_zb")
     return (keyed.repartitionByRange(num_files, "_z")
             .sortWithinPartitions("_z")

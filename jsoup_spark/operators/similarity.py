@@ -18,35 +18,34 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .dedup import _UNSET
 
 
-def _cosine(a, b):
-    # compute in float64 throughout: bitwise-identical across engines
-    # (float32 list ops diverge in the last ulps and break value-hash
-    # comparison after rounding)
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (_norm(a) * _norm(b))
+# Float64 throughout: bitwise-identical across engines (float32 list ops
+# diverge in the last ulps and break value-hash comparison after
+# rounding). All three helpers take column-reference SQL fragments and
+# return one F.expr — Column-by-Column assembly of the nested lambdas
+# paid dozens of py4j round trips per query construction (r9); the
+# parsed expressions are identical, so values are bit-identical.
+
+def _norm(c: str):
+    """sqrt(sum(x^2)) left fold over the float64-cast array `c` — a norm
+    PRECOMPUTED per vector (one pass per row) is bit-identical to one
+    recomputed per candidate pair. The interpreted higher-order
+    functions used to run 3 aggregates + 4 casts per PAIR; precomputing
+    both norms leaves only the dot product pair-side (guide §2.3 —
+    don't compute things per-pair that are per-row)."""
+    return F.expr(
+        f"sqrt(aggregate(transform(transform({c}, x -> cast(x as double)), "
+        f"x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))")
 
 
-def _norm(c):
-    """sqrt(sum(x^2)) over the float64-cast array — the same left-fold as
-    _cosine's inline norm, so a norm PRECOMPUTED per vector (one pass per
-    row) is bit-identical to one recomputed per candidate pair. r9: the
-    interpreted higher-order functions used to run 3 aggregates + 4
-    casts per PAIR; precomputing both norms leaves only the dot product
-    pair-side (guide §2.3 — don't compute things per-pair that are
-    per-row)."""
-    dc = F.transform(c, lambda x: x.cast("double"))
-    return F.sqrt(F.aggregate(
-        F.transform(dc, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with(transform({a}, x -> cast(x as double)), "
+        f"transform({b}, x -> cast(x as double)), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)")
 
 
-def _dot(a, b):
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    return F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+def _cosine(a: str, b: str):
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def brute_force_topk(embeddings: DataFrame, n_queries: int = 5,
@@ -56,7 +55,7 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 5,
     base = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding"),
-        _norm(F.col("embedding")).alias("_nrm"))
+        _norm("embedding").alias("_nrm"))
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
         F.col("_nrm").alias("_qnrm"))
@@ -64,7 +63,7 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 5,
         F.col("vec_id") != F.col("q_id"))
     scored = joined.select(
         "q_id", "vec_id",
-        F.round(_dot(F.col("q_emb"), F.col("embedding"))
+        F.round(_dot("q_emb", "embedding")
                 / (F.col("_qnrm") * F.col("_nrm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -165,7 +164,7 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     base0 = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding"),
-        _norm(F.col("embedding")).alias("_nrm"))
+        _norm("embedding").alias("_nrm"))
     base = base0.select(
         "vec_id", "embedding", "_nrm",
         F.explode(F.array(*[
@@ -189,7 +188,7 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         F.col("vec_id") != F.col("q_id"))
     scored = joined.select(
         "q_id", "vec_id",
-        F.round(_dot(F.col("q_emb"), F.col("embedding"))
+        F.round(_dot("q_emb", "embedding")
                 / (F.col("_qnrm") * F.col("_nrm")), 6).alias("cosine"),
     )
     if n_tables > 1:

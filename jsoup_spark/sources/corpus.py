@@ -37,75 +37,62 @@ def body_repeat_expr(col="doc_id"):
 
 
 def synthesize(documents: DataFrame, with_media: bool = True) -> DataFrame:
-    """documents(doc_id,text,lang,source,n_chars) -> interleaved span table."""
-    d = documents.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("text"),
-        F.col("lang"),
-        F.col("source"),
-        body_repeat_expr("doc_id").alias("rep"),
-    )
-    body = F.concat_ws(" ", F.array_repeat(F.col("text"), F.col("rep").cast("int")))
-    head_html = F.concat(
-        F.lit("<html><head><title>" + TITLE_PREFIX),
-        F.col("doc_id"),
-        F.lit("</title><base href='" + BASE_URI + "'></head><body>"),
-    )
-    para_html = F.concat(
-        F.lit("<div id=main class='"),
-        F.col("lang"),
-        F.lit(" article'><p>"),
-        body,
-        F.lit("</p>"),
-    )
-    img_html = F.concat(
-        F.lit("<img src='img/"),
-        F.col("doc_id"),
-        F.lit(".png' alt='fig "),
-        F.col("doc_id"),
-        F.lit("'>"),
-    )
-    tail_html = F.concat(
-        F.lit("<ul><li>"),
-        F.col("source"),
-        F.lit("</li><li>"),
-        F.col("lang"),
-        F.lit("</li></ul><script>track('"),
-        F.col("doc_id"),
-        F.lit("');</script></div></body></html>"),
-    )
+    """documents(doc_id,text,lang,source,n_chars) -> interleaved span table.
+
+    r9: assembled as ONE selectExpr SQL string — the Column-by-Column
+    construction paid ~60 py4j round trips per query build (every
+    corpus-backed query rebuilds this plan each bench rep; measured as a
+    visible slice of the per-query wall). Same expressions, same output.
+    """
+    did = "cast(doc_id as string)"
+    body = ("concat_ws(' ', array_repeat(text, cast("
+            "CASE WHEN cast(doc_id as long) % 97 = 0 THEN 32 "
+            "WHEN cast(doc_id as long) % 31 = 0 THEN 16 "
+            "WHEN cast(doc_id as long) % 7 = 0 THEN 4 "
+            "ELSE 1 END as int)))")
+    head_html = (f'concat("<html><head><title>{TITLE_PREFIX}", {did}, '
+                 f'"</title><base href=\'{BASE_URI}\'></head><body>")')
+    para_html = ('concat("<div id=main class=\'", lang, '
+                 f'" article\'><p>", {body}, "</p>")')
+    img_html = (f'concat("<img src=\'img/", {did}, ".png\' alt=\'fig ", '
+                f'{did}, "\'>")' if with_media else '""')
+    tail_html = ('concat("<ul><li>", source, "</li><li>", lang, '
+                 '"</li></ul><script>track(\'", '
+                 f'{did}, "\');</script></div></body></html>")')
 
     def span(kind, text, media_ref, offset):
-        return F.struct(
-            F.lit(kind).alias("kind"),
-            text.alias("text"),
-            media_ref.alias("media_ref"),
-            F.lit(offset).cast("int").alias("offset"),
-        )
+        return (f"named_struct('kind', '{kind}', 'text', {text}, "
+                f"'media_ref', {media_ref}, "
+                f"'offset', cast({offset} as int))")
 
-    empty = F.lit("")
-    spans = F.array(
-        span("html", head_html, empty, 0),
-        span("html", para_html, empty, 1),
-        span("media",
-             F.concat(F.lit("standalone media for "), F.col("doc_id")),
-             F.concat(F.lit(IMG_BASE), F.col("doc_id"), F.lit("/cover.jpg")),
-             2),
-        span("html", img_html if with_media else F.lit(""), empty, 3),
-        span("html", tail_html, empty, 4),
-    )
-    return d.select("doc_id", spans.alias("spans"))
+    spans = ", ".join([
+        span("html", head_html, "''", 0),
+        span("html", para_html, "''", 1),
+        span("media", f'concat("standalone media for ", {did})',
+             f'concat("{IMG_BASE}", {did}, "/cover.jpg")', 2),
+        span("html", img_html, "''", 3),
+        span("html", tail_html, "''", 4),
+    ])
+    return documents.selectExpr(f"{did} as doc_id",
+                                f"array({spans}) as spans")
 
 
 def assemble_html(docs: DataFrame, base_uri_lit: str = BASE_URI) -> DataFrame:
     """Reconstruct raw HTML per doc: concat of kind='html' span texts in
     offset order — pure Catalyst (array_sort/filter/transform/array_join),
     no shuffle, no Python."""
+    # sort_array over offset-FIRST structs, not array_sort with a
+    # comparator lambda: the comparator is interpreted per COMPARISON at
+    # execution time while the natural struct ordering stays in codegen
+    # (offsets are unique per doc by the span contract — the same
+    # equivalence extract_stage relies on, operators/pipeline.py)
     html = F.array_join(
         F.transform(
-            F.array_sort(F.filter(F.col("spans"), lambda s: s["kind"] == "html"),
-                         lambda a, b: a["offset"] - b["offset"]),
-            lambda s: s["text"],
+            F.sort_array(F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "html"),
+                lambda s: F.struct(s["offset"].alias("o"),
+                                   s["text"].alias("t")))),
+            lambda s: s["t"],
         ),
         "",
     )
