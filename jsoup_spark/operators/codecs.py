@@ -564,17 +564,33 @@ _DCT_A = np.array([[
     for x in range(8)] for u in range(8)])
 
 
+class _HuffTable(dict):
+    """(length, code) -> value dict plus an 8-bit MSB-first root table:
+    root[next8bits] = (value, length) for codes of length <= 8 (the
+    common case for the Annex K tables), None for longer codes — the
+    per-bit decode loop stays as the exact fallback (r9)."""
+
+    __slots__ = ("root",)
+
+
 def _huff_decode_table(bits, values):
     """Canonical Huffman: (code, length) -> value lookup dict."""
-    table = {}
+    table = _HuffTable()
+    root = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = values[k]
+            if length <= 8:
+                base = code << (8 - length)
+                entry = (values[k], length)
+                for suffix in range(1 << (8 - length)):
+                    root[base | suffix] = entry
             code += 1
             k += 1
         code <<= 1
+    table.root = root
     return table
 
 
@@ -627,6 +643,36 @@ class _BitReader:
         return v
 
     def huff(self, table) -> int:
+        # fast path: refill to >= 8 buffered bits with the SAME
+        # unstuffing/marker-padding rules as read(), then resolve short
+        # codes in one root-table lookup (r9; covers the common Annex K
+        # symbols). Peek-only — a miss falls through to the exact
+        # per-bit loop with nothing consumed.
+        root = getattr(table, "root", None)
+        if root is not None:
+            while self.nbits < 8:
+                if self.pos >= len(self.data):
+                    break  # near EOF: the slow loop raises identically
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    nxt = (self.data[self.pos]
+                           if self.pos < len(self.data) else 0)
+                    if nxt == 0x00:
+                        self.pos += 1
+                    else:
+                        self.pos -= 1
+                        self.acc = (self.acc << 8) & 0xFFFFFFFFFFFF
+                        self.nbits += 8
+                        continue
+                self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFFFF
+                self.nbits += 8
+            if self.nbits >= 8:
+                e = root[(self.acc >> (self.nbits - 8)) & 0xFF]
+                if e is not None:
+                    v, l = e
+                    self.nbits -= l
+                    return v
         length = 0
         code = 0
         while length < 16:
