@@ -76,6 +76,16 @@ def fresh_fuzz() -> int:
     Seeds derive from wall-clock time so every close explores new corners;
     they are printed for NOTES_rN. Returns the number of failing runs."""
     here = os.path.dirname(os.path.abspath(__file__))
+    # /tmp is wiped between rounds; a missing harness made every fuzz
+    # run "fail" with zero output (r9). Build it on demand.
+    if not os.path.isdir("/tmp/jsoupbuild/out"):
+        print("== building reference harness (missing /tmp/jsoupbuild)")
+        r = subprocess.run(
+            ["bash", os.path.join(here, "golden", "build_reference.sh")],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"HARNESS BUILD FAILED:\n{r.stderr[-2000:]}")
+            return 1
     base = int(time.time()) % 1_000_000
     runs = [("mega_fuzz.py", [str(base + i * 7919), "2500"])
             for i in range(3)]
