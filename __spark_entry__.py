@@ -1505,9 +1505,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row at post-r8 code across the r8+r9 artifacts; the two
     # events queries follow immediately (inside the window) to prove the
     # r9 deterministic-ordering fix in the graded artifact; the remaining
-    # window slots go to the parse-gated extract/select/clean tier, whose
-    # engine internals (attr lookup fast path, election memo) this round
-    # touches.  oracle_sql() is keyed by name and is order-insensitive.
+    # window slots go to queries whose engine internals this round
+    # touches: the parse-gated extract/select/clean tier (attr lookup
+    # fast path, text-walk threading, election memo), the rewritten
+    # fingerprint_rolling, and the four multimodal queries whose codecs
+    # gained decode tables (jpeg/webp/gif/tiff) — displacing five
+    # r8-window queries that are both unchanged this round and already
+    # driver-verified at r8 code (token_count, token_count_bpe,
+    # extract_media, extract_metrics, positions_title).
+    # oracle_sql() is keyed by name and is order-insensitive.
     return {
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
@@ -1543,8 +1549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "extract_spans": q_extract_spans,
         "stream_extract": q_stream_extract,
-        "extract_media": q_extract_media,
-        "extract_metrics": q_extract_metrics,
+        "fingerprint_rolling": q_fingerprint_rolling,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "fragment_cells": q_fragment_cells,
         "xml_tree": q_xml_tree,
         "select_article_p": q_select_article_p,
@@ -1555,15 +1561,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_xpath_adv": q_select_xpath_adv,
         "select_css_path": q_select_css_path,
         "select_xpath_xml": q_select_xpath_xml,
-        "positions_title": q_positions_title,
+        "multimodal_webp": q_multimodal_webp,
+        "multimodal_gif": q_multimodal_gif,
+        "multimodal_tiff": q_multimodal_tiff,
         "clean_basic": q_clean_basic,
-        "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "fingerprint_rolling": q_fingerprint_rolling,
         "ngram_topk": q_ngram_topk,
+        "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "extract_media": q_extract_media,
+        "extract_metrics": q_extract_metrics,
+        "positions_title": q_positions_title,
         "robots_check": q_robots_check,
         "sitemap_extract": q_sitemap_extract,
         "archive_extract": q_archive_extract,
@@ -1581,11 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_region_revenue": q_tpch_region_revenue,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
-        "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_jpeg_arith": q_multimodal_jpeg_arith,
-        "multimodal_webp": q_multimodal_webp,
-        "multimodal_gif": q_multimodal_gif,
-        "multimodal_tiff": q_multimodal_tiff,
         "multimodal_ccitt": q_multimodal_ccitt,
     }
 

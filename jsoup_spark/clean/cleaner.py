@@ -13,7 +13,7 @@ from __future__ import annotations
 from urllib.parse import urlparse
 
 from ..parser.nodes import (
-    DataNode, Document, Element, TextNode,
+    DataNode, Document, Element, TextNode, make_ci_attrs,
 )
 from ..parser.treebuilder import parse_body_fragment
 from .safelist import Safelist
@@ -125,6 +125,10 @@ def _create_safe_element(source: Element, safelist: Safelist):
         for existing in [e for e in dest.attrs if e.lower() == k]:
             del dest.attrs[existing]
         dest.attrs[k] = v
+    if any(k != k.lower() for k in dest.attrs):
+        # copied keys keep source case: restore the plain-dict
+        # all-lowercase invariant (Element.attr fast path, r9)
+        dest.attrs = make_ci_attrs(dest.attrs)
     return dest, num_discarded
 
 

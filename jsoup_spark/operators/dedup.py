@@ -147,22 +147,21 @@ def minhash_lsh_buckets(documents: DataFrame) -> DataFrame:
             out_band: list = []
             out_key: list = []
             for did, text in zip(ids, texts):
-                words = text.split(" ")
-                if len(words) >= 3:
-                    hexes = [
-                        _h((words[i] + " " + words[i + 1] + " "
-                            + words[i + 2]).encode()).hexdigest()
-                        for i in range(len(words) - 2)]
+                if text is None:
+                    k0 = k1 = _NULL_BAND_KEY
                 else:
-                    hexes = [_h(text.encode()).hexdigest()]
-                mh = [min(h[p:p + 8] for h in hexes)
-                      for p in (0, 8, 16, 24)]
+                    hexes = [_h(s.encode()).hexdigest()
+                             for s in _py_shingles(text)]
+                    mh = [min(h[p:p + 8] for h in hexes)
+                          for p in (0, 8, 16, 24)]
+                    k0 = _h((mh[0] + "|" + mh[1]).encode()).hexdigest()
+                    k1 = _h((mh[2] + "|" + mh[3]).encode()).hexdigest()
                 out_ids.append(did)
                 out_band.append(0)
-                out_key.append(_h((mh[0] + "|" + mh[1]).encode()).hexdigest())
+                out_key.append(k0)
                 out_ids.append(did)
                 out_band.append(1)
-                out_key.append(_h((mh[2] + "|" + mh[3]).encode()).hexdigest())
+                out_key.append(k1)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out_ids, pa.int64()),
                  pa.array(out_band, pa.int32()),
@@ -287,9 +286,18 @@ def ngram_jaccard_pairs_with_stats(
     return out, stats
 
 
+# band key of a NULL text: every md5-window min is NULL, concat_ws skips
+# NULL args entirely, so the key is md5('') — probed against the Catalyst
+# formulation (r9; NULL rows must not crash the Arrow stages either)
+_NULL_BAND_KEY = "d41d8cd98f00b204e9800998ecf8427e"
+
+
 def _py_shingles(text: str) -> list:
     """3-word shingles, Catalyst-_shingles-identical (split on literal
-    space keeps empties; docs under 3 words shingle to [text])."""
+    space keeps empties; docs under 3 words shingle to [text]; a NULL
+    text shingles to [NULL], matching array(text) under text IS NULL)."""
+    if text is None:
+        return [None]
     words = text.split(" ")
     if len(words) >= 3:
         return [words[i] + " " + words[i + 1] + " " + words[i + 2]
@@ -311,6 +319,9 @@ def _band_keys_arrow(documents: DataFrame) -> DataFrame:
             texts = batch.column(idx["text"]).to_pylist()
             keys = []
             for text in texts:
+                if text is None:
+                    keys.append(_NULL_BAND_KEY)
+                    continue
                 hexes = [_h(s.encode()).hexdigest()
                          for s in _py_shingles(text)]
                 mh0 = min(h[:8] for h in hexes)

@@ -164,11 +164,14 @@ def fingerprint_rolling(documents: DataFrame, k: int = 8,
             ids = batch.column(idx["doc_id"]).to_pylist()
             texts = batch.column(idx["text"]).to_pylist()
             n_rows = len(ids)
-            roll = [0] * n_rows
+            # NULL text null-propagates to rolling_hash (sketch fields
+            # take the empty-sample defaults) — Catalyst-probed parity
+            roll = [None if t is None else 0 for t in texts]
             n_sk = [0] * n_rows
             sk_min = [-1] * n_rows
             sk_sum = [0] * n_rows
-            max_n = max((len(t) for t in texts), default=0)
+            max_n = max((len(t) for t in texts if t is not None),
+                        default=0)
             if max_n + 1 > len(pows):
                 old = len(pows)
                 grown = np.empty(max_n + 1, dtype=np.int64)
@@ -180,7 +183,8 @@ def fingerprint_rolling(documents: DataFrame, k: int = 8,
                 pows = grown
             for r, text in enumerate(texts):
                 # split('') on '' yields [''] and ascii('') is 0, so the
-                # empty doc hashes the single code 0 -> 0 (probed)
+                # empty doc hashes the single code 0 -> 0; NULL stays
+                # NULL (both probed vs the Catalyst formulation)
                 if not text:
                     continue
                 codes = np.frombuffer(

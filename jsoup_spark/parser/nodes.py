@@ -592,7 +592,7 @@ class Element(Node):
         return kids[0] if kids else None
 
     def shallow_clone(self) -> "Element":
-        el = Element(self.name, self.ns, dict(self.attrs))
+        el = Element(self.name, self.ns, copy_attrs(self.attrs))
         el.tag_name_case = self.tag_name_case
         el.flags = self.flags
         return el
@@ -688,7 +688,11 @@ def _text_accumulate(root: Element, accum: list[str]) -> None:
     The preserve-whitespace decision is threaded as an incremental
     pre-distance per stack frame (r9: preserve_whitespace() used to
     re-walk up to 6 ancestors for EVERY text node — a constant-factor
-    tax on every text()/clean/select call)."""
+    tax on every text()/clean/select call).
+
+    PARITY WARNING: extract/maincontent._text_and_anchors mirrors this
+    traversal (plus anchor collection) and is pinned byte-identical by
+    fuzz; any semantic change here must be mirrored there."""
     _P = tags.PRESERVE_WS
     _TN, _CD, _EL = TextNode, CDataNode, Element
     # stack entries: [element, child_index, next_sibling, pre_distance]

@@ -1385,6 +1385,16 @@ def _merge_attributes(start, dest: Element) -> None:
         if k not in dest.attrs:
             dest.attrs[k] = v
             added.append(k)
+    if added:
+        # merged keys keep RAW case (reference semantics); reclassify so
+        # the plain-dict all-lowercase invariant (Element.attr fast
+        # path) survives a mixed-case merge, and a _CiAttrs fold is
+        # rebuilt rather than left stale (r9)
+        from .nodes import _CiAttrs, make_ci_attrs
+        t = dest.attrs.__class__
+        if t is _CiAttrs or any(k != k.lower() for k in added):
+            dest.attrs = make_ci_attrs(
+                dict(dest.attrs) if t is _CiAttrs else dest.attrs)
     tok_ranges = getattr(start, "attr_ranges", None)
     if tok_ranges and added:
         # the reference finalizes staged ranges under NORMALIZED names but

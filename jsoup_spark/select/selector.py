@@ -22,7 +22,7 @@ import re
 
 from ..parser.nodes import (
     CDataNode, CommentNode, DataNode, Document, Element, LeafNode, Node,
-    PseudoTextElement, TextNode,
+    PseudoTextElement, TextNode, copy_attrs,
 )
 
 
@@ -919,7 +919,9 @@ class MatchText(Ev):
         for i, c in enumerate(kids):
             # CDataNode extends TextNode, matching Element.textNodes()
             if isinstance(c, TextNode):
-                pel = PseudoTextElement(el.name, el.ns, dict(el.attrs))
+                # copy_attrs keeps the preserved-case/collision marker
+                # (plain-dict attr() fast path invariant, r9)
+                pel = PseudoTextElement(el.name, el.ns, copy_attrs(el.attrs))
                 pel.tag_name_case = el.tag_name_case
                 pel.parent = el
                 kids[i] = pel

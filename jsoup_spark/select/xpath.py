@@ -608,14 +608,30 @@ def _to_bool(v) -> bool:
 
 
 class _AttrValue(Node):
-    """Wrapper so attribute-axis results flow through nodeset machinery."""
+    """Wrapper so attribute-axis results flow through nodeset machinery.
 
-    __slots__ = ("value", "attr_name")
+    ord_key places the attribute in DOCUMENT order for mixed
+    element/attribute node-sets ((//@href | //b)[1]): XPath data-model
+    order puts an element's attributes after the element and before its
+    children, so the key is owner_order + a fraction by attribute
+    position (r9 review fix — attrs used to sort after ALL elements)."""
 
-    def __init__(self, value: str, attr_name: str = ""):
+    __slots__ = ("value", "attr_name", "ord_key")
+
+    def __init__(self, value: str, attr_name: str = "",
+                 ord_key: float = float(1 << 30)):
         self.parent = None
         self.value = value
         self.attr_name = attr_name
+        self.ord_key = ord_key
+
+
+def _doc_key(n: Node, order: dict):
+    """Document-order sort key valid for elements, leaves AND attribute
+    wrappers."""
+    if n.__class__ is _AttrValue:
+        return n.ord_key
+    return order.get(id(n), 1 << 30)
 
 
 def _compare(op: str, left, right) -> bool:
@@ -789,12 +805,15 @@ def _eval_step(step: _Step, ctx: _Ctx) -> list[Node]:
         if not isinstance(el, Element):
             return []
         kind = step.test[0]
+        base = ctx.order.get(id(el), 1 << 30)
+        n_attrs = len(el.attrs) + 1
         if kind in ("*", "node"):
             # node() on the attribute axis selects every attribute, like *
             # (the principal node kind of the axis); valueless attributes
             # carry string-value '' in the reference's W3C conversion
-            return [_AttrValue(v if v is not None else "", k)
-                    for k, v in el.attrs.items()]
+            return [_AttrValue(v if v is not None else "", k,
+                               base + (i + 1) / n_attrs)
+                    for i, (k, v) in enumerate(el.attrs.items())]
         if kind in ("never", "pi", "text", "comment"):
             # never: unresolvable prefix (matches nothing, like the
             # reference); the other kind tests cannot match an attribute
@@ -806,7 +825,9 @@ def _eval_step(step: _Step, ctx: _Ctx) -> list[Node]:
         # keys at parse, which is why @id "feels" insensitive there)
         if key in el.attrs:
             v = el.attrs[key]
-            return [_AttrValue(v if v is not None else "", key)]
+            idx = next(i for i, k in enumerate(el.attrs) if k == key)
+            return [_AttrValue(v if v is not None else "", key,
+                               base + (idx + 1) / n_attrs)]
         return []
     candidates = [
         n for n in _axis_nodes(ctx.node, step.axis) if _node_test(n, step.test, step.axis)
@@ -840,9 +861,9 @@ def _eval_path(path: _Path, ctx: _Ctx) -> list[Node]:
                     seen.add(id(res))
                     nxt.append(res)
         current = nxt
-    # results in document order (attribute values keep emission order)
-    if current and not isinstance(current[0], _AttrValue):
-        current.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
+    # results in document order (attribute values carry fractional
+    # owner-based keys, so mixed sets order correctly too)
+    current.sort(key=lambda n: _doc_key(n, ctx.order))
     return current
 
 
@@ -1014,7 +1035,7 @@ def _eval_expr(expr, ctx: _Ctx):
                 if id(n) not in seen:
                     seen.add(id(n))
                     out.append(n)
-        out.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
+        out.sort(key=lambda n: _doc_key(n, ctx.order))
         return out
     if isinstance(expr, _Call):
         return _eval_call(expr, ctx)
@@ -1059,10 +1080,10 @@ def _eval_filter(f: _Filter, ctx: _Ctx) -> list[Node]:
     if not isinstance(v, list):
         raise ValueError("predicate/path applied to a non-node-set")
     # attribute nodes survive predicate filtering ((//@href)[1] is the
-    # first href); the stable sort keeps them in emission order after any
-    # real nodes, and the API boundary drops them as elsewhere
+    # first href) and sort in true document order via their fractional
+    # owner keys; the API boundary drops them as elsewhere
     nodes = list(v)
-    nodes.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
+    nodes.sort(key=lambda n: _doc_key(n, ctx.order))
     for pred in f.predicates:
         size = len(nodes)
         kept = []
@@ -1082,7 +1103,7 @@ def _eval_filter(f: _Filter, ctx: _Ctx) -> list[Node]:
                 if id(res) not in seen:
                     seen.add(id(res))
                     out.append(res)
-        out.sort(key=lambda n: ctx.order.get(id(n), 1 << 30))
+        out.sort(key=lambda n: _doc_key(n, ctx.order))
         return out
     return nodes
 

@@ -624,3 +624,56 @@ def test_similarity_norm_precompute_exact(spark):
     na = math.sqrt(sum(x * x for x in a))
     nb = math.sqrt(sum(x * x for x in b))
     assert abs(round(dot / (na * nb), 6) - r0.cosine) <= 1e-6
+
+
+def test_arrow_stages_null_text_parity(spark):
+    # r9 review fix: the Arrow rewrites must reproduce the Catalyst
+    # NULL-text semantics instead of crashing the worker — NULL docs
+    # band under md5('') (concat_ws skips NULL minhash windows), shingle
+    # to [NULL], and null-propagate rolling_hash.
+    from pyspark.sql import functions as F
+    from jsoup_spark.operators.dedup import (
+        minhash_lsh_buckets, ngram_jaccard_pairs)
+    from jsoup_spark.operators.textstats import (
+        fingerprint_rolling, _fingerprint_rolling_catalyst)
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d"), (3, "a b c d"), (4, None)],
+        "doc_id long, text string")
+    lsh = sorted(map(tuple, minhash_lsh_buckets(df).collect()))
+    # both bands: the two NULL docs bucket under md5('')
+    assert (0, "d41d8cd98f00b204e9800998ecf8427e", 2, 1) in lsh
+    assert (1, "d41d8cd98f00b204e9800998ecf8427e", 2, 1) in lsh
+    pairs = sorted(map(tuple, ngram_jaccard_pairs(df).collect()))
+    assert (1, 4, 1.0) in pairs and (2, 3, 1.0) in pairs
+    capped = sorted(map(tuple,
+                        ngram_jaccard_pairs(df, max_bucket=1).collect()))
+    assert (1, 4, 1.0) in capped
+    got = sorted(map(tuple, fingerprint_rolling(df).collect()))
+    exp = sorted(map(tuple, _fingerprint_rolling_catalyst(df).collect()))
+    assert got == exp
+    assert got[0][1] is None  # NULL rolling_hash null-propagates
+
+
+def test_attr_markers_survive_copies():
+    # r9 review fix: clones/merges/cleaner copies must keep the
+    # preserved-case marker classes, or the plain-dict attr() fast path
+    # misses keys the pre-r9 linear scan found.
+    from jsoup_spark.parser.treebuilder import parse
+    from jsoup_spark.parser.xmlbuilder import parse_xml
+    # duplicate <body> merge with a RAW mixed-case attribute
+    d = parse("<body><div></div><body CLASS=c NEW=x>")
+    body = d.body
+    assert body.attr("class") == "c" and body.has_attr("Class")
+    # shallow clone of a preserved-case XML element
+    x = parse_xml('<svg viewBox="0 0 1 1"/>')
+    el = x.child_elements()[0]
+    c = el.shallow_clone()
+    assert c.attr("viewbox") == "0 0 1 1" and c.has_attr("VIEWBOX")
+    # cleaner copy with a mixed-case safelisted attribute
+    from jsoup_spark.clean.cleaner import clean_document
+    from jsoup_spark.clean.safelist import relaxed
+    sl = relaxed().add_attributes("div", "dataX")
+    d = parse('<div dataX="v">t</div>')
+    out = clean_document(d, sl).doc
+    div = out.body.child_elements()[0]
+    assert div.attr("datax") == "v"

@@ -585,3 +585,16 @@ def test_count_of_non_node_set_raises():
         select_xpath(doc, "//p[count(1)]")
     with pytest.raises(SelectorParseError):
         select_xpath(doc, "//p[count('x')]")
+
+
+def test_mixed_union_attribute_document_order():
+    # r9 review fix: attribute nodes in mixed element/attribute unions
+    # sort in true document order (owner element < its attributes < its
+    # children), not after all elements.
+    doc = parse('<p><a href="u1">x</a><b>y</b></p>')
+    assert len(select_xpath(doc, "//p[( //@href | //b )[1] = 'u1']")) == 1
+    assert select_xpath(
+        doc, "//p[count(((//@href | //b)[1])/self::b) = 1]") == []
+    # elements-only unions keep ordering; pure-attr positional unchanged
+    assert [e.name for e in select_xpath(doc, "//b | //a")] == ["a", "b"]
+    assert len(select_xpath(doc, "//p[(//@href)[2] = 'u1']")) == 0
