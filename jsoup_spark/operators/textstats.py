@@ -286,47 +286,47 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     and duplicate runs counted with a single O(n log n) aggregate, all
     inside whole-stage codegen. Zero exchanges, zero UDFs; at 100 TB
     this is a pure map stage (unlike an explode -> groupBy(doc, gram)
-    formulation, which would shuffle the whole n-gram stream)."""
+    formulation, which would shuffle the whole n-gram stream).
+
+    r9: the aggregates are generated as SQL strings for F.expr — the
+    Column-call assembly paid ~0.35 s of py4j round trips per query
+    construction (the simhash finding); identical expressions."""
     d = with_words(documents)
     w = F.col("_words")
 
-    def _max_run(grams):
-        # max duplicate-run length over the sorted gram array
-        step = lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
-            .alias("best"))
-        init = F.struct(F.lit("\x00").alias("prev"),
-                        F.lit(0).alias("run"), F.lit(0).alias("best"))
-        return F.aggregate(F.array_sort(grams), init, step,
-                           lambda acc: acc["best"])
+    def _grams_sql(n):
+        g = "_words"
+        for i in range(1, n):
+            g = (f"zip_with({g}, slice(_words, {i + 1}, size(_words)), "
+                 f"(a, b) -> concat_ws(' ', a, b))")
+        return (f"CASE WHEN size(_words) >= {n} THEN "
+                f"slice({g}, 1, greatest(size(_words) - {n - 1}, 0)) "
+                f"ELSE cast(array() as array<string>) END")
 
-    def _dup_chars(grams):
-        # sum of run_len * len(gram) over runs with run_len >= 2
-        flush = lambda acc: F.when(
-            acc["run"] >= 2,
-            acc["total"] + acc["run"] * F.length(acc["prev"])
-        ).otherwise(acc["total"])
-        step = lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            .alias("run"),
-            F.when(x == acc["prev"], acc["total"]).otherwise(flush(acc))
-            .alias("total"))
-        init = F.struct(F.lit("\x00").alias("prev"),
-                        F.lit(0).alias("run"), F.lit(0).alias("total"))
-        return F.aggregate(F.array_sort(grams), init, step, flush)
+    run_up = "CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END"
+    max_run = (
+        f"aggregate(array_sort({_grams_sql(2)}), "
+        f"named_struct('prev', chr(0), 'run', 0, 'best', 0), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {run_up}, "
+        f"'best', greatest(acc.best, {run_up})), "
+        f"acc -> acc.best)")
+    flush = ("CASE WHEN acc.run >= 2 "
+             "THEN acc.total + acc.run * length(acc.prev) "
+             "ELSE acc.total END")
+    dup_chars = (
+        f"aggregate(array_sort({_grams_sql(3)}), "
+        f"named_struct('prev', chr(0), 'run', 0, 'total', 0), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {run_up}, "
+        f"'total', CASE WHEN x = acc.prev THEN acc.total "
+        f"ELSE {flush} END), "
+        f"acc -> {flush})")
 
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("n_distinct_words"),
-        _max_run(_word_ngrams(w, 2)).alias("top_bigram_count"),
-        _dup_chars(_word_ngrams(w, 3)).alias("dup_trigram_chars"),
+        F.expr(max_run).alias("top_bigram_count"),
+        F.expr(dup_chars).alias("dup_trigram_chars"),
     )
 
 
